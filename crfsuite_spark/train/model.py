@@ -1,0 +1,107 @@
+"""CRF model artifact: two weight tables + label manifest.
+
+The reference persists a binary model file (magic 'lCRF',
+src/crf/src/crf1d_model.c:43-75) holding state features
+(attribute→label) and transition features (label→label) plus interned
+string dictionaries. Our artifact is the same information as open
+tables — exactly the shape ``coefficients.crf`` exposes (R/coef.R:3-18):
+
+- ``states(attribute: string, label: string, weight: double)``
+- ``transitions(from_label: string, to_label: string, weight: double)``
+- ``labels.json`` manifest (ordered label list + metadata)
+
+written as Parquet via pyarrow (a directory, readable by
+spark.read.parquet), loaded driver-side into dense numpy matrices and
+broadcast to executors — the Spark analogue of the reference's mmap'd
+model with O(1) CQDB lookups (crf1d_model.c, crf1d.h:336-350).
+
+Zero-weight features are pruned at save like crf1de_save_model
+(crf1d_encode.c:582-618).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass
+class CRFModel:
+    labels: list[str]  # id -> label string
+    attrs: list[str]  # id -> attribute string
+    state_w: np.ndarray  # [A, L] dense; zero where no feature
+    trans_w: np.ndarray  # [L, L]
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def attr2id(self) -> dict[str, int]:
+        return {a: i for i, a in enumerate(self.attrs)}
+
+    @property
+    def label2id(self) -> dict[str, int]:
+        return {l: i for i, l in enumerate(self.labels)}
+
+    # --- S7 coefficient extraction (R/coef.R:3-18) ---
+    def coefficients(self) -> tuple[pd.DataFrame, pd.DataFrame]:
+        """(states, transitions) sorted by weight desc, zero-weights pruned."""
+        a_idx, l_idx = np.nonzero(self.state_w)
+        states = pd.DataFrame({
+            "attribute": [self.attrs[i] for i in a_idx],
+            "label": [self.labels[j] for j in l_idx],
+            "weight": self.state_w[a_idx, l_idx],
+        }).sort_values("weight", ascending=False, kind="stable").reset_index(drop=True)
+        f_idx, t_idx = np.nonzero(self.trans_w)
+        trans = pd.DataFrame({
+            "from_label": [self.labels[i] for i in f_idx],
+            "to_label": [self.labels[j] for j in t_idx],
+            "weight": self.trans_w[f_idx, t_idx],
+        }).sort_values("weight", ascending=False, kind="stable").reset_index(drop=True)
+        return states, trans
+
+    # --- S4 model sink ---
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        states, trans = self.coefficients()
+        states.to_parquet(os.path.join(path, "states.parquet"), index=False)
+        trans.to_parquet(os.path.join(path, "transitions.parquet"), index=False)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump({"labels": self.labels, "meta": self.meta}, f, indent=1)
+
+    # --- S5 model scan ---
+    @classmethod
+    def load(cls, path: str) -> "CRFModel":
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        labels = manifest["labels"]
+        states = pd.read_parquet(os.path.join(path, "states.parquet"))
+        trans = pd.read_parquet(os.path.join(path, "transitions.parquet"))
+        attrs = sorted(states["attribute"].unique().tolist())
+        a2i = {a: i for i, a in enumerate(attrs)}
+        l2i = {l: i for i, l in enumerate(labels)}
+        A, L = len(attrs), len(labels)
+        state_w = np.zeros((A, L), dtype=np.float64)
+        state_w[
+            states["attribute"].map(a2i).to_numpy(),
+            states["label"].map(l2i).to_numpy(),
+        ] = states["weight"].to_numpy()
+        trans_w = np.zeros((L, L), dtype=np.float64)
+        if len(trans):
+            trans_w[
+                trans["from_label"].map(l2i).to_numpy(),
+                trans["to_label"].map(l2i).to_numpy(),
+            ] = trans["weight"].to_numpy()
+        return cls(labels=labels, attrs=attrs, state_w=state_w, trans_w=trans_w,
+                   meta=manifest.get("meta", {}))
+
+    def dump(self) -> str:
+        """S6 human-readable text dump (crfsuite_model_dump analogue)."""
+        states, trans = self.coefficients()
+        out = [f"labels: {self.labels}", f"attrs: {len(self.attrs)}", "TRANSITIONS:"]
+        out += [f"  {r.from_label} -> {r.to_label}: {r.weight:+.6f}" for r in trans.itertuples()]
+        out.append("STATE FEATURES (top 50):")
+        out += [f"  {r.attribute} -> {r.label}: {r.weight:+.6f}" for r in states.head(50).itertuples()]
+        return "\n".join(out)

@@ -1,0 +1,299 @@
+"""Distributed CRF training: Spark featurization + gradient jobs,
+driver-side L-BFGS.
+
+Mirrors the reference's training lifecycle (SURVEY.md §3.1,
+src/crf/src/train_lbfgs.c:217-341) re-architected for Spark:
+
+1. feature generation A1 (crf1d_feature.c:155-257) = one groupBy
+   aggregation with a HAVING minfreq filter — Catalyst does the
+   partial/final hash agg;
+2. featurization to int ids (quark.c interning → broadcast dict) via a
+   streaming mapInPandas pass (whole sequences, Arrow-batched);
+3. per-L-BFGS-iteration gradient = one Spark job over the *cached*
+   featurized sequences: mapInPandas computes a per-batch
+   (loss, gradient) partial with the batched numpy kernel; partials are
+   summed on the driver (at cluster scale: treeAggregate — the partial
+   per batch is already the map-side combine);
+4. L2 regularization + L-BFGS update on the driver
+   (train_lbfgs.c:98-106; kernel/lbfgs.py).
+
+Scale notes: the training corpus for a tagger is a bounded sample even
+at a 10^12-turn table (you train on ~10^5-10^6 labelled sequences, then
+decode everything); the decode path (decode/tagger.py) is the
+unbounded one. The gradient partial per Arrow batch is a dense
+[A, L] float64 — fine to ~10^6 attributes; beyond that switch the
+accumulation to scipy-style CSR.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crfsuite_spark.kernel import crf
+from crfsuite_spark.kernel.lbfgs import minimize_lbfgs
+from crfsuite_spark.operators.sequences import group_bounds, iter_sequence_frames
+from crfsuite_spark.train.model import CRFModel
+
+FEATURIZED_SCHEMA = (
+    "seq_id string, labels array<int>, aids array<int>, offsets array<int>"
+)
+
+
+def generate_state_features(
+    df: DataFrame, attrs_col: str = "attrs", label_col: str = "label", minfreq: float = 1.0
+) -> pd.DataFrame:
+    """A1: (attribute, label) distinct + freq + HAVING minfreq
+    (crf1d_feature.c:155-257, minfreq filter at 128-133)."""
+    out = (
+        df.select(F.explode(attrs_col).alias("attribute"), F.col(label_col).alias("label"))
+        .groupBy("attribute", "label")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+        .where(F.col("freq") >= F.lit(minfreq))
+    )
+    return out.toPandas()
+
+
+def build_dicts(state_feats: pd.DataFrame, labels_df: pd.DataFrame | list[str]):
+    """Deterministic string→id interning (quark.c analogue, sorted order)."""
+    if isinstance(labels_df, list):
+        labels = sorted(labels_df)
+    else:
+        labels = sorted(labels_df["label"].unique().tolist())
+    attrs = sorted(state_feats["attribute"].unique().tolist())
+    return labels, attrs
+
+
+def featurize_sequences(
+    df: DataFrame,
+    attr2id: dict[str, int],
+    label2id: dict[str, int],
+    seq_cols: list[str],
+    order_col: str,
+    attrs_col: str = "attrs",
+    label_col: str = "label",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token rows → one row per sequence with int-id arrays.
+
+    Unknown attributes are dropped (aid<0 skip, crfsuite.hpp:403-410).
+    Output: (seq_id, labels array<int>, aids flat array<int>,
+    offsets array<int> of length T+1 into aids).
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    a2i_bc = spark.sparkContext.broadcast(attr2id)
+    l2i_bc = spark.sparkContext.broadcast(label2id)
+    keep = [*seq_cols, order_col, attrs_col] + ([label_col] if label_col else [])
+
+    def fe(batches):
+        a2i = a2i_bc.value
+        l2i = l2i_bc.value
+        for pdf in iter_sequence_frames(batches, seq_cols):
+            bounds = group_bounds(pdf, seq_cols)
+            rows = {"seq_id": [], "labels": [], "aids": [], "offsets": []}
+            attrs_all = pdf[attrs_col].to_numpy()
+            labels_all = (
+                pdf[label_col].map(l2i).to_numpy() if label_col else np.zeros(len(pdf))
+            )
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                aids, offsets = [], [0]
+                for t in range(s, e):
+                    aids.extend(
+                        a2i[a] for a in attrs_all[t] if a in a2i
+                    )
+                    offsets.append(len(aids))
+                rows["seq_id"].append(
+                    "\x00".join(str(pdf.iloc[s][k]) for k in seq_cols)
+                )
+                rows["labels"].append(labels_all[s:e].astype(np.int32).tolist())
+                rows["aids"].append(aids)
+                rows["offsets"].append(offsets)
+            yield pd.DataFrame(rows)
+
+    ordered = (
+        df.select(*keep)
+        .repartition(n_part, *seq_cols)
+        .sortWithinPartitions(*seq_cols, order_col)
+    )
+    return ordered.mapInPandas(fe, FEATURIZED_SCHEMA)
+
+
+def _pack_batch(pdf: pd.DataFrame):
+    """Concatenate a batch of sequence rows into flat numpy arrays."""
+    lengths = pdf["labels"].map(len).to_numpy(dtype=np.int64)
+    labels = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["labels"]])
+    aids = (
+        np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["aids"]])
+        if len(pdf)
+        else np.zeros(0, dtype=np.int64)
+    )
+    # per-token attr counts → global offsets
+    counts = np.concatenate(
+        [np.diff(np.asarray(o, dtype=np.int64)) for o in pdf["offsets"]]
+    )
+    tok_offsets = np.concatenate([[0], np.cumsum(counts)])
+    return lengths, labels, aids, tok_offsets
+
+
+def batch_objective(
+    lengths: np.ndarray,
+    labels: np.ndarray,
+    aids: np.ndarray,
+    tok_offsets: np.ndarray,
+    state_w: np.ndarray,
+    trans_w: np.ndarray,
+) -> tuple[float, np.ndarray, np.ndarray]:
+    """NLL loss + dense gradients for one packed batch of sequences.
+
+    Returns (loss, g_state [A, L], g_trans [L, L]) where gradient =
+    model expectation − observed counts (crf1d_encode.c:318-424,
+    893-945), all computed with the batched log-space kernel.
+    """
+    A, L = state_w.shape
+    B = len(lengths)
+    N = int(lengths.sum())
+    # token index for every attribute occurrence
+    attr_counts = np.diff(tok_offsets)
+    tok_of_aid = np.repeat(np.arange(N), attr_counts)
+    # K1 state scores per token [N, L]
+    S = np.zeros((N, L), dtype=np.float64)
+    if len(aids):
+        np.add.at(S, tok_of_aid, state_w[aids])
+    # pad to [B, T_max, L]
+    T_max = int(lengths.max())
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    seq_of_tok = np.repeat(np.arange(B), lengths)
+    pos_in_seq = np.arange(N) - starts[seq_of_tok]
+    state = np.full((B, T_max, L), 0.0, dtype=np.float64)
+    state[seq_of_tok, pos_in_seq] = S
+    # forward-backward marginals (K4-K6)
+    p_state, p_trans, log_norm = crf.marginals_batch(state, trans_w, lengths)
+    # gold path score (K7)
+    gold_state = S[np.arange(N), labels].sum()
+    adj = seq_of_tok[1:] == seq_of_tok[:-1] if N > 1 else np.zeros(0, dtype=bool)
+    prev_l, next_l = labels[:-1][adj], labels[1:][adj]
+    gold_trans = trans_w[prev_l, next_l].sum() if adj.any() else 0.0
+    loss = float(log_norm.sum() - gold_state - gold_trans)
+    # gradient: state
+    g_state = np.zeros((A, L), dtype=np.float64)
+    if len(aids):
+        p_flat = p_state[seq_of_tok, pos_in_seq]  # [N, L]
+        np.add.at(g_state, aids, p_flat[tok_of_aid])  # model expectation (A4)
+        np.add.at(
+            g_state.reshape(-1), aids * L + labels[tok_of_aid], -1.0
+        )  # observed (A3)
+    # gradient: transitions
+    g_trans = p_trans.copy()
+    if adj.any():
+        np.add.at(g_trans.reshape(-1), prev_l * L + next_l, -1.0)
+    return loss, g_state, g_trans
+
+
+def train_crf(
+    tokens: DataFrame,
+    seq_cols: list[str],
+    order_col: str,
+    attrs_col: str = "attrs",
+    label_col: str = "label",
+    minfreq: float = 1.0,
+    c2: float = 1.0,
+    max_iterations: int = 100,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    log: list | None = None,
+) -> CRFModel:
+    """Train a linear-chain CRF (method=lbfgs, the reference default).
+
+    ``tokens``: one row per token with attrs_col array<string> and
+    label_col gold BIO label. One Spark job per L-BFGS evaluation.
+    """
+    spark = tokens.sparkSession
+    state_feats = generate_state_features(tokens, attrs_col, label_col, minfreq)
+    label_values = [
+        r[0] for r in tokens.select(label_col).distinct().collect()
+    ]
+    labels, attrs = build_dicts(state_feats, label_values)
+    label2id = {l: i for i, l in enumerate(labels)}
+    attr2id = {a: i for i, a in enumerate(attrs)}
+    A, L = len(attrs), len(labels)
+
+    # parameter layout: [K state feats] + [L*L transitions]
+    sf_flat = np.sort(
+        state_feats["attribute"].map(attr2id).to_numpy() * L
+        + state_feats["label"].map(label2id).to_numpy()
+    )
+    K = len(sf_flat)
+
+    featurized = featurize_sequences(
+        tokens, attr2id, label2id, seq_cols, order_col, attrs_col, label_col,
+        num_partitions,
+    ).persist()
+    n_seq = featurized.count()  # materialize the cache
+
+    sc = spark.sparkContext
+    dims_bc = sc.broadcast((A, L, sf_flat))
+
+    def fun_grad(w: np.ndarray) -> tuple[float, np.ndarray]:
+        w_bc = sc.broadcast(w)
+
+        def grad_batches(batches):
+            A_, L_, sf = dims_bc.value
+            wv = w_bc.value
+            state_w = np.zeros(A_ * L_, dtype=np.float64)
+            state_w[sf] = wv[:K]
+            state_w = state_w.reshape(A_, L_)
+            trans_w = wv[K:].reshape(L_, L_)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                packed = _pack_batch(pdf)
+                loss, g_state, g_trans = batch_objective(*packed, state_w, trans_w)
+                g = np.concatenate([g_state.reshape(-1)[sf], g_trans.reshape(-1)])
+                yield pd.DataFrame({"loss": [loss], "grad": [pickle.dumps(g)]})
+
+        parts = featurized.mapInPandas(grad_batches, "loss double, grad binary").collect()
+        loss = sum(r["loss"] for r in parts)
+        grad = np.zeros(K + L * L, dtype=np.float64)
+        for r in parts:
+            grad += pickle.loads(r["grad"])
+        w_bc.destroy()
+        # L2 (train_lbfgs.c:98-106)
+        if c2 > 0:
+            loss += c2 * float(w @ w)
+            grad += 2.0 * c2 * w
+        return loss, grad
+
+    iter_log: list[dict] = log if log is not None else []
+
+    def cb(it, w, f, gnorm):
+        iter_log.append({"iter": it, "loss": f, "gnorm": gnorm})
+        if checkpoint_dir:
+            np.save(f"{checkpoint_dir}/w_iter{it:04d}.npy", w)
+
+    res = minimize_lbfgs(
+        fun_grad, np.zeros(K + L * L), max_iterations=max_iterations, callback=cb
+    )
+    featurized.unpersist()
+
+    state_w = np.zeros(A * L, dtype=np.float64)
+    state_w[sf_flat] = res.x[:K]
+    return CRFModel(
+        labels=labels,
+        attrs=attrs,
+        state_w=state_w.reshape(A, L),
+        trans_w=res.x[K:].reshape(L, L),
+        meta={
+            "n_sequences": int(n_seq),
+            "n_state_features": int(K),
+            "n_iterations": res.n_iter,
+            "final_loss": float(res.fun),
+            "converged": bool(res.converged),
+            "c2": c2,
+            "minfreq": minfreq,
+        },
+    )

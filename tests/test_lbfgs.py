@@ -1,0 +1,55 @@
+"""L-BFGS optimizer sanity on known convex problems."""
+
+import numpy as np
+
+from crfsuite_spark.kernel.lbfgs import minimize_lbfgs
+
+
+def test_quadratic():
+    A = np.diag([1.0, 10.0, 100.0])
+    b = np.array([1.0, -2.0, 3.0])
+
+    def fg(x):
+        return 0.5 * x @ A @ x - b @ x, A @ x - b
+
+    res = minimize_lbfgs(fg, np.zeros(3), max_iterations=200, epsilon=1e-10)
+    np.testing.assert_allclose(res.x, np.linalg.solve(A, b), atol=1e-6)
+    assert res.converged
+
+
+def test_logistic_regression():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(200, 5))
+    w_true = np.array([1.0, -2.0, 0.5, 0.0, 3.0])
+    y = (X @ w_true + 0.1 * rng.normal(size=200) > 0).astype(float)
+
+    def fg(w):
+        z = X @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        eps = 1e-12
+        f = -np.mean(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)) + 0.01 * w @ w
+        g = X.T @ (p - y) / len(y) + 0.02 * w
+        return f, g
+
+    res = minimize_lbfgs(fg, np.zeros(5), max_iterations=300, epsilon=1e-8)
+    f0, _ = fg(np.zeros(5))
+    assert res.fun < f0 * 0.5
+    # gradient nearly zero at solution
+    _, g = fg(res.x)
+    assert np.linalg.norm(g) < 1e-4
+    # signs recovered for the strong coefficients
+    assert res.x[0] > 0 and res.x[1] < 0 and res.x[4] > 0
+
+
+def test_rosenbrock_reaches_optimum():
+    def fg(x):
+        a, b = 1.0, 100.0
+        f = (a - x[0]) ** 2 + b * (x[1] - x[0] ** 2) ** 2
+        g = np.array([
+            -2 * (a - x[0]) - 4 * b * x[0] * (x[1] - x[0] ** 2),
+            2 * b * (x[1] - x[0] ** 2),
+        ])
+        return f, g
+
+    res = minimize_lbfgs(fg, np.array([-1.2, 1.0]), max_iterations=500, epsilon=1e-10)
+    np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-4)

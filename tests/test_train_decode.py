@@ -1,0 +1,130 @@
+"""Training correctness: gradient vs finite differences (numpy level)
+and end-to-end Spark train → decode → entity-level P/R on held-out
+conversations (the reference's CoNLL-2002 validation contract,
+R/evaluation.R:85-123)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crfsuite_spark.kernel import crf
+from crfsuite_spark.train.trainer import batch_objective, train_crf
+from crfsuite_spark.train.model import CRFModel
+from crfsuite_spark.decode.tagger import decode
+from crfsuite_spark.functions.templates import cbind_attributes
+
+
+def _rand_problem(seed=0, B=4, L=3, A=6, max_T=5):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(1, max_T + 1, size=B)
+    labels = np.concatenate([rng.integers(0, L, size=t) for t in lengths])
+    counts = rng.integers(0, 4, size=int(lengths.sum()))
+    aids = np.concatenate([rng.integers(0, A, size=c) for c in counts]) if counts.sum() else np.zeros(0, dtype=np.int64)
+    tok_offsets = np.concatenate([[0], np.cumsum(counts)])
+    return lengths, labels, aids.astype(np.int64), tok_offsets.astype(np.int64)
+
+
+def test_gradient_matches_finite_differences():
+    L, A = 3, 6
+    packed = _rand_problem(seed=1, B=5, L=L, A=A)
+    rng = np.random.default_rng(2)
+    state_w = rng.normal(0, 0.5, size=(A, L))
+    trans_w = rng.normal(0, 0.5, size=(L, L))
+
+    loss, g_state, g_trans = batch_objective(*packed, state_w, trans_w)
+    eps = 1e-6
+    for idx in [(0, 0), (2, 1), (5, 2)]:
+        sp = state_w.copy(); sp[idx] += eps
+        sm = state_w.copy(); sm[idx] -= eps
+        fp, _, _ = batch_objective(*packed, sp, trans_w)
+        fm, _, _ = batch_objective(*packed, sm, trans_w)
+        assert abs((fp - fm) / (2 * eps) - g_state[idx]) < 1e-5
+    for idx in [(0, 1), (2, 2), (1, 0)]:
+        tp = trans_w.copy(); tp[idx] += eps
+        tm = trans_w.copy(); tm[idx] -= eps
+        fp, _, _ = batch_objective(*packed, state_w, tp)
+        fm, _, _ = batch_objective(*packed, state_w, tm)
+        assert abs((fp - fm) / (2 * eps) - g_trans[idx]) < 1e-5
+
+
+def test_loss_is_nll():
+    # loss must equal sum of per-sequence -log p(gold)
+    L, A = 3, 5
+    lengths, labels, aids, tok_offsets = _rand_problem(seed=3, B=3, L=L, A=A)
+    rng = np.random.default_rng(4)
+    state_w = rng.normal(size=(A, L))
+    trans_w = rng.normal(size=(L, L))
+    loss, _, _ = batch_objective(lengths, labels, aids, tok_offsets, state_w, trans_w)
+    expected = 0.0
+    pos = 0
+    tok = 0
+    for T in lengths:
+        aid_lists = [
+            aids[tok_offsets[tok + t]: tok_offsets[tok + t + 1]] for t in range(T)
+        ]
+        state = crf.state_scores(aid_lists, state_w)
+        expected -= crf.sequence_log_prob(state, trans_w, labels[pos: pos + T])
+        pos += T
+        tok += T
+    assert abs(loss - expected) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def featurized_tokens(spark, synth):
+    toks = spark.createDataFrame(synth.tokens)
+    return cbind_attributes(
+        toks, terms=["token", "pos"], by=["conv_id", "turn_idx"],
+        order_col="token_idx", from_offset=-2, to_offset=2, ngram_max=2,
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def trained(spark, featurized_tokens):
+    convs = [r[0] for r in featurized_tokens.select("conv_id").distinct().collect()]
+    convs = sorted(convs)
+    holdout = set(convs[: max(2, len(convs) // 5)])
+    train_df = featurized_tokens.where(~F.col("conv_id").isin(list(holdout)))
+    model = train_crf(
+        train_df, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        minfreq=1.0, c2=0.5, max_iterations=60, num_partitions=8,
+    )
+    return model, holdout
+
+
+def test_train_fits_and_decodes_heldout(spark, featurized_tokens, synth, trained):
+    model, holdout = trained
+    assert set(model.labels) == set(synth.tokens["label"].unique())
+    test_df = featurized_tokens.where(F.col("conv_id").isin(list(holdout)))
+    out = decode(
+        test_df, model, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        with_marginal=True,
+    ).toPandas()
+    gold = synth.tokens[synth.tokens["conv_id"].isin(holdout)]
+    merged = out.merge(
+        gold[["conv_id", "turn_idx", "token_idx", "label"]],
+        on=["conv_id", "turn_idx", "token_idx"], suffixes=("_pred", "_gold"),
+    )
+    assert len(merged) == len(gold)
+    acc = (merged["label_pred"] == merged["label_gold"]).mean()
+    assert acc > 0.97, f"token accuracy {acc}"
+    assert ((out["marginal"] > 0) & (out["marginal"] <= 1 + 1e-9)).all()
+    assert ((out["seq_prob"] > 0) & (out["seq_prob"] <= 1 + 1e-9)).all()
+
+
+def test_model_save_load_roundtrip(tmp_path, trained):
+    model, _ = trained
+    p = str(tmp_path / "model")
+    model.save(p)
+    loaded = CRFModel.load(p)
+    assert loaded.labels == model.labels
+    # weights survive the round trip (zero-weight features pruned)
+    s1, t1 = model.coefficients()
+    s2, t2 = loaded.coefficients()
+    assert np.allclose(
+        s1.sort_values(["attribute", "label"])["weight"].to_numpy(),
+        s2.sort_values(["attribute", "label"])["weight"].to_numpy(),
+    )
+    assert np.allclose(
+        t1.sort_values(["from_label", "to_label"])["weight"].to_numpy(),
+        t2.sort_values(["from_label", "to_label"])["weight"].to_numpy(),
+    )
