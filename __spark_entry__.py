@@ -1,38 +1,625 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship training-data-pipeline query on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2),
+each verified against ``oracle_sql()`` via DuckDB at sf0.01.
+CRF/KG-specific operators that are not ANSI-SQL-expressible (Viterbi
+decode, LSH dedup, triple extraction) are included without an oracle —
+the driver records the weaker rows-only check; their exact-value
+verification lives in tests/ (enumeration oracles, gold-triple parity).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: clean + enrich the documents corpus (dedup → quality → stats)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from crfsuite_spark.functions import analysis as an
+    from crfsuite_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, SF_DEFAULT, "documents")
+    deduped = exact_dedup(docs, "doc_id", "text")
+    return deduped.select(
+        "doc_id",
+        "lang",
+        an.lang_id("text").alias("lang_pred"),
+        an.token_count("text").alias("n_tokens"),
+        an.subword_estimate("text").alias("n_subwords"),
+        F.round(an.quality_score("text"), 6).alias("quality"),
+        an.md5_fingerprint("text").alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle-checked operator queries
+# --------------------------------------------------------------------------
+
+def q_w1_window_lag_lead(spark, sf):
+    """W1/W2/P1: window lag/lead templates + NA-propagating bigram."""
+    from crfsuite_spark.functions.text import txt_sprintf
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type", 1).over(w).alias("type_lag"),
+        F.lead("event_type", 1).over(w).alias("type_lead"),
+        txt_sprintf("%s-%s", F.lag("event_type", 1).over(w), F.col("event_type")).alias("bigram"),
+    )
+
+
+def q_w5_bos_eos(spark, sf):
+    """W5: BOS/EOS positional features from both sequence ends."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    rn = F.row_number().over(w)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(rn - 1 <= 1, F.concat(F.lit("BOS+"), (rn - 1).cast("string"))).alias("bos"),
+        F.when(cnt - rn <= 1, F.concat(F.lit("EOS-"), (cnt - rn).cast("string"))).alias("eos"),
+    )
+
+
+def q_w6_iob_recode(spark, sf):
+    """W6: IOB recode — first token of each group gets B-, rest I-."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    rn = F.row_number().over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.when(rn == 1, F.concat(F.lit("B-"), "event_type"))
+        .otherwise(F.concat(F.lit("I-"), "event_type"))
+        .alias("iob"),
+    )
+
+
+def q_a1_feature_gen_minfreq(spark, sf):
+    """A1: (attribute, label) freq agg with HAVING minfreq."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.select(
+            F.concat(F.lit("flag="), "l_returnflag").alias("attribute"),
+            F.col("l_linestatus").alias("label"),
+        )
+        .groupBy("attribute", "label")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= 10)
+    )
+
+
+def q_a1t_transition_pairs(spark, sf):
+    """A1 transition features: adjacent (prev,cur) label pair counts."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = ev.select(
+        F.lag("event_type", 1).over(w).alias("from_label"),
+        F.col("event_type").alias("to_label"),
+    ).where(F.col("from_label").isNotNull())
+    return pairs.groupBy("from_label", "to_label").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def q_a6_confusion(spark, sf):
+    """A6: confusion-matrix counts."""
+    from crfsuite_spark.operators.evaluate import confusion
+
+    o = _t(spark, sf, "orders")
+    df = o.select(
+        F.col("o_orderstatus").alias("gold"),
+        F.when(F.col("o_totalprice") > 150000, "O").otherwise("F").alias("pred"),
+    )
+    return confusion(df, "gold", "pred")
+
+
+def q_a8_label_prf(spark, sf):
+    """A8: per-label precision/recall/F1 + support (one-vs-rest)."""
+    o = _t(spark, sf, "orders")
+    df = o.select(
+        F.col("o_orderstatus").alias("gold"),
+        F.when(F.col("o_totalprice") > 150000, "O").otherwise("F").alias("pred"),
+    )
+    gold = df.groupBy(F.col("gold").alias("label")).agg(F.count(F.lit(1)).alias("support"))
+    pred = df.groupBy(F.col("pred").alias("label")).agg(F.count(F.lit(1)).alias("n_pred"))
+    tp = (
+        df.where(F.col("gold") == F.col("pred"))
+        .groupBy(F.col("gold").alias("label"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    out = (
+        gold.join(pred, "label", "full")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.round(F.coalesce(F.col("tp") / F.col("n_pred"), F.lit(0.0)), 6).alias("precision"),
+            F.round(F.coalesce(F.col("tp") / F.col("support"), F.lit(0.0)), 6).alias("recall"),
+        )
+    )
+    return out
+
+
+def q_j1_chunk_range_join(spark, sf):
+    """J1: chunk-range containment join, last-wins tie-break, default 'O'."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    chunks = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("chunk_id"),
+                    (F.col("o_totalprice") * 0.1).alias("lo"),
+                    (F.col("o_totalprice") * 0.6).alias("hi"),
+                    F.lit("LOW").alias("ent"),
+                ),
+                F.struct(
+                    F.lit(2).alias("chunk_id"),
+                    (F.col("o_totalprice") * 0.4).alias("lo"),
+                    (F.col("o_totalprice") * 1.1).alias("hi"),
+                    F.lit("HIGH").alias("ent"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_id", "c.lo", "c.hi", "c.ent")
+    toks = li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.col("l_linenumber").alias("tok_id"),
+        F.col("l_extendedprice").alias("point"),
+    )
+    j = toks.join(
+        F.broadcast(chunks),
+        (toks.doc_id == chunks.doc_id)
+        & (F.col("lo") <= F.col("point"))
+        & (F.col("point") <= F.col("hi")),
+        "left",
+    ).select(toks.doc_id, "tok_id", "chunk_id", "ent")
+    w = Window.partitionBy("doc_id", "tok_id").orderBy(F.desc_nulls_last("chunk_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "tok_id", F.coalesce("ent", F.lit("O")).alias("entity"))
+    )
+
+
+def q_o1_coef_sort(spark, sf):
+    """O1: order by weight desc + deterministic tiebreak, top-k."""
+    s = _t(spark, sf, "supplier")
+    return (
+        s.select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
+def q_o4_argmax_per_group(spark, sf):
+    """O4: per-group argmax with first-wins tie-break."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q_p_txt_features(spark, sf):
+    """P2-P8: scalar text features on the first word of each document."""
+    from crfsuite_spark.functions import text as TXT
+
+    d = _t(spark, sf, "documents")
+    w = F.element_at(F.split(F.col("text"), " "), 1)
+    return d.select(
+        "doc_id",
+        TXT.is_capitalised(w).alias("is_cap"),
+        TXT.is_number(w).alias("is_num"),
+        TXT.prefix(w, 3).alias("pre3"),
+        TXT.suffix(w, 3).alias("suf3"),
+        TXT.shape(w).alias("shape"),
+    )
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: survivors after md5-hash-groupBy keep-min-id."""
+    from crfsuite_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf, "documents")
+    return exact_dedup(d, "doc_id", "text").select("doc_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """n-gram Jaccard similarity join (word bigrams, ≥ 0.5)."""
+    from crfsuite_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.5, max_shingle_df=None)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_ta_text_stats(spark, sf):
+    """Text analysis: token counts, subword estimate, punct ratio,
+    fingerprint, language id."""
+    from crfsuite_spark.functions import analysis as an
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        an.token_count("text").alias("n_tokens"),
+        an.subword_estimate("text").cast("bigint").alias("n_subwords"),
+        F.round(an.punct_ratio("text"), 6).alias("punct_ratio"),
+        an.md5_fingerprint("text").alias("fingerprint"),
+        an.lang_id("text").alias("lang_pred"),
+    )
+
+
+def q_sim_cosine_topk(spark, sf):
+    """Brute-force cosine top-k against the vec_id=0 embedding."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    joined = e.crossJoin(F.broadcast(q))
+    a = F.col("embedding").cast("array<double>")
+    b = F.col("q").cast("array<double>")
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return (
+        joined.select("vec_id", F.round(dot / (na * nb), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_ev_sessionize(spark, sf):
+    """Sessionization: 30-min-gap sessions per user (stream-window analogue)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("is_start", starts)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_start").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_ev_run_groups(spark, sf):
+    """Consecutive same-value run grouping (BIO-run assembly pattern)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type", 1).over(w).isNull()
+        | (F.lag("event_type", 1).over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = ev.withColumn(
+        "run_id",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: CRF decode, LSH, KG pipeline)
+# --------------------------------------------------------------------------
+
+def q_crf_decode_synthetic(spark, sf):
+    """Batched Viterbi decode of deterministic synthetic transcripts with a
+    lexicon-seeded model (exact-value parity proven in tests/ via the
+    enumeration oracle; driver does a rows-only check here)."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.kg.pipeline import featurize_transcripts
+    from crfsuite_spark.decode.tagger import decode
+    from crfsuite_spark.train.model import CRFModel
+    import numpy as np
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    tdf = spark.createDataFrame(data.transcripts)
+    feat = featurize_transcripts(tdf)
+    # deterministic lexicon model: gold (token -> label) votes
+    votes = data.tokens.groupby(["token", "label"]).size().reset_index(name="n")
+    labels = sorted(data.tokens["label"].unique())
+    l2i = {l: i for i, l in enumerate(labels)}
+    attrs = sorted("token[t]=" + t for t in votes["token"].unique())
+    a2i = {a: i for i, a in enumerate(attrs)}
+    state_w = np.zeros((len(attrs), len(labels)))
+    for r in votes.itertuples():
+        state_w[a2i["token[t]=" + r.token], l2i[r.label]] += float(r.n)
+    state_w = np.log1p(state_w) * 2
+    model = CRFModel(labels=labels, attrs=attrs, state_w=state_w,
+                     trans_w=np.zeros((len(labels), len(labels))))
+    return decode(feat, model, ["conv_id", "turn_idx"], "token_idx",
+                  with_marginal=False)
+
+
+def q_kg_triples_synthetic(spark, sf):
+    """Full KG path from gold labels: spans → relations → linking →
+    (subj, pred, obj). Exact parity vs gold triples asserted in tests/."""
+    from crfsuite_spark.datagen.transcripts import generate, to_spark
+    from crfsuite_spark.kg.pipeline import extract_triples
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    toks = spark.createDataFrame(data.tokens)
+    alias = spark.createDataFrame(data.alias_dict)
+    return extract_triples(toks, alias).select(
+        "conv_id", "turn_idx", "subj", "pred", "obj"
+    )
+
+
+def q_dedup_minhash(spark, sf):
+    """MinHash-LSH near-dup pairs (char 5-shingles, Jaccard ≥ 0.8)."""
+    from crfsuite_spark.operators.minhash import minhash_self_pairs
+
+    d = _t(spark, sf, "documents")
+    out = minhash_self_pairs(d, "doc_id", "text", n_hashes=16, bands=8,
+                             shingle_size=5, jaccard_threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash fingerprints (32-bit) per document."""
+    from crfsuite_spark.operators.dedup import simhash
+
+    d = _t(spark, sf, "documents")
+    return simhash(d, "doc_id", "text")
+
+
+def q_sim_ann_topk(spark, sf):
+    """LSH-bucketed ANN top-k (hyperplane buckets + multiprobe)."""
+    from crfsuite_spark.operators import similarity as sim
+
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.where(F.col("vec_id") == 0).first()["embedding"]
+    bucketed = sim.hyperplane_buckets(e, dim=dim, n_planes=8)
+    out = sim.ann_topk(bucketed, list(q), k=10, n_planes=8, dim=dim)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_mm_image_features(spark, sf):
+    """Multimodal plumbing: binary blobs → feature vectors (stub codec)."""
+    from crfsuite_spark.multimodal.binary import extract_image_features
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+    )
+    out = extract_image_features(d)
+    return out.select("media_id", "img_width", "img_height",
+                      F.round(F.element_at("features", 1), 6).alias("f0"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "w1_window_lag_lead": q_w1_window_lag_lead,
+        "w5_bos_eos": q_w5_bos_eos,
+        "w6_iob_recode": q_w6_iob_recode,
+        "a1_feature_gen_minfreq": q_a1_feature_gen_minfreq,
+        "a1t_transition_pairs": q_a1t_transition_pairs,
+        "a6_confusion": q_a6_confusion,
+        "a8_label_prf": q_a8_label_prf,
+        "j1_chunk_range_join": q_j1_chunk_range_join,
+        "o1_coef_sort": q_o1_coef_sort,
+        "o4_argmax_per_group": q_o4_argmax_per_group,
+        "p_txt_features": q_p_txt_features,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ta_text_stats": q_ta_text_stats,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "ev_sessionize": q_ev_sessionize,
+        "ev_run_groups": q_ev_run_groups,
+        "crf_decode_synthetic": q_crf_decode_synthetic,
+        "kg_triples_synthetic": q_kg_triples_synthetic,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_ann_topk": q_sim_ann_topk,
+        "mm_image_features": q_mm_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "w1_window_lag_lead": """
+            SELECT user_id, event_id,
+                   lag(event_type) OVER w AS type_lag,
+                   lead(event_type) OVER w AS type_lead,
+                   lag(event_type) OVER w || '-' || event_type AS bigram
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "w5_bos_eos": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN rn - 1 <= 1 THEN 'BOS+' || CAST(rn - 1 AS VARCHAR) END AS bos,
+                   CASE WHEN cnt - rn <= 1 THEN 'EOS-' || CAST(cnt - rn AS VARCHAR) END AS eos
+            FROM (
+              SELECT l_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn,
+                     count(*) OVER (PARTITION BY l_orderkey) AS cnt
+              FROM lineitem)
+        """,
+        "w6_iob_recode": """
+            SELECT user_id, event_id,
+                   CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+                        THEN 'B-' || event_type ELSE 'I-' || event_type END AS iob
+            FROM events
+        """,
+        "a1_feature_gen_minfreq": """
+            SELECT 'flag=' || l_returnflag AS attribute, l_linestatus AS label,
+                   count(*) AS freq
+            FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 10
+        """,
+        "a1t_transition_pairs": """
+            SELECT from_label, to_label, count(*) AS freq FROM (
+              SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_label,
+                     event_type AS to_label
+              FROM events)
+            WHERE from_label IS NOT NULL GROUP BY 1, 2
+        """,
+        "a6_confusion": """
+            SELECT o_orderstatus AS gold,
+                   CASE WHEN o_totalprice > 150000 THEN 'O' ELSE 'F' END AS pred,
+                   count(*) AS n
+            FROM orders GROUP BY 1, 2
+        """,
+        "a8_label_prf": """
+            WITH df AS (
+              SELECT o_orderstatus AS gold,
+                     CASE WHEN o_totalprice > 150000 THEN 'O' ELSE 'F' END AS pred
+              FROM orders),
+            g AS (SELECT gold AS label, count(*) AS support FROM df GROUP BY 1),
+            p AS (SELECT pred AS label, count(*) AS n_pred FROM df GROUP BY 1),
+            t AS (SELECT gold AS label, count(*) AS tp FROM df WHERE gold = pred GROUP BY 1)
+            SELECT coalesce(g.label, p.label) AS label,
+                   coalesce(g.support, 0) AS support,
+                   round(coalesce(t.tp * 1.0 / p.n_pred, 0), 6) AS precision,
+                   round(coalesce(t.tp * 1.0 / g.support, 0), 6) AS recall
+            FROM g FULL JOIN p ON g.label = p.label
+            LEFT JOIN t ON coalesce(g.label, p.label) = t.label
+        """,
+        "j1_chunk_range_join": """
+            WITH chunks AS (
+              SELECT o_orderkey AS doc_id, 1 AS chunk_id,
+                     o_totalprice * 0.1 AS lo, o_totalprice * 0.6 AS hi, 'LOW' AS ent
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, 2, o_totalprice * 0.4, o_totalprice * 1.1, 'HIGH'
+              FROM orders),
+            toks AS (
+              SELECT l_orderkey AS doc_id, l_linenumber AS tok_id,
+                     l_extendedprice AS point
+              FROM lineitem),
+            j AS (
+              SELECT t.doc_id, t.tok_id, c.chunk_id, c.ent,
+                     row_number() OVER (PARTITION BY t.doc_id, t.tok_id
+                                        ORDER BY c.chunk_id DESC NULLS LAST) AS rn
+              FROM toks t LEFT JOIN chunks c
+                ON t.doc_id = c.doc_id AND c.lo <= t.point AND t.point <= c.hi)
+            SELECT doc_id, tok_id, coalesce(ent, 'O') AS entity FROM j WHERE rn = 1
+        """,
+        "o1_coef_sort": """
+            SELECT s_suppkey, s_name, s_acctbal FROM supplier
+            ORDER BY s_acctbal DESC, s_suppkey LIMIT 10
+        """,
+        "o4_argmax_per_group": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+              SELECT l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+              FROM lineitem) WHERE rn = 1
+        """,
+        "p_txt_features": """
+            SELECT doc_id,
+                   CASE WHEN w IS NULL THEN NULL
+                        WHEN regexp_matches(w, '^[A-ZÀ-Þ]') THEN 'true' ELSE 'false' END AS is_cap,
+                   CASE WHEN w IS NULL THEN NULL
+                        WHEN regexp_matches(w, '^[0-9.,]+$') THEN 'true' ELSE 'false' END AS is_num,
+                   substr(w, 1, 3) AS pre3,
+                   CASE WHEN length(w) <= 3 THEN w ELSE substr(w, length(w) - 2, 3) END AS suf3,
+                   regexp_replace(regexp_replace(w, '[a-zß-ÿ]', 'x', 'g'), '[A-ZÀ-Þ]', 'X', 'g') AS shape
+            FROM (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents)
+        """,
+        "dedup_exact": """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        "dedup_ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ws)),
+                               i -> array_to_string(ws[i:i+1], ' '))) END AS s
+              FROM w),
+            e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM common
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+        """,
+        "ta_text_stats": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens,
+                     list_distinct(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')) AS toks
+              FROM documents),
+            hits AS (
+              SELECT doc_id, text, n_tokens,
+                     len(list_intersect(toks, ['der','die','das','und','ist','von','zu','mit','den','ein'])) AS h_de,
+                     len(list_intersect(toks, ['the','and','of','to','a','in','is','that','for','it'])) AS h_en,
+                     len(list_intersect(toks, ['el','la','de','que','y','en','un','una','por','los'])) AS h_es,
+                     len(list_intersect(toks, ['le','la','de','et','est','un','une','dans','que','pour'])) AS h_fr
+              FROM base)
+            SELECT doc_id, n_tokens,
+                   greatest(n_tokens, CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT)) AS n_subwords,
+                   round(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+                         ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint,
+                   CASE WHEN h_fr > greatest(h_de, h_en, h_es) THEN 'fr'
+                        WHEN h_es > greatest(h_de, h_en) THEN 'es'
+                        WHEN h_en > h_de THEN 'en'
+                        WHEN h_de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM hits
+        """,
+        "sim_cosine_topk": """
+            SELECT e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "ev_sessionize": """
+            SELECT user_id, sum(is_start) AS n_sessions, count(*) AS n_events FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS is_start
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            GROUP BY user_id
+        """,
+        "ev_run_groups": """
+            SELECT user_id, run_id, event_type, count(*) AS n_events FROM (
+              SELECT user_id, event_type,
+                     sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                                 OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS changed
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+            GROUP BY 1, 2, 3
+        """,
+    }

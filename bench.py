@@ -1,0 +1,214 @@
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", ...extras}.
+
+The flagship measurement is the end-to-end KG pipeline
+(tokenize → featurize → batched Viterbi decode → spans → relations →
+link → triples) over a deterministic synthetic transcript slice sized
+by the scale factor, reported as turns/sec. Transcripts are generated
+once per sf and cached as parquet under .bench_cache/.
+
+--scaling: runs the KG pipeline at two parallelism levels (local[8] and
+local[32]) in fresh subprocesses on the SAME input and writes
+throughputs + scaling efficiency to BENCH/BASELINE.md (the sandbox
+evidence for the N → 4N executor-scaling criterion; BASELINE.md §2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def transcripts_path(sf: float) -> str:
+    return os.path.join(CACHE, f"sf{sf}", "transcripts.parquet")
+
+
+def ensure_transcripts(spark, sf: float) -> tuple[str, int]:
+    """Generate-and-cache the synthetic transcript slice for this sf."""
+    path = transcripts_path(sf)
+    meta = path + ".meta.json"
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return path, json.load(f)["n_turns"]
+    from crfsuite_spark.datagen.transcripts import generate
+
+    n_convs = max(30, int(3000 * sf * 10))
+    data = generate(n_convs=n_convs, turns_per_conv=12, hot_factor=50, seed=42)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    spark.createDataFrame(data.transcripts).write.mode("overwrite").parquet(path)
+    n_turns = len(data.transcripts)
+    with open(meta, "w") as f:
+        json.dump({"n_turns": n_turns, "n_convs": n_convs}, f)
+    return path, n_turns
+
+
+def lexicon_model():
+    """Deterministic lexicon-seeded CRF model (no training inside the
+    benchmark — decode cost is weight-independent)."""
+    import numpy as np
+
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.train.model import CRFModel
+
+    data = generate(n_convs=40, turns_per_conv=10, seed=42)
+    votes = data.tokens.groupby(["token", "label"]).size().reset_index(name="n")
+    labels = sorted(data.tokens["label"].unique())
+    l2i = {l: i for i, l in enumerate(labels)}
+    attrs = sorted("token[t]=" + t for t in votes["token"].unique())
+    a2i = {a: i for i, a in enumerate(attrs)}
+    state_w = np.zeros((len(attrs), len(labels)))
+    for r in votes.itertuples():
+        state_w[a2i["token[t]=" + r.token], l2i[r.label]] += float(r.n)
+    state_w = np.log1p(state_w) * 2
+    return CRFModel(labels=labels, attrs=attrs, state_w=state_w,
+                    trans_w=np.zeros((len(labels), len(labels))))
+
+
+def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from crfsuite_spark.session import get_spark
+
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark("bench", cores=cores, shuffle_partitions=max(cores, 8))
+    tpath, n_turns = ensure_transcripts(spark, sf)
+    results: dict[str, float] = {}
+    extras: dict = {"n_turns": n_turns, "cores": cores}
+
+    def timed(name, fn):
+        if only and name != only:
+            return
+        t0 = time.perf_counter()
+        fn()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    # --- flagship: full KG pipeline over the transcript slice ---
+    def kg():
+        from crfsuite_spark.datagen.transcripts import build_alias_dict
+        from crfsuite_spark.kg.pipeline import extract_triples, tag_transcripts
+
+        transcripts = spark.read.parquet(tpath)
+        model = lexicon_model()
+        decoded = tag_transcripts(transcripts, model)
+        alias = spark.createDataFrame(build_alias_dict())
+        triples = extract_triples(decoded, alias, predicate_map=None)
+        extras["n_triples"] = triples.count()
+
+    timed("kg_pipeline", kg)
+
+    # --- operator benchmarks on the sf-dir tables ---
+    def w1():
+        import __spark_entry__ as em
+
+        em.q_w1_window_lag_lead(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def dedup():
+        from crfsuite_spark.operators.minhash import minhash_self_pairs
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        minhash_self_pairs(d, "doc_id", "text", 16, 8, 5, 0.8).count()
+
+    def topk():
+        import __spark_entry__ as em
+
+        em.q_sim_cosine_topk(spark, sf_dir).collect()
+
+    def ta():
+        import __spark_entry__ as em
+
+        em.q_ta_text_stats(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def agg():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (li.groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum("l_quantity").alias("sum_qty"),
+              F.avg("l_extendedprice").alias("avg_price"),
+              F.count(F.lit(1)).alias("n"))
+         .collect())
+
+    timed("w1_window_templates", w1)
+    timed("dedup_minhash", dedup)
+    timed("sim_cosine_topk", topk)
+    timed("ta_text_stats", ta)
+    timed("tpch_q1_agg", agg)
+
+    total = round(sum(results.values()), 3)
+    if "kg_pipeline" in results:
+        extras["turns_per_sec"] = round(n_turns / results["kg_pipeline"], 1)
+    out = {
+        "metric": "e2e_pipeline_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        **extras,
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling(sf_dir: str) -> None:
+    """Same job, two parallelism levels → BENCH/BASELINE.md."""
+    rows = {}
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_SF_DIR=sf_dir)
+        p = subprocess.run(
+            [sys.executable, __file__, "--one", "kg_pipeline"],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        rows[cores] = json.loads(line)
+    t8 = rows[8]["n_turns"] / rows[8]["queries"]["kg_pipeline"]
+    t32 = rows[32]["n_turns"] / rows[32]["queries"]["kg_pipeline"]
+    eff = t32 / (4 * t8)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH — scaling evidence (N → 4N parallelism)\n\n"
+            "Same job (full KG pipeline: tokenize → featurize → batched Viterbi\n"
+            "decode → spans → relations → link → triples), same input\n"
+            f"({rows[8]['n_turns']} turns, seed=42, sf={rows[8]['sf']}), two parallelism\n"
+            "levels — the sandbox stand-in for N vs 4N executors (BASELINE.md §2).\n\n"
+            "| parallelism | wall-clock (s) | throughput (turns/s) |\n"
+            "|---|---|---|\n"
+            f"| local[8]  | {rows[8]['queries']['kg_pipeline']} | {t8:.1f} |\n"
+            f"| local[32] | {rows[32]['queries']['kg_pipeline']} | {t32:.1f} |\n\n"
+            f"**Scaling efficiency** = T32 / (4 × T8) = **{eff:.3f}** "
+            f"(target ≥ 0.8)\n"
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "throughput_8": round(t8, 1), "throughput_32": round(t32, 1)}))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        run_scaling(sf_dir)
+        return
+    only = None
+    if "--one" in sys.argv:
+        only = sys.argv[sys.argv.index("--one") + 1]
+    print(json.dumps(run_bench(sf_dir, cores, only)))
+
+
+if __name__ == "__main__":
+    main()

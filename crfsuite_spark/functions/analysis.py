@@ -1,0 +1,121 @@
+"""Text-analysis functions for training-data pipelines — all JVM-side
+Column expressions (whole-stage codegen, no Python UDFs).
+
+- language ID: stopword-hit heuristic over a per-language lexicon
+  (n-gram-free variant fit for closed-set routing; real pipelines swap
+  in fastText behind the same column contract);
+- quality scoring: length / punctuation / stopword / digit ratios with
+  a composite score;
+- token counting: whitespace tokens + a BPE-ish subword estimate
+  (chars/4 heuristic blended with word count — the common proxy);
+- document fingerprinting: normalized-text digest (exact) — the
+  rolling/shingle variants live in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "por", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "que", "pour"],
+}
+
+
+def _tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (0 for empty/NULL-safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.coalesce(F.trim(c), F.lit("")) == "", F.lit(0)
+    ).otherwise(F.size(_tokens(col))).alias("token_count")
+
+
+def subword_estimate(col) -> Column:
+    """BPE-ish token estimate: max(words, ceil(chars/4)) — the standard
+    chars/4 proxy floored by the word count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.greatest(
+        token_count(col), F.ceil(F.length(F.coalesce(c, F.lit(""))) / 4).cast("int")
+    )
+
+
+def lang_scores(col, langs: dict[str, list[str]] | None = None) -> Column:
+    """Map<lang, hits>: stopword hits per language."""
+    langs = langs or STOPWORDS
+    toks = _tokens(col)
+    entries = []
+    for lang, words in langs.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(F.array_distinct(toks), arr))
+        entries += [F.lit(lang), hits]
+    return F.create_map(*entries)
+
+
+def lang_id(col, langs: dict[str, list[str]] | None = None, default: str = "und") -> Column:
+    """Best-scoring language, 'und' when nothing matches. Deterministic
+    tie-break: language key order."""
+    langs = langs or STOPWORDS
+    toks = F.array_distinct(_tokens(col))
+    best_lang, best_hits = F.lit(default), F.lit(0)
+    for lang in sorted(langs):
+        arr = F.array(*[F.lit(w) for w in langs[lang]])
+        hits = F.size(F.array_intersect(toks, arr))
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def punct_ratio(col) -> Column:
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) == 0, 0.0).otherwise(n_punct / F.length(c))
+
+
+def digit_ratio(col) -> Column:
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    n_dig = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(F.length(c) == 0, 0.0).otherwise(n_dig / F.length(c))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    toks = _tokens(col)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return F.when(F.size(toks) == 0, 0.0).otherwise(hits / F.size(toks))
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality: rewards mid-length docs with low
+    punctuation/digit noise and some stopword mass (prose-likeness)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    n = F.length(c)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    noise = punct_ratio(col) + digit_ratio(col)
+    noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2)
+    stop_score = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return (len_score * 0.3 + noise_score * 0.4 + stop_score * 0.3)
+
+
+def fingerprint(col) -> Column:
+    """Deterministic 64-bit content fingerprint over normalized text
+    (case/whitespace/punct-insensitive)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""), r"\s+", " ")
+    return F.xxhash64(F.trim(norm))
+
+
+def md5_fingerprint(col) -> Column:
+    """md5 hex of normalized text — portable across engines (used by the
+    DuckDB oracle checks, which lack xxhash64)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""), r"\s+", " ")
+    return F.md5(F.trim(norm))

@@ -1,0 +1,129 @@
+"""Canonicalization: connected components over entity-similarity edges.
+
+GraphFrames is not a baked-in dependency, so this is a from-scratch
+DataFrame implementation of the public large-star/small-star
+alternation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) specialized to the hash-to-min variant:
+
+    label(v) ← min(label(v), min over neighbours' labels)
+
+iterated to fixpoint. Each iteration is two shuffles (edge join +
+min agg); convergence is detected with a changed-count aggregate.
+For entity-canonicalization graphs the diameter is tiny (alias
+cliques), so 2-4 iterations suffice; the iteration count is capped
+and each round is persisted + the previous round unpersisted so the
+lineage does not grow unboundedly (important for resumability and
+for AQE re-planning each round at true sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(src, dst) undirected edges → (node, component) with component =
+    min node id in the component (lexicographic for strings)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    # initial label: min(self, min neighbour)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("label"))
+        .withColumnRenamed("a", "node")
+        .persist()
+    )
+    for _ in range(max_iterations):
+        # propagate: node takes min of its label and neighbours' labels
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("a", "node")
+        )
+        # localCheckpoint truncates lineage — without it the iterated plan
+        # grows until Catalyst itself OOMs (classic iterative-DataFrame trap)
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: label(v) ← label(label(v)) — O(log n) convergence
+        ptr = new_labels.select(
+            F.col("node").alias("label"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            new_labels.join(ptr, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def canonical_entities(
+    linked_mentions: DataFrame,
+    id_col: str = "canonical_id",
+    surface_col: str = "__norm_surface",
+    extra_edges: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster entity ids that co-refer: ids sharing a normalized
+    surface form get an edge; optional extra similarity edges union in.
+    Returns (canonical_id, entity_cluster) — entity_cluster is the
+    stable cluster representative (min id)."""
+    ids = linked_mentions.select(id_col).distinct()
+    if surface_col in linked_mentions.columns:
+        pairs = (
+            linked_mentions.select(surface_col, id_col)
+            .distinct()
+            .groupBy(surface_col)
+            .agg(F.collect_set(id_col).alias("ids"))
+            .where(F.size("ids") > 1)
+            .select(F.explode(F.expr(
+                "filter(transform(flatten(transform(ids, x -> transform(ids, y -> struct(x as src, y as dst)))), p -> p), p -> p.src < p.dst)"
+            )).alias("e"))
+            .select("e.src", "e.dst")
+        )
+    else:
+        pairs = None
+    edges = pairs
+    if extra_edges is not None:
+        edges = extra_edges if edges is None else edges.unionByName(extra_edges)
+    if edges is None or not edges.take(1):
+        return ids.select(
+            F.col(id_col), F.col(id_col).alias("entity_cluster")
+        )
+    cc = connected_components(edges)
+    return (
+        ids.join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("entity_cluster"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""Entity linking: broadcast alias-dictionary join + MinHash-LSH
+fuzzy candidate blocking for misses.
+
+North-star stage J5 (SURVEY.md §2.4): mentions link to canonical
+entity ids through
+
+1. surface normalization (lowercase, punctuation strip) — JVM-side,
+2. an **equi-join against the broadcast alias dictionary** (dictionaries
+   are small relative to the mention stream: always broadcast, never
+   shuffle the 10^12-row side),
+3. for unmatched mentions, MinHash-LSH blocking over character
+   3-gram shingles (operators/minhash.py) against the alias dictionary,
+   verified by exact Jaccard, accepted above a threshold,
+4. disambiguation: highest dictionary weight, then lexicographic
+   canonical_id (deterministic).
+
+Unlinkable mentions get a deterministic surrogate id
+``unk:<normalized surface>`` so downstream canonicalization can still
+cluster repeat mentions of the same unseen entity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_surface(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""))
+
+
+def link_mentions(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    surface_col: str = "surface",
+    fuzzy: bool = True,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Attach ``canonical_id`` (+ ``link_method``) to every mention row.
+
+    ``alias_dict``: (alias, canonical_id, canonical_name, entity_type,
+    weight) — alias already normalized.
+    """
+    m = mentions.withColumn("__norm", normalize_surface(surface_col))
+    # normalize the dictionary side with the SAME normalizer as mentions
+    # (aliases may carry punctuation, e.g. "ms. johnson")
+    d = alias_dict.select(
+        normalize_surface("alias").alias("__norm"),
+        "canonical_id",
+        F.col("weight").alias("__w"),
+    )
+    joined = m.join(F.broadcast(d), "__norm", "left")
+    # disambiguate multi-entity aliases: max weight, then lexicographic id
+    w = Window.partitionBy(*mentions.columns, "__norm").orderBy(
+        F.desc("__w"), F.asc("canonical_id")
+    )
+    exact = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__w")
+        .withColumn(
+            "link_method",
+            F.when(F.col("canonical_id").isNotNull(), F.lit("exact")),
+        )
+        .persist()  # feeds hits + misses + the fuzzy chain: compute once
+    )
+    hits = exact.where(F.col("canonical_id").isNotNull())
+    misses = exact.where(F.col("canonical_id").isNull()).drop(
+        "canonical_id", "link_method"
+    )
+    if fuzzy:
+        linked_fuzzy = _fuzzy_link(
+            misses, alias_dict, jaccard_threshold
+        )
+    else:
+        linked_fuzzy = misses.withColumn(
+            "canonical_id", F.lit(None).cast("string")
+        ).withColumn("link_method", F.lit(None).cast("string"))
+    out = hits.unionByName(linked_fuzzy)
+    return out.withColumn(
+        "canonical_id",
+        F.coalesce(F.col("canonical_id"), F.concat(F.lit("unk:"), F.col("__norm"))),
+    ).withColumn(
+        "link_method", F.coalesce(F.col("link_method"), F.lit("surrogate"))
+    ).drop("__norm")
+
+
+def _fuzzy_link(
+    misses: DataFrame, alias_dict: DataFrame, threshold: float
+) -> DataFrame:
+    """MinHash-LSH candidate blocking + exact-Jaccard verify for
+    mentions the dictionary missed."""
+    from crfsuite_spark.operators.minhash import minhash_join
+
+    base_cols = misses.columns  # includes __norm
+    cands = minhash_join(
+        misses.select(F.col("__norm").alias("__q")).distinct().where(F.length("__q") > 0),
+        alias_dict.select(F.col("alias").alias("__a"), "canonical_id", "weight").distinct(),
+        left_col="__q",
+        right_col="__a",
+        n_hashes=16,
+        bands=8,
+        shingle_size=3,
+        jaccard_threshold=threshold,
+    )
+    # best candidate per query: jaccard desc, weight desc, id asc
+    w = Window.partitionBy("__q").orderBy(
+        F.desc("jaccard"), F.desc("weight"), F.asc("canonical_id")
+    )
+    best = (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("__q").alias("__norm"), "canonical_id")
+    )
+    return (
+        misses.join(F.broadcast(best), "__norm", "left")
+        .withColumn(
+            "link_method",
+            F.when(F.col("canonical_id").isNotNull(), F.lit("fuzzy")),
+        )
+        .select(*base_cols, "canonical_id", "link_method")
+    )

@@ -1,0 +1,122 @@
+"""End-to-end KG-construction pipeline (the north-star job).
+
+transcripts (conv_id, turn_idx, role, text, tool, ts)
+  → tokenize (JVM explode, exact offsets)
+  → window feature templates (one shuffle, no UDFs)
+  → batched CRF Viterbi decode (broadcast weights, Arrow UDF)
+  → BIO span assembly (window change-points)
+  → relation assembly (turn-local joins)
+  → entity linking (broadcast alias join + MinHash-LSH fallback)
+  → canonicalization (connected components over co-reference edges)
+  → (subj, pred, obj) triple materialization (bucketed, manifest-committed,
+    idempotent resume)
+
+Every stage is a DataFrame → DataFrame function usable alone; this
+module just wires the default pipeline and carries the config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crfsuite_spark.decode.tagger import decode
+from crfsuite_spark.functions.templates import cbind_attributes
+from crfsuite_spark.functions.tokenize import tokenize
+from crfsuite_spark.kg.linking import link_mentions, normalize_surface
+from crfsuite_spark.kg.spans import assemble_relations, assemble_spans
+from crfsuite_spark.train.model import CRFModel
+
+SEQ_COLS = ["conv_id", "turn_idx"]
+
+
+@dataclass
+class PipelineConfig:
+    terms: list[str] = field(default_factory=lambda: ["token", "pos"])
+    from_offset: int = -2
+    to_offset: int = 2
+    ngram_max: int = 2
+    num_partitions: int | None = None
+    fuzzy_linking: bool = True
+    with_marginal: bool = False
+
+
+def featurize_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    cfg = cfg or PipelineConfig()
+    toks = tokenize(transcripts, with_offsets=False)
+    return cbind_attributes(
+        toks, terms=cfg.terms, by=SEQ_COLS, order_col="token_idx",
+        from_offset=cfg.from_offset, to_offset=cfg.to_offset,
+        ngram_max=cfg.ngram_max,
+    )
+
+
+def tag_transcripts(
+    transcripts: DataFrame, model: CRFModel, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    cfg = cfg or PipelineConfig()
+    feat = featurize_transcripts(transcripts, cfg)
+    return decode(
+        feat, model, seq_cols=SEQ_COLS, order_col="token_idx",
+        with_marginal=cfg.with_marginal, num_partitions=cfg.num_partitions,
+    )
+
+
+def extract_triples(
+    decoded: DataFrame,
+    alias_dict: DataFrame,
+    cfg: PipelineConfig | None = None,
+    predicate_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Decoded tokens → linked (subj, pred, obj) triples with provenance."""
+    cfg = cfg or PipelineConfig()
+    # persist span + relation tables: spans feed three scans (REL rows,
+    # subj join, obj join) and rels feed four — without the caches the
+    # whole upstream decode UDF would re-run once per scan
+    spans = assemble_spans(decoded, seq_cols=SEQ_COLS, order_col="token_idx").persist()
+    spans.count()  # exactly one decode pass populates the cache
+    rels = assemble_relations(
+        spans, seq_cols=SEQ_COLS, predicate_map=predicate_map
+    ).persist()
+    rels.count()
+    # link distinct surfaces once (the mention stream repeats surfaces
+    # heavily at transcript scale), then broadcast the tiny link table back
+    surfaces = (
+        rels.select(F.col("subj_surface").alias("surface"))
+        .unionByName(rels.select(F.col("obj_surface").alias("surface")))
+        .distinct()
+    )
+    linked = link_mentions(
+        surfaces, alias_dict, surface_col="surface", fuzzy=cfg.fuzzy_linking
+    ).select("surface", "canonical_id", "link_method").persist()
+    linked.count()  # materialize: exactly one decode pass through the cache
+    out = (
+        rels.join(
+            F.broadcast(linked.withColumnRenamed("surface", "subj_surface")
+                        .withColumnRenamed("canonical_id", "subj")
+                        .drop("link_method")),
+            "subj_surface",
+        )
+        .join(
+            F.broadcast(linked.withColumnRenamed("surface", "obj_surface")
+                        .withColumnRenamed("canonical_id", "obj")
+                        .drop("link_method")),
+            "obj_surface",
+        )
+    )
+    return out.select(
+        "conv_id", "turn_idx", "subj", "pred", "obj",
+        "subj_surface", "obj_surface", "rel_surface", "subj_type", "obj_type",
+    )
+
+
+def run_pipeline(
+    transcripts: DataFrame,
+    model: CRFModel,
+    alias_dict: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    decoded = tag_transcripts(transcripts, model, cfg)
+    return extract_triples(decoded, alias_dict, cfg)

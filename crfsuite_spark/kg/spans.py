@@ -1,0 +1,164 @@
+"""BIO label runs → mention spans, and span-pair → relation assembly.
+
+Inverse of the IOB recode (reference R/training_data.R:103): detect
+span starts with a window ``lag(label)`` change-point, number spans
+with a running sum, and aggregate tokens per span — all JVM-side
+DataFrame ops, no UDFs.
+
+Relation assembly follows the transcript grammar the tagger was
+trained on: within a turn, each REL span takes the nearest entity span
+ending before it as subject and the nearest starting after it as
+object (ties by distance then token order). Expressed as two
+turn-local joins + row_number pruning; the join key (conv_id,
+turn_idx) hash-distributes, so hot conversations spread across the
+cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assemble_spans(
+    decoded: DataFrame,
+    seq_cols: list[str] = ("conv_id", "turn_idx"),
+    order_col: str = "token_idx",
+    label_col: str = "label",
+    token_col: str = "token",
+) -> DataFrame:
+    """Token rows with BIO labels → one row per span.
+
+    Output: *seq_cols, span_id, entity_type, surface, start_tok, end_tok.
+    Spans: maximal runs where label is B-X followed by I-X of the same X.
+    """
+    seq_cols = list(seq_cols)
+    w = Window.partitionBy(*seq_cols).orderBy(order_col)
+    lab = F.col(label_col)
+    etype = F.substring_index(lab, "-", -1)
+    prev_lab = F.lag(label_col).over(w)
+    prev_type = F.substring_index(prev_lab, "-", -1)
+    is_start = (
+        lab.startswith("B-")
+        | (lab.startswith("I-") & (prev_lab.isNull() | ~prev_lab.endswith(etype)))
+        | (lab.startswith("I-") & prev_lab.isNull())
+    )
+    toks = (
+        decoded.withColumn("__etype", etype)
+        .withColumn("__start", F.when(lab == "O", None).otherwise(is_start.cast("int")))
+        .withColumn(
+            "__span",
+            F.sum(F.coalesce(F.col("__start"), F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .where(lab != "O")
+    )
+    # a token continues the previous span only if same type AND contiguous;
+    # a type change forces __start=1 above, so grouping by running sum is safe
+    return (
+        toks.groupBy(*seq_cols, "__span", "__etype")
+        .agg(
+            F.min(order_col).alias("start_tok"),
+            F.max(order_col).alias("end_tok"),
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct(order_col, token_col))).getField(token_col)
+            ).alias("surface"),
+        )
+        .select(
+            *seq_cols,
+            F.col("__span").alias("span_id"),
+            F.col("__etype").alias("entity_type"),
+            "surface",
+            "start_tok",
+            "end_tok",
+        )
+    )
+
+
+# default predicate lexicon: normalized REL surface → predicate id
+# (mirrors datagen.transcripts.RELATIONS so gold parity is exact)
+def default_predicate_map() -> dict[str, str]:
+    from crfsuite_spark.datagen.transcripts import PRED_BY_PHRASE
+
+    return dict(PRED_BY_PHRASE)
+
+
+def assemble_relations(
+    spans: DataFrame,
+    seq_cols: list[str] = ("conv_id", "turn_idx"),
+    predicate_map: dict[str, str] | None = None,
+    default_pred: str = "related_to",
+) -> DataFrame:
+    """REL spans + entity spans → (subj_surface, pred, obj_surface) rows.
+
+    Output: *seq_cols, subj_surface, subj_type, pred, obj_surface,
+    obj_type, rel_surface.
+    """
+    seq_cols = list(seq_cols)
+    pred_map = predicate_map if predicate_map is not None else default_predicate_map()
+    spark = spans.sparkSession
+    rels = spans.where(F.col("entity_type") == "REL").select(
+        *seq_cols,
+        F.col("span_id").alias("rel_id"),
+        F.col("surface").alias("rel_surface"),
+        F.col("start_tok").alias("rel_start"),
+        F.col("end_tok").alias("rel_end"),
+    )
+    ents = spans.where(F.col("entity_type") != "REL").select(
+        *seq_cols,
+        F.col("surface").alias("ent_surface"),
+        F.col("entity_type").alias("ent_type"),
+        "start_tok",
+        "end_tok",
+    )
+    # subject: nearest entity ending before the REL span
+    subj = (
+        rels.join(ents, seq_cols)
+        .where(F.col("end_tok") < F.col("rel_start"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*seq_cols, "rel_id").orderBy(
+                    F.desc("end_tok")
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            *seq_cols, "rel_id", "rel_surface",
+            F.col("ent_surface").alias("subj_surface"),
+            F.col("ent_type").alias("subj_type"),
+        )
+    )
+    obj = (
+        rels.join(ents, seq_cols)
+        .where(F.col("start_tok") > F.col("rel_end"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*seq_cols, "rel_id").orderBy("start_tok")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            *seq_cols, "rel_id",
+            F.col("ent_surface").alias("obj_surface"),
+            F.col("ent_type").alias("obj_type"),
+        )
+    )
+    out = subj.join(obj, [*seq_cols, "rel_id"])
+    # predicate lookup via a literal map (small, constant-folded)
+    if pred_map:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in pred_map.items() for x in kv]
+        )
+        pred = F.coalesce(
+            mapping.getItem(F.lower(F.col("rel_surface"))), F.lit(default_pred)
+        )
+    else:
+        pred = F.lit(default_pred)
+    return out.withColumn("pred", pred).select(
+        *seq_cols, "subj_surface", "subj_type", "pred",
+        "obj_surface", "obj_type", "rel_surface",
+    )

@@ -1,0 +1,163 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All pure DataFrame ops designed for the 100 TB shape:
+
+- **exact**: hash-groupBy on a text digest — one shuffle on a uniform
+  key (md5), no skew;
+- **MinHash + LSH near-dup**: shingle → minhash → band → bucket join
+  (operators/minhash.py) → exact-Jaccard verify → connected components
+  → keep cluster representative;
+- **SimHash**: 32-bit sign-of-weighted-token-hash fingerprint computed
+  with JVM-side bit arithmetic (one explode + one groupBy); near-dups
+  = same fingerprint (or small Hamming distance via band rotation);
+- **n-gram Jaccard**: sparse similarity join — explode word shingles,
+  self-join on shingle, count co-occurrences, Jaccard from set sizes.
+  The join key is a shingle (uniform-ish); a stopword-like hot shingle
+  is the classic skew risk, so shingles above ``max_shingle_df`` are
+  dropped (standard prefix-filtering trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per exact text duplicate group."""
+    w = Window.partitionBy("__digest").orderBy(id_col)
+    return (
+        df.withColumn("__digest", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(digest, n_dups, keep_id, dup_ids) for exact duplicate groups."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_size: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate removal: LSH candidate pairs → connected
+    components → keep min-id representative per cluster."""
+    from crfsuite_spark.kg.canonicalize import connected_components
+    from crfsuite_spark.operators.minhash import minhash_self_pairs
+
+    pairs = minhash_self_pairs(
+        df, id_col, text_col, n_hashes, bands, shingle_size, jaccard_threshold
+    )
+    cc = connected_components(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    drop = cc.where(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
+    return df.join(drop, id_col, "left_anti")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash) 32-bit token-level SimHash fingerprint.
+
+    Classic Charikar simhash: each token votes ±1 per bit of its hash;
+    fingerprint bit = sign of the vote sum. One explode + one groupBy.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t")
+    ).where(F.col("__t") != "")
+    h = F.pmod(F.xxhash64("__t"), F.lit(1 << bits))
+    toks = toks.withColumn("__h", h)
+    votes = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Pairs with identical simhash fingerprints (id_a < id_b)."""
+    s = simhash(df, id_col, text_col, bits)
+    a = s.select(F.col(id_col).alias("id_a"), "simhash")
+    b = s.select(F.col(id_col).alias("id_b"), "simhash")
+    return a.join(b, "simhash").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "simhash")
+
+
+def word_shingles(col: str, n: int = 3):
+    """Word n-gram array (distinct), JVM-side."""
+    toks = F.split(F.lower(F.col(col)), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+        ).otherwise(
+            F.expr(
+                f"transform(sequence(0, size(split(lower({col}), '\\\\s+')) - {n}), "
+                f"i -> concat_ws(' ', slice(split(lower({col}), '\\\\s+'), i + 1, {n})))"
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity join: (id_a, id_b, jaccard).
+
+    Sparse join on exploded shingles; hot shingles above
+    ``max_shingle_df`` document frequency are dropped to bound fan-out
+    (prefix-filter trick — may miss pairs that ONLY share hot shingles).
+    """
+    sh = df.select(id_col, F.explode(word_shingles(text_col, n)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_df:
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") > max_shingle_df
+        )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,174 @@
+"""MinHash + LSH banding as pure DataFrame operations.
+
+From-scratch Spark-first implementation of the classic
+shingle → minhash → band → bucket-join pipeline (Broder '97 /
+Leskovec-Rajaraman-Ullman ch.3, public algorithms):
+
+- character-k-gram shingling via JVM-side ``transform(sequence(...))``
+  (no Python UDF),
+- ``n_hashes`` universal hash functions ``(a_j * h + b_j) mod p`` over
+  ``xxhash64`` shingle hashes, minimized per row with a single
+  exploded groupBy (Catalyst partial agg does the map-side combine),
+- LSH banding: signatures split into ``bands`` groups of rows, band
+  key = hash of the group → candidate pairs share a bucket,
+- exact Jaccard verification on the shingle sets via
+  ``array_intersect`` / ``array_union``.
+
+At cluster scale the only shuffles are the signature groupBy and the
+band-bucket join — both on keys that are uniform by construction
+(hash values), so no skew handling is needed. Bucket-join fan-out is
+bounded by band width: r = n_hashes/bands rows per band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne-31 modulus: with h, a, b < 2^31, h*a + b < 2^62 stays inside
+# int64 under ANSI arithmetic (Spark 4 default)
+MERSENNE = (1 << 31) - 1
+
+
+def char_shingles(col: str, k: int = 3):
+    """Distinct character k-gram array, JVM-side."""
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN length({col}) < {k} THEN array({col}) "
+            f"ELSE transform(sequence(0, length({col}) - {k}), "
+            f"i -> substr({col}, i + 1, {k})) END"
+        )
+    )
+
+
+def _hash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, MERSENNE - 1)), int(rng.integers(0, MERSENNE - 1)))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_size: int = 3,
+    seed: int = 42,
+    keep_shingles: bool = True,
+) -> DataFrame:
+    """One row per id with mh0..mh{n-1} signature columns (+ shingles)."""
+    sh = df.select(
+        id_col, char_shingles(text_col, shingle_size).alias("__shingles")
+    ).where(F.size("__shingles") > 0)
+    exploded = sh.select(
+        id_col, "__shingles", F.explode("__shingles").alias("__s")
+    ).select(
+        id_col,
+        "__shingles",
+        F.pmod(F.xxhash64("__s"), F.lit(MERSENNE)).alias("__h"),
+    )
+    aggs = [
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(MERSENNE))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_hash_params(n_hashes, seed))
+    ]
+    if keep_shingles:
+        aggs.append(F.first("__shingles").alias("__shingles"))
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_buckets(
+    sig: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a signature frame to (id, band_idx, bucket) rows."""
+    r = n_hashes // bands
+    assert bands * r == n_hashes, "bands must divide n_hashes"
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        id_col,
+        F.explode(F.array(*band_cols)).alias("__band"),
+    ).select(id_col, F.col("__band.band").alias("band"), F.col("__band.bucket").alias("bucket"))
+
+
+def jaccard(col_a, col_b):
+    return F.size(F.array_intersect(col_a, col_b)) / F.size(F.array_union(col_a, col_b))
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Fuzzy join: rows of ``left`` to rows of ``right`` whose text
+    Jaccard (char shingles) ≥ threshold, found via LSH blocking.
+
+    Returns left's columns + right's columns + ``jaccard``.
+    """
+    # signatures feed both the band explode and the verification join —
+    # persist so the shingle/groupBy chain runs once per side
+    lsig = minhash_signature(left, left_col, left_col, n_hashes, shingle_size, seed).persist()
+    rsig = minhash_signature(right.select(right_col).distinct(), right_col, right_col, n_hashes, shingle_size, seed).persist()
+    lb = lsh_band_buckets(lsig, left_col, n_hashes, bands)
+    rb = lsh_band_buckets(rsig, right_col, n_hashes, bands)
+    cand = (
+        lb.join(rb, ["band", "bucket"])
+        .select(left_col, right_col)
+        .distinct()
+    )
+    lsh_l = lsig.select(left_col, F.col("__shingles").alias("__sh_l"))
+    lsh_r = rsig.select(right_col, F.col("__shingles").alias("__sh_r"))
+    verified = (
+        cand.join(lsh_l, left_col)
+        .join(lsh_r, right_col)
+        .withColumn("jaccard", jaccard(F.col("__sh_l"), F.col("__sh_r")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .drop("__sh_l", "__sh_r")
+    )
+    return verified.join(right, right_col)
+
+
+def minhash_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs within one table:
+    (id_a, id_b, jaccard) with id_a < id_b, Jaccard ≥ threshold."""
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_size, seed).persist()
+    b = lsh_band_buckets(sig, id_col, n_hashes, bands)
+    ba = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    bb = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        ba.join(bb, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = sig.select(id_col, "__shingles")
+    return (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the usual scale split:
+
+- **brute-force cosine top-k** — JVM-side `aggregate`/`zip_with` dot
+  product (whole-stage codegen, no Python), global top-k via
+  sort+limit (Spark's TakeOrderedAndProject — no full sort);
+- **LSH-bucketed ANN** — random-hyperplane (sign) buckets computed
+  JVM-side from literal hyperplane arrays; the query probes only its
+  bucket(s). At 1000 executors the bucket column doubles as the
+  partition key, so a probe touches one partition.
+
+Also: pairwise embedding near-duplicates (cosine ≥ threshold within
+buckets) for embedding-based dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    The plan is scan → project (codegen'd dot product) → TakeOrdered:
+    no shuffle of the full table, safe at any scale.
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in np.asarray(query, dtype=float)])
+    qnorm = float(np.linalg.norm(query))
+    scored = emb.select(
+        id_col,
+        (_dot(F.col(vec_col).cast("array<double>"), qlit) / (F.lit(qnorm) * _norm(F.col(vec_col).cast("array<double>")))).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Add an int ``bucket`` column = sign pattern of ``n_planes``
+    random hyperplane projections (Charikar cosine LSH), JVM-side."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.withColumn("bucket", bucket.cast("int"))
+
+
+def ann_topk(
+    emb_bucketed: DataFrame,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """IVF/LSH-style ANN: probe the query's bucket plus all buckets
+    within ``multiprobe_hamming`` bit flips, then exact cosine top-k
+    inside the probed buckets only."""
+    q = np.asarray(query, dtype=float)
+    dim = dim or len(q)
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    qbits = int(sum((1 << j) for j in range(n_planes) if planes[j] @ q > 0))
+    probes = {qbits}
+    if multiprobe_hamming >= 1:
+        probes |= {qbits ^ (1 << j) for j in range(n_planes)}
+    if multiprobe_hamming >= 2:
+        probes |= {
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    cand = emb_bucketed.where(F.col("bucket").isin(list(probes)))
+    return cosine_topk(cand, q, k, id_col, vec_col)
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join:
+    (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
+
+    Only pairs falling in the same hyperplane bucket are compared —
+    the standard recall/cost trade; raise n_planes for cheaper, lower
+    recall."""
+    b = hyperplane_buckets(emb, dim, n_planes, id_col, vec_col, seed)
+    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            cosine_sim(F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,91 @@
+"""Structured Streaming ingest for the KG pipeline.
+
+The reference is batch-only (SURVEY.md §2.11) — this is the Spark-first
+extension for continuously arriving transcripts:
+
+- ``stream_transcripts``: file-source stream over a transcript
+  directory (the stand-in for a Kafka/Iceberg CDC source), with a
+  watermark on ``ts`` for late-turn tolerance;
+- ``streaming_turn_stats``: watermarked sliding-window aggregation of
+  turn volume per conversation (the monitoring side-channel);
+- ``stream_triples``: ``foreachBatch`` incremental KG extraction —
+  each micro-batch runs the SAME batch pipeline (decode → spans →
+  link → triples) and commits through the manifest-based materializer,
+  so stream restarts are idempotent per (bucket, epoch) exactly like
+  batch resume. State lives in the checkpoint dir; reprocessed
+  micro-batches skip completed buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_turn_stats(
+    transcripts: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window turn counts per conversation."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select("win.start", "win.end", "conv_id", "n_turns", "n_chars")
+    )
+
+
+def stream_triples(
+    transcripts: DataFrame,
+    model,
+    alias_dict: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch incremental KG extraction with idempotent commits.
+
+    Returns the started StreamingQuery; caller awaits termination.
+    """
+    from crfsuite_spark.kg.pipeline import extract_triples, tag_transcripts
+    from crfsuite_spark.kg.triples import materialize
+
+    def process_batch(batch_df: DataFrame, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        decoded = tag_transcripts(batch_df, model)
+        triples = extract_triples(decoded, alias_dict)
+        # bucket manifests are per-epoch subdirs: a replayed epoch is a no-op
+        materialize(
+            triples, f"{out_path}/epoch={epoch_id}",
+            n_buckets=n_buckets, epoch=epoch_id,
+        )
+
+    writer = (
+        transcripts.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

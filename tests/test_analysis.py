@@ -1,0 +1,93 @@
+"""Text-analysis functions + multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crfsuite_spark.functions import analysis as an
+from crfsuite_spark.multimodal import binary as mm
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox is one of the animals in the garden"),
+        (1, "el perro y el gato en la casa de los abuelos"),
+        (2, "12345 67890 !!! ???"),
+        (3, ""),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", an.lang_id("text").alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"
+
+
+def test_token_count_and_subwords(docs):
+    out = {r["doc_id"]: (r["tc"], r["sw"]) for r in docs.select(
+        "doc_id", an.token_count("text").alias("tc"), an.subword_estimate("text").alias("sw")
+    ).collect()}
+    assert out[0][0] == 12
+    assert out[3][0] == 0 and out[4][0] == 0
+    assert out[0][1] >= out[0][0]
+
+
+def test_quality_and_ratios(docs):
+    out = {r["doc_id"]: r.asDict() for r in docs.select(
+        "doc_id",
+        an.punct_ratio("text").alias("punct"),
+        an.digit_ratio("text").alias("digit"),
+        an.stopword_ratio("text").alias("stop"),
+        an.quality_score("text").alias("q"),
+    ).collect()}
+    assert out[0]["q"] > out[2]["q"]  # prose beats digit noise
+    assert out[2]["digit"] > 0.5
+    assert out[0]["stop"] > 0.3
+    assert out[3]["q"] is not None  # empty-safe
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "different")],
+        "id int, text string",
+    )
+    fps = {r["id"]: (r["fp"], r["m"]) for r in df.select(
+        "id", an.fingerprint("text").alias("fp"), an.md5_fingerprint("text").alias("m")
+    ).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_image_feature_plumbing(spark):
+    rows = [(i, bytes([i] * 20)) for i in range(5)]
+    df = spark.createDataFrame(rows, "media_id int, blob binary")
+    out = mm.extract_image_features(df).toPandas()
+    assert len(out) == 5
+    assert all(len(v) == 8 for v in out["features"])
+    # deterministic: same blob → same features
+    out2 = mm.extract_image_features(df).toPandas()
+    a = [list(v) for v in out.sort_values("media_id")["features"]]
+    b = [list(v) for v in out2.sort_values("media_id")["features"]]
+    assert a == b
+
+
+def test_audio_frame_plumbing(spark):
+    df = spark.createDataFrame([(1, b"audio-bytes-here")], "media_id int, blob binary")
+    out = mm.sample_audio_frames(df, n_frames=4).toPandas()
+    assert len(out) == 4
+    assert (out["rms"] > 0).all()
+
+
+def test_media_metadata_sniffing(spark):
+    rows = [
+        (0, bytes([0x89, 0x50, 0x4E, 0x47, 1, 2])),
+        (1, bytes([0xFF, 0xD8, 0xFF, 0xE0, 1, 2])),
+        (2, b"plain"),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, blob binary")
+    out = {r["media_id"]: r["media_type"] for r in mm.media_metadata(df).collect()}
+    assert out[0] == "image/png" and out[1] == "image/jpeg"
+    assert out[2] == "application/octet-stream"

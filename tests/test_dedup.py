@@ -1,0 +1,109 @@
+"""Dedup + similarity operators against hand-built fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crfsuite_spark.operators import dedup
+from crfsuite_spark.operators.minhash import minhash_self_pairs
+from crfsuite_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),   # near dup of 0
+        (3, "completely different text about spark engines"),
+        (4, "spark engines about completely different text"),  # same words, diff order
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs, "doc_id", "text").toPandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4, 5]
+    groups = dedup.exact_dup_groups(docs, "doc_id", "text").toPandas()
+    assert len(groups) == 1
+    assert groups.iloc[0]["keep_id"] == 0 and list(groups.iloc[0]["dup_ids"]) == [0, 1]
+
+
+def test_minhash_pairs_find_near_dup(docs):
+    pairs = minhash_self_pairs(
+        docs, "doc_id", "text", n_hashes=32, bands=16,
+        shingle_size=4, jaccard_threshold=0.6,
+    ).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got          # exact dup always found
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    assert not any(3 in p and 0 in p for p in got)
+
+
+def test_minhash_dedup_removes_cluster(docs):
+    kept = dedup.minhash_dedup(
+        docs, "doc_id", "text", n_hashes=32, bands=16,
+        shingle_size=4, jaccard_threshold=0.6,
+    ).toPandas()
+    assert 0 in set(kept["doc_id"])          # representative kept
+    assert 1 not in set(kept["doc_id"])      # dup dropped
+    # 3 and 4 share most char-5-shingles (same words reordered) → one
+    # representative survives; 5 is untouched
+    assert {3, 5} <= set(kept["doc_id"])
+
+
+def test_simhash_exact_dups_collide(docs):
+    pairs = dedup.simhash_dup_pairs(docs, "doc_id", "text").toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got
+    # doc 3 vs 4: same bag of words → same simhash (order-insensitive)
+    assert (3, 4) in got
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5).toPandas()
+    m = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+    assert m[(0, 1)] == 1.0
+    assert (0, 2) in m and 0.5 <= m[(0, 2)] < 1.0
+    # word-order difference kills bigram overlap
+    assert (3, 4) not in m
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=16)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    # 100: identical to base, 101: tiny perturbation, 102: opposite
+    b = base / np.linalg.norm(base)
+    rows.append((100, b.tolist()))
+    rows.append((101, (b + 0.01 * rng.normal(size=16)).tolist()))
+    rows.append((102, (-b).tolist()))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_cosine_topk(emb):
+    q = emb.where(F.col("vec_id") == 100).collect()[0]["embedding"]
+    top = sim.cosine_topk(emb, q, k=3).toPandas()
+    assert list(top["vec_id"][:2]) == [100, 101]
+    assert abs(top["cosine"].iloc[0] - 1.0) < 1e-9
+    assert 102 not in set(top["vec_id"])
+
+
+def test_ann_matches_bruteforce_top1(emb):
+    q = emb.where(F.col("vec_id") == 100).collect()[0]["embedding"]
+    bucketed = sim.hyperplane_buckets(emb, dim=16, n_planes=6).persist()
+    top = sim.ann_topk(bucketed, q, k=2, n_planes=6, dim=16, multiprobe_hamming=1).toPandas()
+    assert top["vec_id"].iloc[0] == 100
+    bucketed.unpersist()
+
+
+def test_embedding_dup_pairs(emb):
+    pairs = sim.embedding_dup_pairs(emb, dim=16, threshold=0.99, n_planes=6).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (100, 101) in got
+    assert all(not (a == 100 and b == 102) for a, b in got)
