@@ -371,7 +371,7 @@ def q_dedup_minhash(spark, sf):
     from crfsuite_spark.operators.minhash import minhash_self_pairs
 
     d = _t(spark, sf, "documents")
-    out = minhash_self_pairs(d, "doc_id", "text", n_hashes=16, bands=8,
+    out = minhash_self_pairs(d, "doc_id", "text", n_hashes=32, bands=8,
                              shingle_size=5, jaccard_threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

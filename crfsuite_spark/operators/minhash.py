@@ -5,19 +5,25 @@ shingle → minhash → band → bucket-join pipeline (Broder '97 /
 Leskovec-Rajaraman-Ullman ch.3, public algorithms):
 
 - character-k-gram shingling via JVM-side ``transform(sequence(...))``
-  (no Python UDF),
+  (no Python UDF), hashed to int64 immediately so no string arrays
+  ever cross a shuffle,
 - ``n_hashes`` universal hash functions ``(a_j * h + b_j) mod p`` over
-  ``xxhash64`` shingle hashes, minimized per row with a single
-  exploded groupBy (Catalyst partial agg does the map-side combine),
+  the shingle hashes, minimized **map-side** with
+  ``array_min(transform(...))`` — signature computation is
+  embarrassingly parallel, zero shuffle (at 100 TB the scan partitions
+  stream straight through whole-stage codegen),
 - LSH banding: signatures split into ``bands`` groups of rows, band
   key = hash of the group → candidate pairs share a bucket,
-- exact Jaccard verification on the shingle sets via
-  ``array_intersect`` / ``array_union``.
+- Jaccard verification on the hashed shingle sets via
+  ``array_intersect`` / ``array_union`` (int64 arrays; collision
+  probability over a 2^31 space at ~10^3 shingles/doc is negligible
+  and only perturbs the 3rd decimal of an estimate that LSH already
+  quantizes).
 
-At cluster scale the only shuffles are the signature groupBy and the
-band-bucket join — both on keys that are uniform by construction
-(hash values), so no skew handling is needed. Bucket-join fan-out is
-bounded by band width: r = n_hashes/bands rows per band.
+The only shuffle in the whole pipeline is the band-bucket join, on
+keys that are uniform by construction (hash values) — no skew handling
+needed, and the candidate side is orders of magnitude smaller than the
+corpus.
 """
 
 from __future__ import annotations
@@ -41,6 +47,23 @@ def char_shingles(col: str, k: int = 3):
     )
 
 
+def shingle_hashes(col: str, k: int = 3):
+    """Distinct xxhash64-mod-p hashes of the char k-grams — int64 array.
+
+    Hashing before ``array_distinct`` keeps every downstream operator
+    (signature min, Jaccard verify) on fixed-width ints instead of
+    string arrays.
+    """
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN length({col}) < {k} "
+            f"THEN array(pmod(xxhash64({col}), {MERSENNE}L)) "
+            f"ELSE transform(sequence(0, length({col}) - {k}), "
+            f"i -> pmod(xxhash64(substr({col}, i + 1, {k})), {MERSENNE}L)) END"
+        )
+    )
+
+
 def _hash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     import numpy as np
 
@@ -60,24 +83,29 @@ def minhash_signature(
     seed: int = 42,
     keep_shingles: bool = True,
 ) -> DataFrame:
-    """One row per id with mh0..mh{n-1} signature columns (+ shingles)."""
-    sh = df.select(
-        id_col, char_shingles(text_col, shingle_size).alias("__shingles")
-    ).where(F.size("__shingles") > 0)
-    exploded = sh.select(
-        id_col, "__shingles", F.explode("__shingles").alias("__s")
-    ).select(
-        id_col,
-        "__shingles",
-        F.pmod(F.xxhash64("__s"), F.lit(MERSENNE)).alias("__h"),
-    )
-    aggs = [
-        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(MERSENNE))).alias(f"mh{j}")
+    """One row per id with mh0..mh{n-1} signature columns
+    (+ ``__hs``, the hashed shingle set, when ``keep_shingles``).
+
+    Entirely map-side: ``array_min(transform(h, h -> (a*h+b) mod p))``
+    per hash function — no explode, no groupBy, no shuffle.
+    """
+    # signature hashing is CPU-bound map work: when the source collapses
+    # to fewer splits than cores (small local files; at cluster scale the
+    # scan is already wide) widen it so every core participates
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    base = df.select(
+        id_col, shingle_hashes(text_col, shingle_size).alias("__hs")
+    ).where(F.size("__hs") > 0)
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(__hs, h -> pmod(h * {a}L + {b}L, {MERSENNE}L)))"
+        ).alias(f"mh{j}")
         for j, (a, b) in enumerate(_hash_params(n_hashes, seed))
     ]
-    if keep_shingles:
-        aggs.append(F.first("__shingles").alias("__shingles"))
-    return exploded.groupBy(id_col).agg(*aggs)
+    keep = ["__hs"] if keep_shingles else []
+    return base.select(id_col, *keep, *sig_cols)
 
 
 def lsh_band_buckets(
@@ -120,7 +148,7 @@ def minhash_join(
     Returns left's columns + right's columns + ``jaccard``.
     """
     # signatures feed both the band explode and the verification join —
-    # persist so the shingle/groupBy chain runs once per side
+    # persist so the shingle chain runs once per side
     lsig = minhash_signature(left, left_col, left_col, n_hashes, shingle_size, seed).persist()
     rsig = minhash_signature(right.select(right_col).distinct(), right_col, right_col, n_hashes, shingle_size, seed).persist()
     lb = lsh_band_buckets(lsig, left_col, n_hashes, bands)
@@ -130,8 +158,8 @@ def minhash_join(
         .select(left_col, right_col)
         .distinct()
     )
-    lsh_l = lsig.select(left_col, F.col("__shingles").alias("__sh_l"))
-    lsh_r = rsig.select(right_col, F.col("__shingles").alias("__sh_r"))
+    lsh_l = lsig.select(left_col, F.col("__hs").alias("__sh_l"))
+    lsh_r = rsig.select(right_col, F.col("__hs").alias("__sh_r"))
     verified = (
         cand.join(lsh_l, left_col)
         .join(lsh_r, right_col)
@@ -164,10 +192,10 @@ def minhash_self_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = sig.select(id_col, "__shingles")
+    sh = sig.select(id_col, "__hs")
     return (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sh_b")), "id_b")
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__sh_b")), "id_b")
         .withColumn("jaccard", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
