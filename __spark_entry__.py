@@ -372,7 +372,8 @@ def q_dedup_minhash(spark, sf):
 
     d = _t(spark, sf, "documents")
     out = minhash_self_pairs(d, "doc_id", "text", n_hashes=32, bands=8,
-                             shingle_size=5, jaccard_threshold=0.8)
+                             shingle_size=5, jaccard_threshold=0.8,
+                             num_partitions=spark.sparkContext.defaultParallelism)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

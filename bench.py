@@ -124,7 +124,8 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
         from crfsuite_spark.operators.minhash import minhash_self_pairs
 
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        minhash_self_pairs(d, "doc_id", "text", 32, 8, 5, 0.8).count()
+        minhash_self_pairs(d, "doc_id", "text", 32, 8, 5, 0.8,
+                           num_partitions=cores).count()
 
     def topk():
         import __spark_entry__ as em

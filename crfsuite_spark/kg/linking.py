@@ -51,14 +51,22 @@ def link_mentions(
         F.col("weight").alias("__w"),
     )
     joined = m.join(F.broadcast(d), "__norm", "left")
-    # disambiguate multi-entity aliases: max weight, then lexicographic id
-    w = Window.partitionBy(*mentions.columns, "__norm").orderBy(
-        F.desc("__w"), F.asc("canonical_id")
-    )
+    # disambiguate multi-entity aliases: max weight, then lexicographic id.
+    # min_by over (-weight, id) in one partial-aggregated groupBy — cheaper
+    # than a row_number window (no sort, map-side combine); rows the
+    # dictionary missed have a NULL key and are skipped, so an all-miss
+    # group aggregates to NULL canonical_id exactly like the left join.
     exact = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__w")
+        joined.groupBy(*mentions.columns, "__norm")
+        .agg(
+            F.min_by(
+                "canonical_id",
+                F.when(
+                    F.col("canonical_id").isNotNull(),
+                    F.struct((-F.col("__w")).alias("nw"), F.col("canonical_id").alias("id")),
+                ),
+            ).alias("canonical_id")
+        )
         .withColumn(
             "link_method",
             F.when(F.col("canonical_id").isNotNull(), F.lit("exact")),
@@ -69,6 +77,12 @@ def link_mentions(
     misses = exact.where(F.col("canonical_id").isNull()).drop(
         "canonical_id", "link_method"
     )
+    # materialize the (persisted) exact pass once and skip the whole
+    # LSH chain when the dictionary covered everything — the common case
+    # on converged alias dictionaries, and it keeps the fuzzy stages off
+    # the critical path
+    if fuzzy and misses.limit(1).count() == 0:
+        fuzzy = False
     if fuzzy:
         linked_fuzzy = _fuzzy_link(
             misses, alias_dict, jaccard_threshold

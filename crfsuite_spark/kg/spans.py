@@ -112,42 +112,33 @@ def assemble_relations(
         "start_tok",
         "end_tok",
     )
-    # subject: nearest entity ending before the REL span
-    subj = (
+    # one turn-local join, then conditional max_by/min_by aggregation:
+    # subject = entity with the greatest end_tok before the REL span,
+    # object = entity with the smallest start_tok after it. A single
+    # shuffle pair (join + partial-agg groupBy) replaces the previous
+    # two-join/two-window plan; null keys are ignored by max_by/min_by
+    # so both roles resolve in the same pass.
+    ent = F.struct("ent_surface", "ent_type")
+    out = (
         rels.join(ents, seq_cols)
-        .where(F.col("end_tok") < F.col("rel_start"))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(*seq_cols, "rel_id").orderBy(
-                    F.desc("end_tok")
-                )
-            ),
+        .groupBy(*seq_cols, "rel_id", "rel_surface")
+        .agg(
+            F.max_by(
+                ent, F.when(F.col("end_tok") < F.col("rel_start"), F.col("end_tok"))
+            ).alias("__subj"),
+            F.min_by(
+                ent, F.when(F.col("start_tok") > F.col("rel_end"), F.col("start_tok"))
+            ).alias("__obj"),
         )
-        .where(F.col("__rn") == 1)
+        .where(F.col("__subj").isNotNull() & F.col("__obj").isNotNull())
         .select(
             *seq_cols, "rel_id", "rel_surface",
-            F.col("ent_surface").alias("subj_surface"),
-            F.col("ent_type").alias("subj_type"),
+            F.col("__subj.ent_surface").alias("subj_surface"),
+            F.col("__subj.ent_type").alias("subj_type"),
+            F.col("__obj.ent_surface").alias("obj_surface"),
+            F.col("__obj.ent_type").alias("obj_type"),
         )
     )
-    obj = (
-        rels.join(ents, seq_cols)
-        .where(F.col("start_tok") > F.col("rel_end"))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(*seq_cols, "rel_id").orderBy("start_tok")
-            ),
-        )
-        .where(F.col("__rn") == 1)
-        .select(
-            *seq_cols, "rel_id",
-            F.col("ent_surface").alias("obj_surface"),
-            F.col("ent_type").alias("obj_type"),
-        )
-    )
-    out = subj.join(obj, [*seq_cols, "rel_id"])
     # predicate lookup via a literal map (small, constant-folded)
     if pred_map:
         mapping = F.create_map(

@@ -82,19 +82,22 @@ def minhash_signature(
     shingle_size: int = 3,
     seed: int = 42,
     keep_shingles: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """One row per id with mh0..mh{n-1} signature columns
     (+ ``__hs``, the hashed shingle set, when ``keep_shingles``).
 
     Entirely map-side: ``array_min(transform(h, h -> (a*h+b) mod p))``
     per hash function — no explode, no groupBy, no shuffle.
+
+    ``num_partitions``: explicitly widen the input first. Use when the
+    source collapses to fewer splits than cores (small local files; at
+    cluster scale the scan is already wide and this should stay None —
+    probing the partition count of a derived plan would force AQE to
+    materialize it).
     """
-    # signature hashing is CPU-bound map work: when the source collapses
-    # to fewer splits than cores (small local files; at cluster scale the
-    # scan is already wide) widen it so every core participates
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    if num_partitions:
+        df = df.repartition(num_partitions)
     base = df.select(
         id_col, shingle_hashes(text_col, shingle_size).alias("__hs")
     ).where(F.size("__hs") > 0)
@@ -141,20 +144,25 @@ def minhash_join(
     shingle_size: int = 3,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    broadcast_right: bool = True,
 ) -> DataFrame:
     """Fuzzy join: rows of ``left`` to rows of ``right`` whose text
     Jaccard (char shingles) ≥ threshold, found via LSH blocking.
 
     Returns left's columns + right's columns + ``jaccard``.
+    ``broadcast_right``: the right side is a dictionary, orders of
+    magnitude smaller than the corpus — ship its band buckets and
+    shingle sets to every executor so the left side never shuffles.
     """
     # signatures feed both the band explode and the verification join —
     # persist so the shingle chain runs once per side
     lsig = minhash_signature(left, left_col, left_col, n_hashes, shingle_size, seed).persist()
     rsig = minhash_signature(right.select(right_col).distinct(), right_col, right_col, n_hashes, shingle_size, seed).persist()
+    bcast = F.broadcast if broadcast_right else (lambda x: x)
     lb = lsh_band_buckets(lsig, left_col, n_hashes, bands)
     rb = lsh_band_buckets(rsig, right_col, n_hashes, bands)
     cand = (
-        lb.join(rb, ["band", "bucket"])
+        lb.join(bcast(rb), ["band", "bucket"])
         .select(left_col, right_col)
         .distinct()
     )
@@ -162,12 +170,12 @@ def minhash_join(
     lsh_r = rsig.select(right_col, F.col("__hs").alias("__sh_r"))
     verified = (
         cand.join(lsh_l, left_col)
-        .join(lsh_r, right_col)
+        .join(bcast(lsh_r), right_col)
         .withColumn("jaccard", jaccard(F.col("__sh_l"), F.col("__sh_r")))
         .where(F.col("jaccard") >= jaccard_threshold)
         .drop("__sh_l", "__sh_r")
     )
-    return verified.join(right, right_col)
+    return verified.join(bcast(right), right_col)
 
 
 def minhash_self_pairs(
@@ -179,10 +187,14 @@ def minhash_self_pairs(
     shingle_size: int = 3,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs within one table:
     (id_a, id_b, jaccard) with id_a < id_b, Jaccard ≥ threshold."""
-    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_size, seed).persist()
+    sig = minhash_signature(
+        df, id_col, text_col, n_hashes, shingle_size, seed,
+        num_partitions=num_partitions,
+    ).persist()
     b = lsh_band_buckets(sig, id_col, n_hashes, bands)
     ba = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
     bb = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
