@@ -93,6 +93,21 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     results: dict[str, float] = {}
     extras: dict = {"n_turns": n_turns, "cores": cores}
 
+    # warm-up: one tiny end-to-end pass so the timed sections measure
+    # steady-state throughput, not JVM codegen + Python-worker spin-up
+    # (BASELINE.md §3 excludes session startup)
+    def _warmup():
+        from crfsuite_spark.datagen.transcripts import build_alias_dict
+        from crfsuite_spark.kg.pipeline import extract_triples, tag_transcripts
+
+        tiny = spark.read.parquet(tpath).where(
+            F.crc32(F.col("conv_id").cast("string")) % 100 == 0
+        )
+        alias = spark.createDataFrame(build_alias_dict())
+        extract_triples(tag_transcripts(tiny, lexicon_model()), alias).count()
+
+    _warmup()
+
     def timed(name, fn):
         if only and name != only:
             return

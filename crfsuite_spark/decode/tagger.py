@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from crfsuite_spark.kernel import crf
 from crfsuite_spark.train.model import CRFModel
@@ -36,7 +37,8 @@ from crfsuite_spark.train.model import CRFModel
 def _decode_frame(
     pdf: pd.DataFrame,
     bounds: np.ndarray,
-    attr2id: pd.Series,
+    sorted_h: np.ndarray,
+    row_of_slot: np.ndarray,
     state_w: np.ndarray,
     trans_w: np.ndarray,
     labels: np.ndarray,
@@ -44,22 +46,31 @@ def _decode_frame(
     with_marginal: bool,
 ) -> pd.DataFrame:
     """Decode one frame of whole sequences; returns label (+marginal,
-    +seq_logprob) columns aligned with pdf rows."""
+    +seq_logprob) columns aligned with pdf rows. Attributes arrive as
+    int64 xxhash64 values (hashed JVM-side) and resolve to model rows
+    via binary search on the model's sorted hash table — unknown
+    attributes miss and are dropped (crfsuite.hpp:403-410)."""
     A, L = state_w.shape
     N = len(pdf)
     lengths = np.diff(bounds)
     B = len(lengths)
-    # vectorized attr string → id mapping over the whole frame
     attr_lists = pdf[attrs_col].to_numpy()
     counts = np.fromiter((len(x) for x in attr_lists), dtype=np.int64, count=N)
-    flat = np.concatenate([np.asarray(x, dtype=object) for x in attr_lists]) if N else np.array([], dtype=object)
-    aid_flat = attr2id.reindex(pd.Index(flat)).to_numpy(dtype=np.float64, na_value=-1.0).astype(np.int64)
+    if N and counts.sum():
+        flat = np.concatenate(list(attr_lists)).astype(np.int64, copy=False)
+    else:
+        flat = np.empty(0, dtype=np.int64)
     tok_of_aid = np.repeat(np.arange(N), counts)
-    known = aid_flat >= 0
     # K1: state scores per token
     S = np.zeros((N, L), dtype=np.float64)
-    if known.any():
-        np.add.at(S, tok_of_aid[known], state_w[aid_flat[known]])
+    if len(flat) and len(sorted_h):
+        pos = np.searchsorted(sorted_h, flat)
+        pos_c = np.minimum(pos, len(sorted_h) - 1)
+        known = sorted_h[pos_c] == flat
+        if known.any():
+            np.add.at(
+                S, tok_of_aid[known], state_w[row_of_slot[pos_c[known]]]
+            )
     # pad [B, T_max, L]
     T_max = int(lengths.max())
     starts = bounds[:-1]
@@ -108,9 +119,11 @@ def decode(
     passthrough = passthrough_cols or [
         c for c in tokens.columns if c not in reserved
     ]
+    sorted_h, row_of_slot = model.attr_hash_table(spark)
     bc = sc.broadcast(
         (
-            {a: i for i, a in enumerate(model.attrs)},
+            sorted_h,
+            row_of_slot,
             model.state_w,
             model.trans_w,
             np.array(model.labels, dtype=object),
@@ -126,18 +139,23 @@ def decode(
         out_schema += ", marginal double, seq_prob double"
 
     def run(batches):
-        attr2id_dict, state_w, trans_w, labels = bc.value
-        attr2id = pd.Series(attr2id_dict, dtype=np.float64)
+        sorted_h, row_of_slot, state_w, trans_w, labels = bc.value
         for pdf in iter_sequence_frames(batches, seq_cols):
             bounds = group_bounds(pdf, seq_cols)
             res = _decode_frame(
-                pdf, bounds, attr2id, state_w, trans_w, labels,
-                attrs_col, with_marginal,
+                pdf, bounds, sorted_h, row_of_slot, state_w, trans_w,
+                labels, attrs_col, with_marginal,
             )
             yield pd.concat([pdf[passthrough], res], axis=1)
 
+    # hash the attribute strings BEFORE the repartition: the shuffle and
+    # the Arrow hop move fixed-width int64 arrays, not feature strings
+    # (~2.7x smaller at the default template set)
+    hashed = F.expr(
+        f"transform(`{attrs_col}`, a -> xxhash64(a))"
+    ).alias(attrs_col)
     ordered = (
-        tokens.select(*passthrough, attrs_col)
+        tokens.select(*passthrough, hashed)
         .repartition(n_part, *seq_cols)
         .sortWithinPartitions(*seq_cols, order_col)
     )

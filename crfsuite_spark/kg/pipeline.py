@@ -106,6 +106,11 @@ def extract_triples(
             "obj_surface",
         )
     )
+    # the span cache only exists to fan the decode pass out into the
+    # relation aggregation — once rels is materialized nothing reads it
+    # again (rels and linked stay cached: the returned lazy plan scans
+    # them, and they are tiny relative to the token stream)
+    spans.unpersist()
     return out.select(
         "conv_id", "turn_idx", "subj", "pred", "obj",
         "subj_surface", "obj_surface", "rel_surface", "subj_type", "obj_type",

@@ -41,6 +41,36 @@ class CRFModel:
     def attr2id(self) -> dict[str, int]:
         return {a: i for i, a in enumerate(self.attrs)}
 
+    def attr_hash_table(self, spark) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted xxhash64 of attrs, attr-row index per sorted slot).
+
+        Decode hashes attribute strings JVM-side (``xxhash64``) before
+        they ever shuffle, so executors look features up by int64 via
+        ``np.searchsorted`` — the Spark analogue of the reference's
+        CQDB string→id hash lookup (src/cqdb/src/cqdb.c,
+        crf1d_model.c). Hashes must come from the same Spark
+        implementation both sides, hence the one tiny driver job here
+        (cached on the model). A 64-bit collision among model
+        attributes is astronomically unlikely; we fail loudly if the
+        sky falls.
+        """
+        cache = getattr(self, "_attr_hash_cache", None)
+        if cache is None:
+            from pyspark.sql import functions as F
+
+            df = spark.createDataFrame(pd.DataFrame({"a": self.attrs}))
+            h = np.fromiter(
+                (r[0] for r in df.select(F.xxhash64("a")).collect()),
+                dtype=np.int64, count=len(self.attrs),
+            )
+            order = np.argsort(h, kind="stable").astype(np.int64)
+            sh = h[order]
+            if len(sh) > 1 and (sh[1:] == sh[:-1]).any():
+                raise ValueError("xxhash64 collision among model attributes")
+            cache = (sh, order)
+            self._attr_hash_cache = cache
+        return cache
+
     @property
     def label2id(self) -> dict[str, int]:
         return {l: i for i, l in enumerate(self.labels)}
