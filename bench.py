@@ -88,8 +88,12 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     from crfsuite_spark.session import get_spark
 
     sf = _sf_from_dir(sf_dir)
+    # the transcript slice can be sized independently of the sf-dir tables
+    # (the scaling run needs a compute-bound slice so throughput, not
+    # scheduler fixed costs, is what the two parallelism levels compare)
+    tsf = float(os.environ.get("SPARK_GRAFT_TRANSCRIPT_SF") or sf)
     spark = get_spark("bench", cores=cores, shuffle_partitions=max(cores, 8))
-    tpath, n_turns = ensure_transcripts(spark, sf)
+    tpath, n_turns = ensure_transcripts(spark, tsf)
     results: dict[str, float] = {}
     extras: dict = {"n_turns": n_turns, "cores": cores}
 
@@ -184,8 +188,12 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
 def run_scaling(sf_dir: str) -> None:
     """Same job, two parallelism levels → BENCH/BASELINE.md."""
     rows = {}
+    # the scaling comparison needs a compute-bound slice: big enough that
+    # per-core work, not scheduler fixed costs, dominates at 4N cores
+    tsf = os.environ.get("SPARK_GRAFT_TRANSCRIPT_SF", "10.0")
     for cores in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_TRANSCRIPT_SF=tsf)
         p = subprocess.run(
             [sys.executable, __file__, "--one", "kg_pipeline"],
             capture_output=True, text=True, env=env, cwd=REPO,

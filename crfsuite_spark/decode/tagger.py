@@ -44,6 +44,8 @@ def _decode_frame(
     labels: np.ndarray,
     attrs_col: str,
     with_marginal: bool,
+    emb_w: np.ndarray | None = None,
+    embeddings_col: str | None = None,
 ) -> pd.DataFrame:
     """Decode one frame of whole sequences; returns label (+marginal,
     +seq_logprob) columns aligned with pdf rows. Attributes arrive as
@@ -71,6 +73,11 @@ def _decode_frame(
             np.add.at(
                 S, tok_of_aid[known], state_w[row_of_slot[pos_c[known]]]
             )
+    if emb_w is not None and embeddings_col is not None:
+        E = np.concatenate(
+            [np.asarray(v, dtype=np.float64) for v in pdf[embeddings_col]]
+        ).reshape(N, -1)
+        S += E @ emb_w
     # pad [B, T_max, L]
     T_max = int(lengths.max())
     starts = bounds[:-1]
@@ -107,9 +114,12 @@ def decode(
     with_marginal: bool = True,
     num_partitions: int | None = None,
     passthrough_cols: list[str] | None = None,
+    embeddings_col: str | None = None,
 ) -> DataFrame:
     """Viterbi-tag every sequence; returns token rows + label
-    [+ marginal + seq_prob]."""
+    [+ marginal + seq_prob]. ``embeddings_col``: optional array<double>
+    real-valued attribute column scored against the model's emb_w
+    (reference embeddings path, R/modelling.R:278-301)."""
     from crfsuite_spark.operators.sequences import group_bounds, iter_sequence_frames
 
     spark = tokens.sparkSession
@@ -119,6 +129,8 @@ def decode(
     passthrough = passthrough_cols or [
         c for c in tokens.columns if c not in reserved
     ]
+    # the partition key and sort column must survive the projection
+    passthrough = list(dict.fromkeys([*seq_cols, order_col, *passthrough]))
     sorted_h, row_of_slot = model.attr_hash_table(spark)
     bc = sc.broadcast(
         (
@@ -127,6 +139,7 @@ def decode(
             model.state_w,
             model.trans_w,
             np.array(model.labels, dtype=object),
+            model.emb_w if embeddings_col else None,
         )
     )
     out_schema = ", ".join(
@@ -139,23 +152,30 @@ def decode(
         out_schema += ", marginal double, seq_prob double"
 
     def run(batches):
-        sorted_h, row_of_slot, state_w, trans_w, labels = bc.value
-        for pdf in iter_sequence_frames(batches, seq_cols):
-            bounds = group_bounds(pdf, seq_cols)
+        sorted_h, row_of_slot, state_w, trans_w, labels, emb_w = bc.value
+        for pdf in iter_sequence_frames(batches, ["__seq"]):
+            bounds = group_bounds(pdf, ["__seq"])
             res = _decode_frame(
                 pdf, bounds, sorted_h, row_of_slot, state_w, trans_w,
                 labels, attrs_col, with_marginal,
+                emb_w=emb_w, embeddings_col=embeddings_col,
             )
             yield pd.concat([pdf[passthrough], res], axis=1)
 
     # hash the attribute strings BEFORE the repartition: the shuffle and
     # the Arrow hop move fixed-width int64 arrays, not feature strings
-    # (~2.7x smaller at the default template set)
+    # (~2.7x smaller at the default template set). __seq collapses the
+    # (possibly string-typed) sequence key to one int64 so the Python
+    # side detects group boundaries with integer compares instead of
+    # object-array equality; rows arrive sorted by the real key, so the
+    # hash only ever acts as an equality check between neighbours.
     hashed = F.expr(
         f"transform(`{attrs_col}`, a -> xxhash64(a))"
     ).alias(attrs_col)
+    seq_hash = F.xxhash64(*seq_cols).alias("__seq")
+    extra = [embeddings_col] if embeddings_col and embeddings_col not in passthrough else []
     ordered = (
-        tokens.select(*passthrough, hashed)
+        tokens.select(*passthrough, *extra, seq_hash, hashed)
         .repartition(n_part, *seq_cols)
         .sortWithinPartitions(*seq_cols, order_col)
     )

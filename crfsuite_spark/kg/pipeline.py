@@ -58,9 +58,13 @@ def tag_transcripts(
 ) -> DataFrame:
     cfg = cfg or PipelineConfig()
     feat = featurize_transcripts(transcripts, cfg)
+    # downstream (span assembly → relations → linking) only consumes the
+    # sequence key, order, token text and the predicted label — trimming
+    # the passthrough here shrinks the decode shuffle and both Arrow hops
     return decode(
         feat, model, seq_cols=SEQ_COLS, order_col="token_idx",
         with_marginal=cfg.with_marginal, num_partitions=cfg.num_partitions,
+        passthrough_cols=[*SEQ_COLS, "token_idx", "token"],
     )
 
 
@@ -76,7 +80,8 @@ def extract_triples(
     # subj join, obj join) and rels feed four — without the caches the
     # whole upstream decode UDF would re-run once per scan
     spans = assemble_spans(decoded, seq_cols=SEQ_COLS, order_col="token_idx").persist()
-    spans.count()  # exactly one decode pass populates the cache
+    spans.count()  # one decode pass fills the cache BEFORE the self-join
+    # below scans spans twice (REL side + entity side)
     rels = assemble_relations(
         spans, seq_cols=SEQ_COLS, predicate_map=predicate_map
     ).persist()

@@ -17,6 +17,19 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Python workers inherit this env (set before the JVM spawns them).
+    # The decode/train UDFs allocate multi-MB numpy tensors per Arrow
+    # batch; with glibc's default mmap threshold every batch becomes an
+    # mmap/munmap pair, and with many workers on one host the concurrent
+    # first-touch page faults serialize in the kernel (measured: 4x
+    # slowdown at 32 workers). Keeping large allocations on the heap
+    # (high mmap threshold, lazy trim) lets workers reuse pages.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+    # one BLAS thread per worker: Spark already runs one worker per core,
+    # so threaded numpy matmuls would oversubscribe the host
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -28,6 +41,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # propagate the allocator tuning to executor-spawned workers on
+        # real clusters too (local mode inherits via os.environ above)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

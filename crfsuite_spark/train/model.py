@@ -36,6 +36,13 @@ class CRFModel:
     state_w: np.ndarray  # [A, L] dense; zero where no feature
     trans_w: np.ndarray  # [L, L]
     meta: dict = field(default_factory=dict)
+    # real-valued attributes (the reference's `embeddings` matrix,
+    # R/modelling.R:131-139 / rcpp_crfsuite.cpp:91-99): one named
+    # dimension per column, state score contribution E[t] @ emb_w.
+    # Mathematically identical to the reference's (colname, value)
+    # attributes, stored dense because the vectors are dense.
+    emb_names: list[str] = field(default_factory=list)
+    emb_w: np.ndarray | None = None  # [D, L]
 
     @property
     def attr2id(self) -> dict[str, int]:
@@ -98,8 +105,16 @@ class CRFModel:
         states, trans = self.coefficients()
         states.to_parquet(os.path.join(path, "states.parquet"), index=False)
         trans.to_parquet(os.path.join(path, "transitions.parquet"), index=False)
+        if self.emb_w is not None:
+            d_idx, l_idx = np.nonzero(self.emb_w)
+            pd.DataFrame({
+                "dimension": [self.emb_names[i] for i in d_idx],
+                "label": [self.labels[j] for j in l_idx],
+                "weight": self.emb_w[d_idx, l_idx],
+            }).to_parquet(os.path.join(path, "emb_states.parquet"), index=False)
         with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump({"labels": self.labels, "meta": self.meta}, f, indent=1)
+            json.dump({"labels": self.labels, "meta": self.meta,
+                       "emb_names": self.emb_names}, f, indent=1)
 
     # --- S5 model scan ---
     @classmethod
@@ -124,8 +139,20 @@ class CRFModel:
                 trans["from_label"].map(l2i).to_numpy(),
                 trans["to_label"].map(l2i).to_numpy(),
             ] = trans["weight"].to_numpy()
+        emb_names = manifest.get("emb_names", [])
+        emb_w = None
+        emb_path = os.path.join(path, "emb_states.parquet")
+        if emb_names and os.path.exists(emb_path):
+            emb = pd.read_parquet(emb_path)
+            d2i = {d: i for i, d in enumerate(emb_names)}
+            emb_w = np.zeros((len(emb_names), L), dtype=np.float64)
+            emb_w[
+                emb["dimension"].map(d2i).to_numpy(),
+                emb["label"].map(l2i).to_numpy(),
+            ] = emb["weight"].to_numpy()
         return cls(labels=labels, attrs=attrs, state_w=state_w, trans_w=trans_w,
-                   meta=manifest.get("meta", {}))
+                   meta=manifest.get("meta", {}),
+                   emb_names=emb_names, emb_w=emb_w)
 
     def dump(self) -> str:
         """S6 human-readable text dump (crfsuite_model_dump analogue)."""

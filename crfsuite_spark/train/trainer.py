@@ -42,6 +42,7 @@ from crfsuite_spark.train.model import CRFModel
 FEATURIZED_SCHEMA = (
     "seq_id string, labels array<int>, aids array<int>, offsets array<int>"
 )
+FEATURIZED_SCHEMA_EMB = FEATURIZED_SCHEMA + ", embs array<double>"
 
 
 def generate_state_features(
@@ -77,18 +78,23 @@ def featurize_sequences(
     attrs_col: str = "attrs",
     label_col: str = "label",
     num_partitions: int | None = None,
+    embeddings_col: str | None = None,
 ) -> DataFrame:
     """Token rows → one row per sequence with int-id arrays.
 
     Unknown attributes are dropped (aid<0 skip, crfsuite.hpp:403-410).
     Output: (seq_id, labels array<int>, aids flat array<int>,
-    offsets array<int> of length T+1 into aids).
+    offsets array<int> of length T+1 into aids[, embs: the per-token
+    real-valued attribute vectors flattened per sequence —
+    R/modelling.R:131-139]).
     """
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     a2i_bc = spark.sparkContext.broadcast(attr2id)
     l2i_bc = spark.sparkContext.broadcast(label2id)
     keep = [*seq_cols, order_col, attrs_col] + ([label_col] if label_col else [])
+    if embeddings_col:
+        keep.append(embeddings_col)
 
     def fe(batches):
         a2i = a2i_bc.value
@@ -96,6 +102,9 @@ def featurize_sequences(
         for pdf in iter_sequence_frames(batches, seq_cols):
             bounds = group_bounds(pdf, seq_cols)
             rows = {"seq_id": [], "labels": [], "aids": [], "offsets": []}
+            if embeddings_col:
+                rows["embs"] = []
+                emb_all = pdf[embeddings_col].to_numpy()
             attrs_all = pdf[attrs_col].to_numpy()
             labels_all = (
                 pdf[label_col].map(l2i).to_numpy() if label_col else np.zeros(len(pdf))
@@ -113,6 +122,10 @@ def featurize_sequences(
                 rows["labels"].append(labels_all[s:e].astype(np.int32).tolist())
                 rows["aids"].append(aids)
                 rows["offsets"].append(offsets)
+                if embeddings_col:
+                    rows["embs"].append(
+                        np.concatenate([np.asarray(v, dtype=np.float64) for v in emb_all[s:e]]).tolist()
+                    )
             yield pd.DataFrame(rows)
 
     ordered = (
@@ -120,10 +133,11 @@ def featurize_sequences(
         .repartition(n_part, *seq_cols)
         .sortWithinPartitions(*seq_cols, order_col)
     )
-    return ordered.mapInPandas(fe, FEATURIZED_SCHEMA)
+    schema = FEATURIZED_SCHEMA_EMB if embeddings_col else FEATURIZED_SCHEMA
+    return ordered.mapInPandas(fe, schema)
 
 
-def _pack_batch(pdf: pd.DataFrame):
+def _pack_batch(pdf: pd.DataFrame, emb_dim: int = 0):
     """Concatenate a batch of sequence rows into flat numpy arrays."""
     lengths = pdf["labels"].map(len).to_numpy(dtype=np.int64)
     labels = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["labels"]])
@@ -137,7 +151,12 @@ def _pack_batch(pdf: pd.DataFrame):
         [np.diff(np.asarray(o, dtype=np.int64)) for o in pdf["offsets"]]
     )
     tok_offsets = np.concatenate([[0], np.cumsum(counts)])
-    return lengths, labels, aids, tok_offsets
+    embs = None
+    if emb_dim:
+        embs = np.concatenate(
+            [np.asarray(x, dtype=np.float64) for x in pdf["embs"]]
+        ).reshape(-1, emb_dim)
+    return lengths, labels, aids, tok_offsets, embs
 
 
 def batch_objective(
@@ -145,14 +164,19 @@ def batch_objective(
     labels: np.ndarray,
     aids: np.ndarray,
     tok_offsets: np.ndarray,
+    embs: np.ndarray | None,
     state_w: np.ndarray,
     trans_w: np.ndarray,
-) -> tuple[float, np.ndarray, np.ndarray]:
+    emb_w: np.ndarray | None = None,
+) -> tuple[float, np.ndarray, np.ndarray, np.ndarray | None]:
     """NLL loss + dense gradients for one packed batch of sequences.
 
-    Returns (loss, g_state [A, L], g_trans [L, L]) where gradient =
-    model expectation − observed counts (crf1d_encode.c:318-424,
-    893-945), all computed with the batched log-space kernel.
+    Returns (loss, g_state [A, L], g_trans [L, L], g_emb [D, L] | None)
+    where gradient = model expectation − observed counts
+    (crf1d_encode.c:318-424, 893-945), all computed with the batched
+    log-space kernel. ``embs [N, D]`` are the real-valued attributes
+    (reference embeddings, rcpp_crfsuite.cpp:91-99): score contribution
+    E @ emb_w, gradient Eᵀ(p − onehot(gold)).
     """
     A, L = state_w.shape
     B = len(lengths)
@@ -164,6 +188,8 @@ def batch_objective(
     S = np.zeros((N, L), dtype=np.float64)
     if len(aids):
         np.add.at(S, tok_of_aid, state_w[aids])
+    if embs is not None and emb_w is not None:
+        S += embs @ emb_w
     # pad to [B, T_max, L]
     T_max = int(lengths.max())
     starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
@@ -181,17 +207,22 @@ def batch_objective(
     loss = float(log_norm.sum() - gold_state - gold_trans)
     # gradient: state
     g_state = np.zeros((A, L), dtype=np.float64)
+    p_flat = p_state[seq_of_tok, pos_in_seq]  # [N, L]
     if len(aids):
-        p_flat = p_state[seq_of_tok, pos_in_seq]  # [N, L]
         np.add.at(g_state, aids, p_flat[tok_of_aid])  # model expectation (A4)
         np.add.at(
             g_state.reshape(-1), aids * L + labels[tok_of_aid], -1.0
         )  # observed (A3)
+    g_emb = None
+    if embs is not None and emb_w is not None:
+        m = p_flat.copy()
+        m[np.arange(N), labels] -= 1.0  # model expectation − observed
+        g_emb = embs.T @ m
     # gradient: transitions
     g_trans = p_trans.copy()
     if adj.any():
         np.add.at(g_trans.reshape(-1), prev_l * L + next_l, -1.0)
-    return loss, g_state, g_trans
+    return loss, g_state, g_trans, g_emb
 
 
 def train_crf(
@@ -206,11 +237,15 @@ def train_crf(
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     log: list | None = None,
+    embeddings_col: str | None = None,
 ) -> CRFModel:
     """Train a linear-chain CRF (method=lbfgs, the reference default).
 
     ``tokens``: one row per token with attrs_col array<string> and
     label_col gold BIO label. One Spark job per L-BFGS evaluation.
+    ``embeddings_col``: optional array<double> column of per-token
+    real-valued attributes (the reference's embeddings matrix,
+    R/modelling.R:16,131-139).
     """
     spark = tokens.sparkSession
     state_feats = generate_state_features(tokens, attrs_col, label_col, minfreq)
@@ -228,37 +263,48 @@ def train_crf(
         + state_feats["label"].map(label2id).to_numpy()
     )
     K = len(sf_flat)
+    D = 0
+    if embeddings_col:
+        D = int(tokens.select(F.size(embeddings_col)).first()[0])
 
     featurized = featurize_sequences(
         tokens, attr2id, label2id, seq_cols, order_col, attrs_col, label_col,
-        num_partitions,
+        num_partitions, embeddings_col=embeddings_col,
     ).persist()
     n_seq = featurized.count()  # materialize the cache
 
     sc = spark.sparkContext
-    dims_bc = sc.broadcast((A, L, sf_flat))
+    dims_bc = sc.broadcast((A, L, D, sf_flat))
+    n_params = K + D * L + L * L
 
     def fun_grad(w: np.ndarray) -> tuple[float, np.ndarray]:
         w_bc = sc.broadcast(w)
 
         def grad_batches(batches):
-            A_, L_, sf = dims_bc.value
+            A_, L_, D_, sf = dims_bc.value
             wv = w_bc.value
             state_w = np.zeros(A_ * L_, dtype=np.float64)
             state_w[sf] = wv[:K]
             state_w = state_w.reshape(A_, L_)
-            trans_w = wv[K:].reshape(L_, L_)
+            emb_w = wv[K:K + D_ * L_].reshape(D_, L_) if D_ else None
+            trans_w = wv[K + D_ * L_:].reshape(L_, L_)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                packed = _pack_batch(pdf)
-                loss, g_state, g_trans = batch_objective(*packed, state_w, trans_w)
-                g = np.concatenate([g_state.reshape(-1)[sf], g_trans.reshape(-1)])
+                packed = _pack_batch(pdf, emb_dim=D_)
+                loss, g_state, g_trans, g_emb = batch_objective(
+                    *packed, state_w, trans_w, emb_w
+                )
+                pieces = [g_state.reshape(-1)[sf]]
+                if D_:
+                    pieces.append(g_emb.reshape(-1))
+                pieces.append(g_trans.reshape(-1))
+                g = np.concatenate(pieces)
                 yield pd.DataFrame({"loss": [loss], "grad": [pickle.dumps(g)]})
 
         parts = featurized.mapInPandas(grad_batches, "loss double, grad binary").collect()
         loss = sum(r["loss"] for r in parts)
-        grad = np.zeros(K + L * L, dtype=np.float64)
+        grad = np.zeros(n_params, dtype=np.float64)
         for r in parts:
             grad += pickle.loads(r["grad"])
         w_bc.destroy()
@@ -276,7 +322,7 @@ def train_crf(
             np.save(f"{checkpoint_dir}/w_iter{it:04d}.npy", w)
 
     res = minimize_lbfgs(
-        fun_grad, np.zeros(K + L * L), max_iterations=max_iterations, callback=cb
+        fun_grad, np.zeros(n_params), max_iterations=max_iterations, callback=cb
     )
     featurized.unpersist()
 
@@ -286,7 +332,9 @@ def train_crf(
         labels=labels,
         attrs=attrs,
         state_w=state_w.reshape(A, L),
-        trans_w=res.x[K:].reshape(L, L),
+        trans_w=res.x[K + D * L:].reshape(L, L),
+        emb_names=[f"{embeddings_col}[{j}]" for j in range(D)],
+        emb_w=res.x[K:K + D * L].reshape(D, L) if D else None,
         meta={
             "n_sequences": int(n_seq),
             "n_state_features": int(K),

@@ -31,20 +31,39 @@ def test_gradient_matches_finite_differences():
     state_w = rng.normal(0, 0.5, size=(A, L))
     trans_w = rng.normal(0, 0.5, size=(L, L))
 
-    loss, g_state, g_trans = batch_objective(*packed, state_w, trans_w)
+    loss, g_state, g_trans, _ = batch_objective(*packed, None, state_w, trans_w)
     eps = 1e-6
     for idx in [(0, 0), (2, 1), (5, 2)]:
         sp = state_w.copy(); sp[idx] += eps
         sm = state_w.copy(); sm[idx] -= eps
-        fp, _, _ = batch_objective(*packed, sp, trans_w)
-        fm, _, _ = batch_objective(*packed, sm, trans_w)
+        fp, _, _, _ = batch_objective(*packed, None, sp, trans_w)
+        fm, _, _, _ = batch_objective(*packed, None, sm, trans_w)
         assert abs((fp - fm) / (2 * eps) - g_state[idx]) < 1e-5
     for idx in [(0, 1), (2, 2), (1, 0)]:
         tp = trans_w.copy(); tp[idx] += eps
         tm = trans_w.copy(); tm[idx] -= eps
-        fp, _, _ = batch_objective(*packed, state_w, tp)
-        fm, _, _ = batch_objective(*packed, state_w, tm)
+        fp, _, _, _ = batch_objective(*packed, None, state_w, tp)
+        fm, _, _, _ = batch_objective(*packed, None, state_w, tm)
         assert abs((fp - fm) / (2 * eps) - g_trans[idx]) < 1e-5
+
+
+def test_embedding_gradient_matches_finite_differences():
+    L, A, D = 3, 6, 4
+    packed = _rand_problem(seed=7, B=5, L=L, A=A)
+    N = int(packed[0].sum())
+    rng = np.random.default_rng(8)
+    embs = rng.normal(size=(N, D))
+    state_w = rng.normal(0, 0.5, size=(A, L))
+    trans_w = rng.normal(0, 0.5, size=(L, L))
+    emb_w = rng.normal(0, 0.5, size=(D, L))
+    loss, _, _, g_emb = batch_objective(*packed, embs, state_w, trans_w, emb_w)
+    eps = 1e-6
+    for idx in [(0, 0), (2, 1), (3, 2)]:
+        ep = emb_w.copy(); ep[idx] += eps
+        em = emb_w.copy(); em[idx] -= eps
+        fp, _, _, _ = batch_objective(*packed, embs, state_w, trans_w, ep)
+        fm, _, _, _ = batch_objective(*packed, embs, state_w, trans_w, em)
+        assert abs((fp - fm) / (2 * eps) - g_emb[idx]) < 1e-5
 
 
 def test_loss_is_nll():
@@ -54,7 +73,7 @@ def test_loss_is_nll():
     rng = np.random.default_rng(4)
     state_w = rng.normal(size=(A, L))
     trans_w = rng.normal(size=(L, L))
-    loss, _, _ = batch_objective(lengths, labels, aids, tok_offsets, state_w, trans_w)
+    loss, _, _, _ = batch_objective(lengths, labels, aids, tok_offsets, None, state_w, trans_w)
     expected = 0.0
     pos = 0
     tok = 0
@@ -128,3 +147,50 @@ def test_model_save_load_roundtrip(tmp_path, trained):
         t1.sort_values(["from_label", "to_label"])["weight"].to_numpy(),
         t2.sort_values(["from_label", "to_label"])["weight"].to_numpy(),
     )
+
+
+def test_train_decode_with_embeddings(spark):
+    """Embeddings-only signal: string attrs are constant (useless), the
+    label is recoverable only from the embedding vector — the reference
+    embeddings path (R/modelling.R:131-139) must carry the model."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    protos = {"O": [1.0, 0.0, 0.0], "B-X": [0.0, 1.0, 0.0], "I-X": [0.0, 0.0, 1.0]}
+    rows = []
+    for c in range(30):
+        for t in range(6):
+            lab = ["O", "B-X", "I-X"][int(rng.integers(0, 3))]
+            vec = (np.array(protos[lab]) + rng.normal(0, 0.1, 3)).tolist()
+            rows.append((f"c{c:02d}", 0, t, ["bias"], vec, lab))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "token_idx", "attrs", "emb", "label"])
+    df = spark.createDataFrame(pdf)
+    train = df.where(F.col("conv_id") < "c24")
+    test = df.where(F.col("conv_id") >= "c24")
+    model = train_crf(
+        train, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        c2=0.1, max_iterations=60, num_partitions=4, embeddings_col="emb",
+    )
+    assert model.emb_w is not None and model.emb_w.shape == (3, 3)
+    out = decode(
+        test, model, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        with_marginal=False, embeddings_col="emb",
+    ).toPandas()
+    gold = pdf[pdf["conv_id"] >= "c24"]
+    merged = out.merge(gold[["conv_id", "turn_idx", "token_idx", "label"]],
+                       on=["conv_id", "turn_idx", "token_idx"], suffixes=("_pred", "_gold"))
+    acc = (merged["label_pred"] == merged["label_gold"]).mean()
+    assert acc > 0.9, f"embedding-driven accuracy {acc}"
+
+
+def test_model_emb_save_load_roundtrip(tmp_path):
+    m = CRFModel(
+        labels=["A", "B"], attrs=["x"],
+        state_w=np.array([[1.0, 0.0]]), trans_w=np.zeros((2, 2)),
+        emb_names=["emb[0]", "emb[1]"], emb_w=np.array([[0.5, -0.5], [0.0, 2.0]]),
+    )
+    p = str(tmp_path / "m")
+    m.save(p)
+    loaded = CRFModel.load(p)
+    assert loaded.emb_names == m.emb_names
+    assert np.allclose(loaded.emb_w, m.emb_w)
