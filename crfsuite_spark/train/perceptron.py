@@ -1,0 +1,182 @@
+"""Averaged structured perceptron trainer (reference T3,
+src/crf/src/train_averaged_perceptron.c:106-245).
+
+Per-sequence update rule (train_averaged_perceptron.c:175-201): Viterbi-
+decode with current weights; on a mistake add φ(gold) − φ(pred); keep a
+running average ``wa = w − ws/c`` (203-205); stop when the training
+error ratio drops below epsilon.
+
+The reference is single-threaded and strictly sequential in the
+sequence order. A faithful-but-distributed re-architecture uses
+**iterative parameter mixing** (McDonald, Hall & Mann, NAACL 2010 — a
+published, public algorithm): each epoch, every partition runs the
+exact reference update loop over its own (cached, featurized)
+sequences starting from the broadcast mixed weights, then the driver
+averages the per-partition results weighted by sequence count. With a
+fixed partitioning this is deterministic run-to-run; with one
+partition it degenerates to the reference algorithm exactly.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from crfsuite_spark.kernel import crf
+from crfsuite_spark.train.model import CRFModel
+from crfsuite_spark.train.trainer import (
+    _pack_batch,
+    build_dicts,
+    featurize_sequences,
+    generate_state_features,
+)
+
+
+def _partition_pass(pdf: pd.DataFrame, w_state, w_trans, avg_state, avg_trans, counter):
+    """One sequential perceptron pass over a partition's sequences.
+
+    Mirrors train_averaged_perceptron.c:175-205: per sequence, Viterbi
+    with current weights; on error update w by (gold − pred) feature
+    deltas; the averaged weights accumulate c-weighted updates so
+    ``avg = w − ws/c`` holds without storing every intermediate w.
+    Returns (n_seq, label-ratio loss, counter).
+    """
+    lengths, labels, aids, tok_offsets, _ = _pack_batch(pdf)
+    loss = 0.0
+    tok = 0  # global token cursor
+    for b, T in enumerate(lengths):
+        T = int(T)
+        aid_lists = [
+            aids[tok_offsets[tok + t]: tok_offsets[tok + t + 1]] for t in range(T)
+        ]
+        state = crf.state_scores(aid_lists, w_state)
+        path, _ = crf.viterbi(state, w_trans)
+        gold = labels[tok: tok + T]
+        d = int((path != gold).sum())
+        if d:
+            # loss = ratio of wrongly predicted labels
+            # (train_averaged_perceptron.c:196-198)
+            loss += d / T
+            for t in range(T):
+                g, p = int(gold[t]), int(path[t])
+                if g != p:
+                    ids = aid_lists[t]
+                    w_state[ids, g] += 1.0
+                    w_state[ids, p] -= 1.0
+                    avg_state[ids, g] += counter
+                    avg_state[ids, p] -= counter
+                if t > 0:
+                    pg, pp = int(gold[t - 1]), int(path[t - 1])
+                    if (pg, g) != (pp, p):
+                        w_trans[pg, g] += 1.0
+                        w_trans[pp, p] -= 1.0
+                        avg_trans[pg, g] += counter
+                        avg_trans[pp, p] -= counter
+        counter += 1
+        tok += T
+    return len(lengths), loss, counter
+
+
+def train_perceptron(
+    tokens: DataFrame,
+    seq_cols: list[str],
+    order_col: str,
+    attrs_col: str = "attrs",
+    label_col: str = "label",
+    minfreq: float = 1.0,
+    max_iterations: int = 10,
+    epsilon: float = 0.0,
+    num_partitions: int | None = None,
+    log: list | None = None,
+) -> CRFModel:
+    """Distributed averaged perceptron via iterative parameter mixing."""
+    spark = tokens.sparkSession
+    sc = spark.sparkContext
+    state_feats = generate_state_features(tokens, attrs_col, label_col, minfreq)
+    label_values = [r[0] for r in tokens.select(label_col).distinct().collect()]
+    labels, attrs = build_dicts(state_feats, label_values)
+    label2id = {l: i for i, l in enumerate(labels)}
+    attr2id = {a: i for i, a in enumerate(attrs)}
+    A, L = len(attrs), len(labels)
+
+    featurized = featurize_sequences(
+        tokens, attr2id, label2id, seq_cols, order_col, attrs_col, label_col,
+        num_partitions,
+    ).persist()
+    n_seq = featurized.count()
+
+    w_state = np.zeros((A, L), dtype=np.float64)
+    w_trans = np.zeros((L, L), dtype=np.float64)
+    iter_log: list[dict] = log if log is not None else []
+
+    for it in range(max_iterations):
+        w_bc = sc.broadcast((w_state, w_trans))
+
+        def epoch(batches):
+            ws, wt = w_bc.value
+            ws = ws.copy()
+            wt = wt.copy()
+            avg_s = np.zeros_like(ws)
+            avg_t = np.zeros_like(wt)
+            counter = 1
+            n, loss = 0, 0.0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                dn, dloss, counter = _partition_pass(pdf, ws, wt, avg_s, avg_t, counter)
+                n += dn
+                loss += dloss
+            if n == 0:
+                return
+            # averaged weights for this partition: w − ws_acc/c
+            c = counter
+            aw_s = ws - avg_s / c
+            aw_t = wt - avg_t / c
+            yield pd.DataFrame({
+                "n": [n], "loss": [loss],
+                "w": [pickle.dumps((ws, wt, aw_s, aw_t))],
+            })
+
+        parts = featurized.mapInPandas(
+            epoch, "n long, loss double, w binary"
+        ).collect()
+        if not parts:
+            break
+        total = sum(r["n"] for r in parts)
+        loss = sum(r["loss"] for r in parts)
+        # parameter mixing: sequence-count-weighted average of partition
+        # weights (McDonald et al. 2010)
+        w_state = np.zeros((A, L), dtype=np.float64)
+        w_trans = np.zeros((L, L), dtype=np.float64)
+        aw_state = np.zeros((A, L), dtype=np.float64)
+        aw_trans = np.zeros((L, L), dtype=np.float64)
+        for r in parts:
+            ws, wt, aw_s, aw_t = pickle.loads(r["w"])
+            frac = r["n"] / total
+            w_state += frac * ws
+            w_trans += frac * wt
+            aw_state += frac * aw_s
+            aw_trans += frac * aw_t
+        # convergence: loss/N < epsilon (train_averaged_perceptron.c:221)
+        ratio = loss / total if total else 0.0
+        iter_log.append({"iter": it, "loss": float(loss), "error_ratio": ratio})
+        w_bc.destroy()
+        if ratio <= epsilon:
+            w_state, w_trans = aw_state, aw_trans
+            break
+    else:
+        w_state, w_trans = aw_state, aw_trans
+
+    featurized.unpersist()
+    return CRFModel(
+        labels=labels, attrs=attrs, state_w=w_state, trans_w=w_trans,
+        meta={
+            "method": "averaged-perceptron",
+            "n_sequences": int(n_seq),
+            "n_iterations": len(iter_log),
+            "final_error_ratio": iter_log[-1]["error_ratio"] if iter_log else None,
+        },
+    )

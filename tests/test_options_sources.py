@@ -1,0 +1,97 @@
+"""T6/T7/T8 (options, holdout eval, grid tuning) + S1/S2 readers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crfsuite_spark.train.options import (
+    crf_options,
+    holdout_evaluation,
+    holdout_split,
+    tune_crf,
+)
+from crfsuite_spark.sources.conll import read_conll, read_wikiner
+
+
+def test_crf_options_registry():
+    opts = {o.name: o for o in crf_options("lbfgs")}
+    assert opts["c2"].default == 1.0
+    assert opts["num_memories"].default == 6
+    assert opts["epsilon"].default == 1e-5
+    ap = {o.name: o for o in crf_options("averaged-perceptron")}
+    assert "max_iterations" in ap
+    with pytest.raises(ValueError):
+        crf_options("nope")
+
+
+def test_holdout_split_partitions_groups(spark, synth):
+    df = spark.createDataFrame(synth.tokens)
+    tr, ho = holdout_split(df, "conv_id", k=4, fold=1)
+    tr_convs = {r[0] for r in tr.select("conv_id").distinct().collect()}
+    ho_convs = {r[0] for r in ho.select("conv_id").distinct().collect()}
+    assert tr_convs and ho_convs
+    assert not (tr_convs & ho_convs)
+    assert tr.count() + ho.count() == df.count()
+
+
+@pytest.fixture(scope="module")
+def small_feat(spark, synth):
+    from crfsuite_spark.functions.templates import cbind_attributes
+
+    toks = spark.createDataFrame(synth.tokens)
+    return cbind_attributes(
+        toks, terms=["token"], by=["conv_id", "turn_idx"],
+        order_col="token_idx", from_offset=-1, to_offset=1, ngram_max=1,
+    ).persist()
+
+
+def test_holdout_evaluation_and_tuning(spark, small_feat):
+    results = tune_crf(
+        small_feat, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        grid={"c2": [0.1, 1.0]}, k=4, fold=0,
+        max_iterations=25, num_partitions=4,
+    )
+    assert len(results) == 2
+    assert results[0]["f1_weighted"] >= results[1]["f1_weighted"]
+    assert results[0]["f1_weighted"] > 0.8
+    # T6 directly: evaluation dict shape
+    tr, ho = holdout_split(small_feat, "conv_id", k=4, fold=0)
+    ev = holdout_evaluation(
+        results[0]["model"], ho, ["conv_id", "turn_idx"], "token_idx"
+    )
+    assert {"precision_weighted", "recall_weighted", "accuracy"} <= set(ev["overall"])
+    assert not ev["bylabel"].empty
+
+
+CONLL = """-DOCSTART- -X- O
+De Art O
+tekst N O
+. Punc O
+
+Antwerpen N B-LOC
+is V O
+
+-DOCSTART- -X- O
+Jan N B-PER
+Peeters N I-PER
+"""
+
+
+def test_read_conll(spark, tmp_path):
+    p = tmp_path / "ned.train"
+    p.write_text(CONLL)
+    df = read_conll(spark, str(p)).toPandas().sort_values(["doc_id", "sentence_id", "token_id"])
+    assert list(df["token"]) == ["De", "tekst", ".", "Antwerpen", "is", "Jan", "Peeters"]
+    assert df["doc_id"].nunique() == 2
+    # sentence boundaries: blank line splits doc 1 into two sentences
+    d1 = df[df["doc_id"] == 1]
+    assert d1["sentence_id"].nunique() == 2
+    assert list(df[df["token"] == "Peeters"]["label"]) == ["I-PER"]
+    assert list(d1["token_id"])[:3] == [1, 2, 3]
+
+
+def test_read_wikiner(spark, tmp_path):
+    p = tmp_path / "wikiner.txt"
+    p.write_text("Jan|NNP|B-PER gaat|V|O\nnaar|Prep|O Gent|N|B-LOC\n")
+    df = read_wikiner(spark, str(p)).toPandas().sort_values(["sentence_id", "token_id"])
+    assert list(df["token"]) == ["Jan", "gaat", "naar", "Gent"]
+    assert list(df["label"]) == ["B-PER", "O", "O", "B-LOC"]

@@ -194,3 +194,30 @@ def test_model_emb_save_load_roundtrip(tmp_path):
     loaded = CRFModel.load(p)
     assert loaded.emb_names == m.emb_names
     assert np.allclose(loaded.emb_w, m.emb_w)
+
+
+def test_averaged_perceptron_fits(spark, featurized_tokens, synth):
+    from crfsuite_spark.train.perceptron import train_perceptron
+
+    convs = sorted(r[0] for r in featurized_tokens.select("conv_id").distinct().collect())
+    holdout = set(convs[: max(2, len(convs) // 5)])
+    train_df = featurized_tokens.where(~F.col("conv_id").isin(list(holdout)))
+    log = []
+    model = train_perceptron(
+        train_df, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        max_iterations=8, num_partitions=4, log=log,
+    )
+    assert model.meta["method"] == "averaged-perceptron"
+    assert log and log[-1]["error_ratio"] <= log[0]["error_ratio"]
+    test_df = featurized_tokens.where(F.col("conv_id").isin(list(holdout)))
+    out = decode(
+        test_df, model, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        with_marginal=False,
+    ).toPandas()
+    gold = synth.tokens[synth.tokens["conv_id"].isin(holdout)]
+    merged = out.merge(
+        gold[["conv_id", "turn_idx", "token_idx", "label"]],
+        on=["conv_id", "turn_idx", "token_idx"], suffixes=("_pred", "_gold"),
+    )
+    acc = (merged["label_pred"] == merged["label_gold"]).mean()
+    assert acc > 0.9, f"perceptron heldout accuracy {acc}"
