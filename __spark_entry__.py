@@ -410,6 +410,70 @@ def q_mm_image_features(spark, sf):
                       F.round(F.element_at("features", 1), 6).alias("f0"))
 
 
+
+
+def q_a2_feature_refs(spark, sf):
+    """A2: per-source adjacency lists (feature-reference index build,
+    crf1d_feature.c:259-352) — group ids per key, sorted."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("event_id")).alias("ids"))
+        .select("event_type", F.size("ids").alias("n"),
+                F.slice("ids", 1, 5).alias("first_ids"))
+    )
+
+
+def q_a10_max_seq_len(spark, sf):
+    """A10: max sequence length over the dataset (crfsuite.c:302-311)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("T"))
+        .agg(F.max("T").alias("max_len"), F.avg("T").alias("avg_len"),
+             F.count(F.lit(1)).alias("n_seqs"))
+        .select("max_len", F.round("avg_len", 6).alias("avg_len"), "n_seqs")
+    )
+
+
+def q_o3_head_sample(spark, sf):
+    """O3: deterministic head-n document sampling (R/data.R:65-68)."""
+    d = _t(spark, sf, "documents")
+    return d.orderBy("doc_id").limit(25).select("doc_id", "lang", "n_chars")
+
+
+def q_p11_label_recode(spark, sf):
+    """P11: label recode via a literal map (R/evaluation.R:71-81)."""
+    recode = {"click": "interact", "view": "interact", "purchase": "convert"}
+    m = F.create_map(*[F.lit(x) for kv in recode.items() for x in kv])
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(F.coalesce(m.getItem(F.col("event_type")),
+                             F.col("event_type")).alias("event_class"))
+        .groupBy("event_class").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_sp_holdout_fold(spark, sf):
+    """§2.7 holdout split by group id (dataset.c:44-86): fold sizes."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.pmod(F.col("doc_id"), F.lit(5)).alias("fold"))
+        .groupBy("fold").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_w2_ngram_trigram(spark, sf):
+    """W2: ngram paste of shifted columns with NA propagation
+    (R/feature_engineering.R:92-104 + txt_sprintf NULL rule)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    l1 = F.lag("event_type", 1).over(w)
+    l2 = F.lag("event_type", 2).over(w)
+    tri = F.when(l1.isNotNull() & l2.isNotNull(),
+                 F.concat_ws("-", l2, l1, F.col("event_type")))
+    return ev.select("user_id", "event_id", tri.alias("trigram"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_window_lag_lead": q_w1_window_lag_lead,
@@ -435,6 +499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_topk": q_sim_ann_topk,
         "mm_image_features": q_mm_image_features,
+        "a2_feature_refs": q_a2_feature_refs,
+        "a10_max_seq_len": q_a10_max_seq_len,
+        "o3_head_sample": q_o3_head_sample,
+        "p11_label_recode": q_p11_label_recode,
+        "sp_holdout_fold": q_sp_holdout_fold,
+        "w2_ngram_trigram": q_w2_ngram_trigram,
     }
 
 
@@ -622,5 +692,42 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS changed
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
             GROUP BY 1, 2, 3
+        """,
+        "a2_feature_refs": """
+            WITH g AS (
+              SELECT event_type, list_sort(list(event_id)) AS ids
+              FROM events GROUP BY event_type)
+            SELECT event_type, len(ids) AS n, ids[1:5] AS first_ids FROM g
+        """,
+        "a10_max_seq_len": """
+            WITH t AS (SELECT l_orderkey, count(*) AS T FROM lineitem GROUP BY 1)
+            SELECT max(T) AS max_len, round(avg(T), 6) AS avg_len,
+                   count(*) AS n_seqs FROM t
+        """,
+        "o3_head_sample": """
+            SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id LIMIT 25
+        """,
+        "p11_label_recode": """
+            SELECT CASE event_type
+                     WHEN 'click' THEN 'interact'
+                     WHEN 'view' THEN 'interact'
+                     WHEN 'purchase' THEN 'convert'
+                     ELSE event_type END AS event_class,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "sp_holdout_fold": """
+            SELECT doc_id % 5 AS fold, count(*) AS n FROM documents GROUP BY 1
+        """,
+        "w2_ngram_trigram": """
+            SELECT user_id, event_id,
+                   CASE WHEN l1 IS NOT NULL AND l2 IS NOT NULL
+                        THEN l2 || '-' || l1 || '-' || event_type END AS trigram
+            FROM (
+              SELECT user_id, event_id, event_type,
+                     lag(event_type, 1) OVER w AS l1,
+                     lag(event_type, 2) OVER w AS l2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
         """,
     }

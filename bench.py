@@ -191,12 +191,19 @@ def run_scaling(sf_dir: str) -> None:
     # the scaling comparison needs a compute-bound slice: big enough that
     # per-core work, not scheduler fixed costs, dominates at 4N cores
     tsf = os.environ.get("SPARK_GRAFT_TRANSCRIPT_SF", "10.0")
+    n_cpus = os.cpu_count() or 32
     for cores in (8, 32):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_SF_DIR=sf_dir,
                    SPARK_GRAFT_TRANSCRIPT_SF=tsf)
+        # bind the N-core run to N physical CPUs: otherwise the single
+        # JVM's GC/shuffle/IO helper threads silently use the whole host
+        # and local[8] measures an 8-task-slot/32-CPU hybrid, not an
+        # 8-core executor — taskset makes it an honest N-executor stand-in
+        cmd = [sys.executable, __file__, "--one", "kg_pipeline"]
+        if cores < n_cpus:
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         p = subprocess.run(
-            [sys.executable, __file__, "--one", "kg_pipeline"],
-            capture_output=True, text=True, env=env, cwd=REPO,
+            cmd, capture_output=True, text=True, env=env, cwd=REPO,
         )
         line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
         rows[cores] = json.loads(line)
