@@ -232,6 +232,7 @@ def train_crf(
     attrs_col: str = "attrs",
     label_col: str = "label",
     minfreq: float = 1.0,
+    c1: float = 0.0,
     c2: float = 1.0,
     max_iterations: int = 100,
     num_partitions: int | None = None,
@@ -245,7 +246,9 @@ def train_crf(
     label_col gold BIO label. One Spark job per L-BFGS evaluation.
     ``embeddings_col``: optional array<double> column of per-token
     real-valued attributes (the reference's embeddings matrix,
-    R/modelling.R:16,131-139).
+    R/modelling.R:16,131-139). ``c1`` > 0 adds L1 regularization via
+    OWL-QN exactly like the reference (train_lbfgs.c:289-291 sets
+    orthantwise_c = c1 and forces backtracking line search).
     """
     spark = tokens.sparkSession
     state_feats = generate_state_features(tokens, attrs_col, label_col, minfreq)
@@ -322,7 +325,8 @@ def train_crf(
             np.save(f"{checkpoint_dir}/w_iter{it:04d}.npy", w)
 
     res = minimize_lbfgs(
-        fun_grad, np.zeros(n_params), max_iterations=max_iterations, callback=cb
+        fun_grad, np.zeros(n_params), max_iterations=max_iterations, callback=cb,
+        l1_c=c1,
     )
     featurized.unpersist()
 
@@ -341,6 +345,7 @@ def train_crf(
             "n_iterations": res.n_iter,
             "final_loss": float(res.fun),
             "converged": bool(res.converged),
+            "c1": c1,
             "c2": c2,
             "minfreq": minfreq,
         },

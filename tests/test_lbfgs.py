@@ -53,3 +53,22 @@ def test_rosenbrock_reaches_optimum():
 
     res = minimize_lbfgs(fg, np.array([-1.2, 1.0]), max_iterations=500, epsilon=1e-10)
     np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-4)
+
+
+def test_owlqn_l1_produces_exact_zeros():
+    """OWL-QN on 0.5||x - b||^2 + c1||x||_1 has the closed-form
+    soft-threshold solution x* = sign(b) * max(|b| - c1, 0)."""
+    import numpy as np
+    from crfsuite_spark.kernel.lbfgs import minimize_lbfgs
+
+    b = np.array([3.0, -2.0, 0.5, -0.3, 0.0, 1.5])
+    c1 = 1.0
+
+    def fg(x):
+        return 0.5 * float((x - b) @ (x - b)), x - b
+
+    res = minimize_lbfgs(fg, np.zeros_like(b), max_iterations=200, l1_c=c1)
+    expected = np.sign(b) * np.maximum(np.abs(b) - c1, 0.0)
+    assert np.allclose(res.x, expected, atol=1e-4), (res.x, expected)
+    # exact zeros, not tiny values
+    assert (res.x[2] == 0.0) and (res.x[3] == 0.0) and (res.x[4] == 0.0)

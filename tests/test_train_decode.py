@@ -221,3 +221,16 @@ def test_averaged_perceptron_fits(spark, featurized_tokens, synth):
     )
     acc = (merged["label_pred"] == merged["label_gold"]).mean()
     assert acc > 0.9, f"perceptron heldout accuracy {acc}"
+
+
+def test_l1_training_sparsifies(spark, featurized_tokens):
+    """c1 > 0 (OWL-QN, train_lbfgs.c:289-291) yields a sparser state
+    weight matrix than pure L2 at equal iterations."""
+    sub = featurized_tokens.where(F.col("conv_id") < "conv_00010")
+    dense = train_crf(sub, ["conv_id", "turn_idx"], "token_idx",
+                      c2=0.1, max_iterations=40, num_partitions=4)
+    sparse = train_crf(sub, ["conv_id", "turn_idx"], "token_idx",
+                       c1=1.0, c2=0.0, max_iterations=40, num_partitions=4)
+    nz_dense = int((dense.state_w != 0).sum())
+    nz_sparse = int((sparse.state_w != 0).sum())
+    assert nz_sparse < nz_dense * 0.8, (nz_sparse, nz_dense)
