@@ -1,0 +1,76 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+Deployment shape mandated by the north rule: the job ships as
+
+    spark-submit --py-files crfsuite_spark.zip jobs/run_kg_pipeline.py \
+        --transcripts <path-or-table> --model <model-dir> \
+        --alias-dict <path> --output <graph-dir> \
+        [--epoch N] [--buckets 256] [--partitions 4096]
+
+on a multi-executor cluster. Build the zip with:
+
+    cd /root/repo && python -m zipfile -c crfsuite_spark.zip crfsuite_spark
+
+The job is idempotent: triple buckets already committed in the output
+manifest are skipped, so a crashed/killed run resumes where it stopped
+(kg/triples.py). Reads are plain ``spark.read.parquet``; point
+``--transcripts`` at an Iceberg table name (``catalog.db.table``) and
+the same plan runs against Iceberg snapshots when the runtime has the
+Iceberg catalog configured — nothing in the pipeline is
+format-specific.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--transcripts", required=True,
+                    help="parquet path or Iceberg table of (conv_id, turn_idx, role, text, tool, ts)")
+    ap.add_argument("--model", required=True, help="CRFModel directory (states/transitions parquet)")
+    ap.add_argument("--alias-dict", required=True,
+                    help="parquet path of (alias, canonical_id, canonical_name, entity_type, weight)")
+    ap.add_argument("--output", required=True, help="output graph table directory")
+    ap.add_argument("--epoch", type=int, default=0, help="lineage epoch recorded in manifests")
+    ap.add_argument("--buckets", type=int, default=256, help="output hash buckets (conv_id)")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="decode parallelism (default: spark.default.parallelism)")
+    ap.add_argument("--no-fuzzy", action="store_true", help="disable MinHash-LSH fuzzy linking")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or SparkSession.builder.appName("kg-pipeline").getOrCreate()
+
+    from crfsuite_spark.kg.pipeline import PipelineConfig, run_pipeline
+    from crfsuite_spark.kg.triples import materialize
+    from crfsuite_spark.train.model import CRFModel
+
+    def read(path):
+        return (spark.read.table(path) if "." in path and "/" not in path
+                else spark.read.parquet(path))
+
+    t0 = time.time()
+    transcripts = read(args.transcripts)
+    alias = read(args.alias_dict)
+    model = CRFModel.load(args.model)
+    cfg = PipelineConfig(num_partitions=args.partitions,
+                         fuzzy_linking=not args.no_fuzzy)
+    triples = run_pipeline(transcripts, model, alias, cfg)
+    report = materialize(triples, args.output, n_buckets=args.buckets,
+                         epoch=args.epoch)
+    report["seconds"] = round(time.time() - t0, 1)
+    print(json.dumps(report))
+    if existing is None:  # owned session (real spark-submit run)
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

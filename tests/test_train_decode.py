@@ -234,3 +234,29 @@ def test_l1_training_sparsifies(spark, featurized_tokens):
     nz_dense = int((dense.state_w != 0).sum())
     nz_sparse = int((sparse.state_w != 0).sum())
     assert nz_sparse < nz_dense * 0.8, (nz_sparse, nz_dense)
+
+
+@pytest.mark.parametrize("method", ["pa1", "arow"])
+def test_online_trainers_fit(spark, featurized_tokens, synth, method):
+    from crfsuite_spark.train.online import train_online
+
+    convs = sorted(r[0] for r in featurized_tokens.select("conv_id").distinct().collect())
+    holdout = set(convs[: max(2, len(convs) // 5)])
+    train_df = featurized_tokens.where(~F.col("conv_id").isin(list(holdout)))
+    model = train_online(
+        train_df, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        method=method, max_iterations=6, num_partitions=4,
+    )
+    assert model.meta["method"] == method
+    test_df = featurized_tokens.where(F.col("conv_id").isin(list(holdout)))
+    out = decode(
+        test_df, model, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        with_marginal=False,
+    ).toPandas()
+    gold = synth.tokens[synth.tokens["conv_id"].isin(holdout)]
+    merged = out.merge(
+        gold[["conv_id", "turn_idx", "token_idx", "label"]],
+        on=["conv_id", "turn_idx", "token_idx"], suffixes=("_pred", "_gold"),
+    )
+    acc = (merged["label_pred"] == merged["label_gold"]).mean()
+    assert acc > 0.85, f"{method} heldout accuracy {acc}"
