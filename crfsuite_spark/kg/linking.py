@@ -100,6 +100,46 @@ def link_mentions(
     ).drop("__norm")
 
 
+def canonicalize_surrogates(
+    linked: DataFrame,
+    jaccard_threshold: float = 0.85,
+) -> DataFrame:
+    """North-star canonicalization stage: cluster surrogate ids
+    (``unk:<surface>`` — mentions the dictionary could not link) whose
+    surfaces are near-duplicates, via MinHash-LSH similarity edges →
+    connected components (kg/canonicalize.py). Dictionary-linked ids
+    are already canonical and pass through untouched.
+
+    Input: (surface, canonical_id, link_method) from
+    :func:`link_mentions`. Returns the same frame with ``canonical_id``
+    rewritten to the cluster representative (min id) for surrogates.
+    """
+    from crfsuite_spark.kg.canonicalize import connected_components
+    from crfsuite_spark.operators.minhash import minhash_self_pairs
+
+    unk = linked.where(F.col("link_method") == "surrogate").select(
+        "canonical_id"
+    ).distinct()
+    edges = minhash_self_pairs(
+        unk.withColumn("__s", F.expr("substring(canonical_id, 5)")),
+        "canonical_id", "__s",
+        n_hashes=32, bands=8, shingle_size=3,
+        jaccard_threshold=jaccard_threshold,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    if not edges.take(1):
+        return linked
+    cc = connected_components(edges)
+    remap = F.broadcast(
+        cc.select(F.col("node").alias("canonical_id"),
+                  F.col("component").alias("__canon"))
+    )
+    return (
+        linked.join(remap, "canonical_id", "left")
+        .withColumn("canonical_id", F.coalesce("__canon", "canonical_id"))
+        .drop("__canon")
+    )
+
+
 def _fuzzy_link(
     misses: DataFrame, alias_dict: DataFrame, threshold: float
 ) -> DataFrame:

@@ -41,6 +41,10 @@ class PipelineConfig:
     num_partitions: int | None = None
     fuzzy_linking: bool = True
     with_marginal: bool = False
+    # cluster unlinkable surrogate ids whose surfaces are near-duplicates
+    # (MinHash edges -> connected components); dictionary ids untouched
+    canonicalize: bool = True
+    canon_threshold: float = 0.85
 
 
 def featurize_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -97,6 +101,11 @@ def extract_triples(
         surfaces, alias_dict, surface_col="surface", fuzzy=cfg.fuzzy_linking
     ).select("surface", "canonical_id", "link_method").persist()
     linked.count()  # materialize: exactly one decode pass through the cache
+    if cfg.canonicalize:
+        from crfsuite_spark.kg.linking import canonicalize_surrogates
+
+        # operates on the cached link table (tiny: distinct surfaces)
+        linked = canonicalize_surrogates(linked, cfg.canon_threshold).persist()
     out = (
         rels.join(
             F.broadcast(linked.withColumnRenamed("surface", "subj_surface")

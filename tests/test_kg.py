@@ -149,3 +149,31 @@ def test_e2e_triples_from_model_heldout(spark, synth):
     assert ev["overall"]["precision_weighted"] >= 0.95
     assert ev["overall"]["recall_weighted"] >= 0.95
     feat.unpersist()
+
+
+def test_canonicalize_surrogates(spark):
+    """unk: surrogates with near-duplicate surfaces merge to one cluster
+    id; dictionary-linked ids pass through untouched."""
+    from crfsuite_spark.kg.linking import canonicalize_surrogates
+
+    rows = [
+        ("Acme Corporation", "unk:acme corporation", "surrogate"),
+        ("Acme Corporatoin", "unk:acme corporatoin", "surrogate"),   # typo near-dup
+        ("acme corporation inc", "unk:acme corporation inc", "surrogate"),
+        ("Zeta Systems", "unk:zeta systems", "surrogate"),           # unrelated
+        ("Dave Miller", "per:dave_miller", "exact"),
+    ]
+    linked = spark.createDataFrame(
+        rows, "surface string, canonical_id string, link_method string"
+    )
+    out = canonicalize_surrogates(linked, jaccard_threshold=0.5).toPandas()
+    by_surface = dict(zip(out["surface"], out["canonical_id"]))
+    # dictionary id untouched
+    assert by_surface["Dave Miller"] == "per:dave_miller"
+    # the three acme variants collapse to ONE representative (min id)
+    acme = {by_surface["Acme Corporation"], by_surface["Acme Corporatoin"],
+            by_surface["acme corporation inc"]}
+    assert len(acme) == 1, acme
+    # unrelated surrogate keeps its own id
+    assert by_surface["Zeta Systems"] == "unk:zeta systems"
+    assert by_surface["Zeta Systems"] not in acme
