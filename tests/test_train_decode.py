@@ -260,3 +260,30 @@ def test_online_trainers_fit(spark, featurized_tokens, synth, method):
     )
     acc = (merged["label_pred"] == merged["label_gold"]).mean()
     assert acc > 0.85, f"{method} heldout accuracy {acc}"
+
+
+def test_l2sgd_fits(spark, featurized_tokens, synth):
+    from crfsuite_spark.train.l2sgd import train_l2sgd
+
+    convs = sorted(r[0] for r in featurized_tokens.select("conv_id").distinct().collect())
+    holdout = set(convs[: max(2, len(convs) // 5)])
+    train_df = featurized_tokens.where(~F.col("conv_id").isin(list(holdout)))
+    log = []
+    model = train_l2sgd(
+        train_df, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        c2=1.0, max_iterations=10, num_partitions=4, log=log,
+    )
+    assert model.meta["method"] == "l2sgd"
+    assert log and log[-1]["loss"] <= log[0]["loss"]
+    test_df = featurized_tokens.where(F.col("conv_id").isin(list(holdout)))
+    out = decode(
+        test_df, model, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        with_marginal=False,
+    ).toPandas()
+    gold = synth.tokens[synth.tokens["conv_id"].isin(holdout)]
+    merged = out.merge(
+        gold[["conv_id", "turn_idx", "token_idx", "label"]],
+        on=["conv_id", "turn_idx", "token_idx"], suffixes=("_pred", "_gold"),
+    )
+    acc = (merged["label_pred"] == merged["label_gold"]).mean()
+    assert acc > 0.9, f"l2sgd heldout accuracy {acc}"
