@@ -1,0 +1,92 @@
+"""Physical-plan shape assertions — the scale contract.
+
+These tests pin the properties that make the 100 TB plan work:
+filters reach the parquet scan, projection pruning reaches ReadSchema,
+the whole feature-template stage costs exactly one Exchange, decode
+adds no second shuffle on top of the template window, and dictionary
+joins broadcast instead of shuffling the big side.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*lang.*\]", plan), plan
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "text" not in m.group(1), m.group(1)  # unused column pruned
+
+
+def test_feature_templates_single_exchange(spark, synth):
+    from crfsuite_spark.functions.templates import cbind_attributes
+
+    toks = spark.createDataFrame(synth.tokens)
+    feat = cbind_attributes(
+        toks, terms=["token", "pos"], by=["conv_id", "turn_idx"],
+        order_col="token_idx", from_offset=-2, to_offset=2, ngram_max=2,
+    )
+    plan = _plan(feat)
+    n_exchange = plan.count("Exchange")
+    assert n_exchange == 1, f"feature templates should cost exactly one shuffle, got {n_exchange}\n{plan}"
+
+
+def test_decode_adds_no_extra_shuffle(spark, synth, lexicon_model):
+    """The decode repartition matches the template window's partitioning
+    (same keys, same partition count), so Catalyst elides it: the whole
+    featurize→decode chain is ONE Exchange."""
+    from crfsuite_spark.decode.tagger import decode
+    from crfsuite_spark.functions.templates import cbind_attributes
+
+    toks = spark.createDataFrame(synth.tokens)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    feat = cbind_attributes(
+        toks, terms=["token"], by=["conv_id", "turn_idx"],
+        order_col="token_idx", from_offset=-1, to_offset=1, ngram_max=1,
+    )
+    out = decode(feat, lexicon_model, ["conv_id", "turn_idx"], "token_idx",
+                 with_marginal=False, num_partitions=n_part)
+    plan = _plan(out)
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 1, f"decode chain should reuse the window shuffle, got {n_exchange}\n{plan}"
+
+
+def test_linking_broadcasts_dictionary(spark):
+    from crfsuite_spark.datagen.transcripts import build_alias_dict
+    from crfsuite_spark.kg.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("Dave Miller",), ("acme",)], "surface string"
+    )
+    alias = spark.createDataFrame(build_alias_dict())
+    out = link_mentions(mentions, alias, fuzzy=False)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q1_whole_stage_codegen(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = (li.groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum("l_quantity").alias("sum_qty")))
+    q.collect()  # AQE only finalizes (and shows codegen spans) on execution
+    plan = _plan(q)
+    assert "isFinalPlan=true" in plan, plan
+    # "*(n)" node prefixes are the WholeStageCodegen stage markers
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
