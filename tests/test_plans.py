@@ -56,13 +56,17 @@ def test_decode_adds_no_extra_shuffle(spark, synth, lexicon_model):
 
     toks = spark.createDataFrame(synth.tokens)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the extra filter keeps the plan distinct from other tests' persisted
+    # frames — otherwise the cache manager substitutes an InMemoryRelation
+    # whose stored child plan double-prints its own Exchange
     feat = cbind_attributes(
-        toks, terms=["token"], by=["conv_id", "turn_idx"],
+        toks.where(F.col("token_idx") >= 0), terms=["token"],
+        by=["conv_id", "turn_idx"],
         order_col="token_idx", from_offset=-1, to_offset=1, ngram_max=1,
     )
     out = decode(feat, lexicon_model, ["conv_id", "turn_idx"], "token_idx",
                  with_marginal=False, num_partitions=n_part)
-    plan = _plan(out)
+    plan = _plan(out).split("== Initial Plan ==")[0]
     n_exchange = plan.count("Exchange")
     assert n_exchange <= 1, f"decode chain should reuse the window shuffle, got {n_exchange}\n{plan}"
 
