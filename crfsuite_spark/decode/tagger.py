@@ -115,11 +115,25 @@ def decode(
     num_partitions: int | None = None,
     passthrough_cols: list[str] | None = None,
     embeddings_col: str | None = None,
+    max_seq_len: int | None = None,
+    overlap: int = 16,
 ) -> DataFrame:
     """Viterbi-tag every sequence; returns token rows + label
     [+ marginal + seq_prob]. ``embeddings_col``: optional array<double>
     real-valued attribute column scored against the model's emb_w
-    (reference embeddings path, R/modelling.R:278-301)."""
+    (reference embeddings path, R/modelling.R:278-301).
+
+    ``max_seq_len``: hot-skew safety valve. Sequences longer than the
+    cap are split into chunks of that length, each decoded with
+    ``overlap`` extra context tokens on both sides; every row's label
+    is taken from its OWN chunk (the overlap rows exist only to warm
+    the Viterbi lattice at the boundary). This bounds padded-tensor
+    memory for a pathological million-token sequence and keeps one hot
+    sequence from pinning a partition. Exact for label chains whose
+    Viterbi influence horizon is shorter than ``overlap`` (in practice
+    all NER-style chains); requires ``order_col`` to be dense 0-based
+    within a sequence. Marginals/seq_prob of split sequences are
+    per-chunk quantities."""
     from crfsuite_spark.operators.sequences import group_bounds, iter_sequence_frames
 
     spark = tokens.sparkSession
@@ -142,11 +156,12 @@ def decode(
             model.emb_w if embeddings_col else None,
         )
     )
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in tokens.schema.fields
-        if f.name in passthrough
-    )
+    if max_seq_len:
+        # the chunk-ownership marker travels through the UDF with the row
+        passthrough = [*passthrough, "__own"]
+    types = {f.name: f.dataType.simpleString() for f in tokens.schema.fields}
+    types["__own"] = "boolean"
+    out_schema = ", ".join(f"`{c}` {types[c]}" for c in passthrough)
     out_schema += ", label string"
     if with_marginal:
         out_schema += ", marginal double, seq_prob double"
@@ -172,8 +187,35 @@ def decode(
     hashed = F.expr(
         f"transform(`{attrs_col}`, a -> xxhash64(a))"
     ).alias(attrs_col)
-    seq_hash = F.xxhash64(*seq_cols).alias("__seq")
     extra = [embeddings_col] if embeddings_col and embeddings_col not in passthrough else []
+    if max_seq_len:
+        core = int(max_seq_len)
+        o = int(overlap)
+        own = F.floor(F.col(order_col) / core)
+        pos = F.col(order_col) % core
+        # each row decodes in its own chunk; rows near a boundary also
+        # feed the neighbouring chunk's lattice as context
+        chunk_ids = F.array_compact(F.array(
+            own,
+            F.when(pos < o, own - 1),
+            F.when(pos >= core - o, own + 1),
+        ))
+        base_cols = [c for c in passthrough if c != "__own"]
+        split = (
+            tokens.select(*base_cols, *extra, hashed)
+            .withColumn("__chunk", F.explode(chunk_ids))
+            .where(F.col("__chunk") >= 0)
+            .withColumn("__own", (own == F.col("__chunk")).cast("boolean"))
+        )
+        seq_hash = F.xxhash64(*seq_cols, "__chunk").alias("__seq")
+        ordered = (
+            split.select(*split.columns, seq_hash)
+            .repartition(n_part, *seq_cols, "__chunk")
+            .sortWithinPartitions(*seq_cols, "__chunk", order_col)
+        )
+        out = ordered.mapInPandas(run, out_schema)
+        return out.where(F.col("__own")).drop("__own")
+    seq_hash = F.xxhash64(*seq_cols).alias("__seq")
     ordered = (
         tokens.select(*passthrough, *extra, seq_hash, hashed)
         .repartition(n_part, *seq_cols)

@@ -287,3 +287,29 @@ def test_l2sgd_fits(spark, featurized_tokens, synth):
     )
     acc = (merged["label_pred"] == merged["label_gold"]).mean()
     assert acc > 0.9, f"l2sgd heldout accuracy {acc}"
+
+
+def test_long_sequence_cap_and_split(spark, featurized_tokens, trained):
+    """Hot-skew safety valve: capping sequence length and decoding in
+    overlapped chunks reproduces the uncapped Viterbi labels (the
+    influence horizon of an NER chain is far below the overlap)."""
+    import pandas as pd
+
+    model, _ = trained
+    # build ONE long sequence by concatenating many turns of a conv
+    toks = featurized_tokens.where(F.col("conv_id") == "conv_00001").toPandas()
+    toks = toks.sort_values(["turn_idx", "token_idx"]).reset_index(drop=True)
+    toks["turn_idx"] = 0
+    toks["token_idx"] = range(len(toks))
+    long_df = spark.createDataFrame(toks)
+    full = decode(
+        long_df, model, ["conv_id", "turn_idx"], "token_idx",
+        with_marginal=False,
+    ).toPandas().sort_values("token_idx")
+    split = decode(
+        long_df, model, ["conv_id", "turn_idx"], "token_idx",
+        with_marginal=False, max_seq_len=16, overlap=8,
+    ).toPandas().sort_values("token_idx")
+    assert len(split) == len(full) == len(toks)
+    agree = (full["label"].to_numpy() == split["label"].to_numpy()).mean()
+    assert agree >= 0.99, f"split decode agreement {agree}"
