@@ -110,6 +110,18 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
         )
         alias = spark.createDataFrame(build_alias_dict())
         extract_triples(tag_transcripts(tiny, lexicon_model()), alias).count()
+        # touch the operator paths too (tiny inputs): minhash HOFs,
+        # vector arithmetic, regex analysis — so their codegen/classload
+        # cost lands here, not in the timed sections
+        from crfsuite_spark.functions import analysis as an
+        from crfsuite_spark.operators.minhash import minhash_self_pairs
+
+        d100 = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+        minhash_self_pairs(d100, "doc_id", "text", 32, 8, 5, 0.8).count()
+        d100.select(an.quality_score("text"), an.lang_id("text")).count()
+        import __spark_entry__ as em
+
+        em.q_sim_cosine_topk(spark, sf_dir).limit(1).count()
 
     _warmup()
 

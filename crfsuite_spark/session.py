@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # 10 MB default is calibrated for small executors; at 4+ GB per
+        # core a 64 MB dictionary/shingle table is still a cheap
+        # broadcast and saves a sort-merge shuffle of the big side
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # propagate the allocator tuning to executor-spawned workers on
         # real clusters too (local mode inherits via os.environ above)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
