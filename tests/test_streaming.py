@@ -70,3 +70,40 @@ def test_streaming_turn_stats_watermark(spark, staged, tmp_path):
     # append mode only emits windows closed by the watermark; schema is the contract
     assert got.columns == ["start", "end", "conv_id", "n_turns", "n_chars"]
     assert got.count() >= 0
+
+
+def test_stateful_conversation_entity_state(spark, synth, staged, tmp_path):
+    """applyInPandasWithState: per-conversation running entity counts
+    merged across micro-batches, state keyed and bounded per conv."""
+    from crfsuite_spark.datagen.transcripts import PERSONS
+    from crfsuite_spark.streaming.ingest import stream_transcripts
+    from crfsuite_spark.streaming.stateful import conversation_entity_state
+
+    root, src = staged
+    lexicon = {a.split()[0] for aliases in PERSONS.values() for a in aliases}  # first names
+    stream = stream_transcripts(spark, src, max_files_per_trigger=1)
+    out = conversation_entity_state(stream.select("conv_id", "turn_idx", "text"), lexicon)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql(
+        "SELECT conv_id, n_turns, max_turn, n_distinct_entities, top_entity "
+        "FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY conv_id ORDER BY n_turns DESC) AS rn FROM conv_state) "
+        "WHERE rn = 1"
+    ).toPandas()
+    gold = synth.transcripts.groupby("conv_id").agg(
+        n=("turn_idx", "size"), mx=("turn_idx", "max")
+    )
+    assert len(res) == len(gold)
+    merged = res.set_index("conv_id").join(gold)
+    # final state per conversation saw every turn exactly once
+    assert (merged["n_turns"] == merged["n"]).all()
+    assert (merged["max_turn"] == merged["mx"]).all()
+    assert (res["n_distinct_entities"] > 0).any()
