@@ -70,16 +70,30 @@ def materialize(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "data"))
     )
-    counts = {
-        r["bucket"]: r["n"]
-        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    stats = {
+        r["bucket"]: r
+        for r in bucketed.groupBy("bucket").agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("subj").alias("n_subj"),
+            F.approx_count_distinct("obj").alias("n_obj"),
+            F.approx_count_distinct("pred").alias("n_pred"),
+            F.approx_count_distinct("conv_id").alias("n_convs"),
+        ).collect()
     }
     for b in todo:
+        s = stats.get(b)
         rec = {
             "bucket": b,
-            "rows": int(counts.get(b, 0)),
+            "rows": int(s["n"]) if s else 0,
             "epoch": epoch,
             "committed_at": time.time(),
+            # per-partition metrics (north rule: lineage + metrics)
+            "metrics": {
+                "distinct_subjects": int(s["n_subj"]) if s else 0,
+                "distinct_objects": int(s["n_obj"]) if s else 0,
+                "distinct_predicates": int(s["n_pred"]) if s else 0,
+                "distinct_conversations": int(s["n_convs"]) if s else 0,
+            },
         }
         with open(os.path.join(_manifest_dir(path), f"bucket={b}.json"), "w") as f:
             json.dump(rec, f)
