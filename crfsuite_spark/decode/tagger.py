@@ -117,6 +117,7 @@ def decode(
     embeddings_col: str | None = None,
     max_seq_len: int | None = None,
     overlap: int = 16,
+    attrs_hashed: bool = False,
 ) -> DataFrame:
     """Viterbi-tag every sequence; returns token rows + label
     [+ marginal + seq_prob]. ``embeddings_col``: optional array<double>
@@ -133,7 +134,11 @@ def decode(
     Viterbi influence horizon is shorter than ``overlap`` (in practice
     all NER-style chains); requires ``order_col`` to be dense 0-based
     within a sequence. Marginals/seq_prob of split sequences are
-    per-chunk quantities."""
+    per-chunk quantities.
+
+    ``attrs_hashed``: the attrs column is already ``array<bigint>``
+    produced by ``cbind_attribute_hashes`` — skip the string hashing
+    and resolve against the model's pair-basis hash table."""
     from crfsuite_spark.operators.sequences import group_bounds, iter_sequence_frames
 
     spark = tokens.sparkSession
@@ -145,7 +150,9 @@ def decode(
     ]
     # the partition key and sort column must survive the projection
     passthrough = list(dict.fromkeys([*seq_cols, order_col, *passthrough]))
-    sorted_h, row_of_slot = model.attr_hash_table(spark)
+    sorted_h, row_of_slot = model.attr_hash_table(
+        spark, basis="pair" if attrs_hashed else "string"
+    )
     bc = sc.broadcast(
         (
             sorted_h,
@@ -184,9 +191,12 @@ def decode(
     # side detects group boundaries with integer compares instead of
     # object-array equality; rows arrive sorted by the real key, so the
     # hash only ever acts as an equality check between neighbours.
-    hashed = F.expr(
-        f"transform(`{attrs_col}`, a -> xxhash64(a))"
-    ).alias(attrs_col)
+    if attrs_hashed:
+        hashed = F.col(attrs_col)
+    else:
+        hashed = F.expr(
+            f"transform(`{attrs_col}`, a -> xxhash64(a))"
+        ).alias(attrs_col)
     extra = [embeddings_col] if embeddings_col and embeddings_col not in passthrough else []
     if max_seq_len:
         core = int(max_seq_len)

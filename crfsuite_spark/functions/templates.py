@@ -96,3 +96,70 @@ def cbind_attributes(
     if not keep_attr_cols:
         out = out.drop(*attr_names)
     return out
+
+
+def cbind_attribute_hashes(
+    df: DataFrame,
+    terms: list[str],
+    by: list[str],
+    order_col: str,
+    from_offset: int = -2,
+    to_offset: int = 2,
+    ngram_max: int = 3,
+    sep: str = "-",
+    bos_eos: bool = True,
+    out_col: str = "attrs",
+) -> DataFrame:
+    """Decode-path twin of :func:`cbind_attributes` that never
+    materializes the ``name=value`` attribute strings: each feature is
+    emitted directly as ``xxhash64(name, value)`` (or ``xxhash64(attr)``
+    for the '='-less BOS/EOS markers), yielding ``array<bigint>``.
+
+    The hash basis matches ``CRFModel.attr_hash_table(basis="pair")``,
+    which splits the model's stored attribute strings at the first '='
+    and hashes the (name, value) pair the same way — so a model trained
+    through the string templates decodes identically through this path
+    while the hot loop skips ~500 bytes of string building per token.
+    NULL values yield no feature (NA-drop, rcpp_crfsuite.cpp:87-89).
+    """
+    w = Window.partitionBy(*by).orderBy(order_col)
+    hash_exprs = []
+    for term in terms:
+        level1: list[tuple[str, "F.Column"]] = []
+        for off in range(from_offset, to_offset + 1):
+            name = f"{term}[t{'' if off == 0 else ('%+d' % off)}]"
+            if off < 0:
+                shifted = F.lag(term, -off).over(w)
+            elif off > 0:
+                shifted = F.lead(term, off).over(w)
+            else:
+                shifted = F.col(term)
+            level1.append((name, shifted))
+            hash_exprs.append(
+                F.when(shifted.isNull(), F.lit(None).cast("long")).otherwise(
+                    F.xxhash64(F.lit(name), shifted.cast("string"))
+                )
+            )
+        for size in range(2, min(ngram_max, len(level1)) + 1):
+            for combo in combinations(level1, size):
+                name = sep.join(n for n, _ in combo)
+                parts = [e for _, e in combo]
+                null_any = parts[0].isNull()
+                for p in parts[1:]:
+                    null_any = null_any | p.isNull()
+                hash_exprs.append(
+                    F.when(null_any, F.lit(None).cast("long")).otherwise(
+                        F.xxhash64(F.lit(name), F.concat_ws(sep, *parts))
+                    )
+                )
+    out = df
+    if bos_eos:
+        rn = F.row_number().over(w)
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*by))
+        hash_exprs.append(
+            F.when(rn - 1 <= 1, F.xxhash64(F.format_string("BOS+%d", rn - 1)))
+        )
+        hash_exprs.append(
+            F.when(cnt - rn <= 1, F.xxhash64(F.format_string("EOS-%d", cnt - rn)))
+        )
+    return out.withColumn(out_col, F.array_compact(F.array(*hash_exprs)))

@@ -64,7 +64,11 @@ def tag_transcripts(
     feat = featurize_transcripts(transcripts, cfg)
     # downstream (span assembly → relations → linking) only consumes the
     # sequence key, order, token text and the predicted label — trimming
-    # the passthrough here shrinks the decode shuffle and both Arrow hops
+    # the passthrough here shrinks the decode shuffle and both Arrow hops.
+    # (A hash-native template twin exists — cbind_attribute_hashes +
+    # decode(attrs_hashed=True), label-identical by test — but at this
+    # template set the window shuffle dominates and the string build is
+    # noise, so the pipeline keeps the single canonical feature source.)
     return decode(
         feat, model, seq_cols=SEQ_COLS, order_col="token_idx",
         with_marginal=cfg.with_marginal, num_partitions=cfg.num_partitions,

@@ -48,7 +48,7 @@ class CRFModel:
     def attr2id(self) -> dict[str, int]:
         return {a: i for i, a in enumerate(self.attrs)}
 
-    def attr_hash_table(self, spark) -> tuple[np.ndarray, np.ndarray]:
+    def attr_hash_table(self, spark, basis: str = "string") -> tuple[np.ndarray, np.ndarray]:
         """(sorted xxhash64 of attrs, attr-row index per sorted slot).
 
         Decode hashes attribute strings JVM-side (``xxhash64``) before
@@ -60,23 +60,45 @@ class CRFModel:
         (cached on the model). A 64-bit collision among model
         attributes is astronomically unlikely; we fail loudly if the
         sky falls.
+
+        ``basis="string"`` hashes the full attribute string (for attrs
+        columns holding ``name=value`` strings); ``basis="pair"``
+        splits at the first '=' and hashes ``xxhash64(name, value)``
+        (``xxhash64(attr)`` when there is no '='), matching
+        ``cbind_attribute_hashes`` which never builds the strings.
         """
-        cache = getattr(self, "_attr_hash_cache", None)
-        if cache is None:
+        caches = getattr(self, "_attr_hash_cache", None)
+        if caches is None or not isinstance(caches, dict):
+            caches = {}
+            self._attr_hash_cache = caches
+        if basis not in caches:
             from pyspark.sql import functions as F
 
-            df = spark.createDataFrame(pd.DataFrame({"a": self.attrs}))
+            if basis == "string":
+                df = spark.createDataFrame(pd.DataFrame({"a": self.attrs}))
+                hashed = df.select(F.xxhash64("a"))
+            elif basis == "pair":
+                split = [a.split("=", 1) for a in self.attrs]
+                df = spark.createDataFrame(pd.DataFrame({
+                    "n": [s[0] for s in split],
+                    "v": [s[1] if len(s) == 2 else None for s in split],
+                }))
+                hashed = df.select(
+                    F.when(F.col("v").isNull(), F.xxhash64("n"))
+                    .otherwise(F.xxhash64("n", "v"))
+                )
+            else:
+                raise ValueError(f"unknown hash basis {basis!r}")
             h = np.fromiter(
-                (r[0] for r in df.select(F.xxhash64("a")).collect()),
+                (r[0] for r in hashed.collect()),
                 dtype=np.int64, count=len(self.attrs),
             )
             order = np.argsort(h, kind="stable").astype(np.int64)
             sh = h[order]
             if len(sh) > 1 and (sh[1:] == sh[:-1]).any():
                 raise ValueError("xxhash64 collision among model attributes")
-            cache = (sh, order)
-            self._attr_hash_cache = cache
-        return cache
+            caches[basis] = (sh, order)
+        return caches[basis]
 
     @property
     def label2id(self) -> dict[str, int]:

@@ -37,12 +37,15 @@ def test_filter_pushdown_and_column_pruning(spark):
 def test_feature_templates_single_exchange(spark, synth):
     from crfsuite_spark.functions.templates import cbind_attributes
 
-    toks = spark.createDataFrame(synth.tokens)
+    # the filter keeps this plan distinct from other tests' persisted
+    # identical frames (cache substitution double-prints the cached
+    # child plan's Exchange)
+    toks = spark.createDataFrame(synth.tokens).where(F.col("token_idx") >= 0)
     feat = cbind_attributes(
         toks, terms=["token", "pos"], by=["conv_id", "turn_idx"],
         order_col="token_idx", from_offset=-2, to_offset=2, ngram_max=2,
     )
-    plan = _plan(feat)
+    plan = _plan(feat).split("== Initial Plan ==")[0]
     n_exchange = plan.count("Exchange")
     assert n_exchange == 1, f"feature templates should cost exactly one shuffle, got {n_exchange}\n{plan}"
 

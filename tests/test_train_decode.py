@@ -313,3 +313,32 @@ def test_long_sequence_cap_and_split(spark, featurized_tokens, trained):
     assert len(split) == len(full) == len(toks)
     agree = (full["label"].to_numpy() == split["label"].to_numpy()).mean()
     assert agree >= 0.99, f"split decode agreement {agree}"
+
+
+def test_hashed_templates_decode_identical(spark, featurized_tokens, synth, trained):
+    """The hash-native template path (xxhash64(name, value), no attr
+    strings) must produce IDENTICAL labels to the string-template path
+    for the same trained model."""
+    from crfsuite_spark.functions.templates import cbind_attribute_hashes
+
+    model, holdout = trained
+    toks = spark.createDataFrame(synth.tokens).where(
+        F.col("conv_id").isin(list(holdout))
+    )
+    via_strings = decode(
+        featurized_tokens.where(F.col("conv_id").isin(list(holdout))),
+        model, ["conv_id", "turn_idx"], "token_idx", with_marginal=False,
+    ).toPandas()
+    hashed_feat = cbind_attribute_hashes(
+        toks, terms=["token", "pos"], by=["conv_id", "turn_idx"],
+        order_col="token_idx", from_offset=-2, to_offset=2, ngram_max=2,
+    )
+    via_hashes = decode(
+        hashed_feat, model, ["conv_id", "turn_idx"], "token_idx",
+        with_marginal=False, attrs_hashed=True,
+    ).toPandas()
+    key = ["conv_id", "turn_idx", "token_idx"]
+    merged = via_strings.merge(via_hashes[key + ["label"]], on=key,
+                               suffixes=("_s", "_h"))
+    assert len(merged) == len(via_strings) == len(via_hashes)
+    assert (merged["label_s"] == merged["label_h"]).all()
