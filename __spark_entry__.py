@@ -129,7 +129,8 @@ def q_a6_confusion(spark, sf):
 
 
 def q_a8_label_prf(spark, sf):
-    """A8: per-label precision/recall/F1 + support (one-vs-rest)."""
+    """A8: per-label precision/recall/specificity + support (one-vs-rest
+    2×2 collapse, R/evaluation.R:2-22)."""
     o = _t(spark, sf, "orders")
     df = o.select(
         F.col("o_orderstatus").alias("gold"),
@@ -142,17 +143,53 @@ def q_a8_label_prf(spark, sf):
         .groupBy(F.col("gold").alias("label"))
         .agg(F.count(F.lit(1)).alias("tp"))
     )
-    out = (
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    j = (
         gold.join(pred, "label", "full")
         .join(tp, "label", "left")
+        .crossJoin(F.broadcast(total))
         .select(
             "label",
             F.coalesce("support", F.lit(0)).alias("support"),
-            F.round(F.coalesce(F.col("tp") / F.col("n_pred"), F.lit(0.0)), 6).alias("precision"),
-            F.round(F.coalesce(F.col("tp") / F.col("support"), F.lit(0.0)), 6).alias("recall"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            "total",
         )
     )
+    # tn = total - support - fp where fp = n_pred - tp
+    tn = F.col("total") - F.col("support") - (F.col("n_pred") - F.col("tp"))
+    out = j.select(
+        "label",
+        F.col("support").cast("bigint").alias("support"),
+        F.round(
+            F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0), 6
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("support") > 0, F.col("tp") / F.col("support")).otherwise(0.0), 6
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("total") > F.col("support"), tn / (F.col("total") - F.col("support"))).otherwise(0.0), 6
+        ).alias("specificity"),
+    )
     return out
+
+
+def q_a7_instance_accuracy(spark, sf):
+    """A7: whole-sequence (instance) accuracy — fraction of sequences with
+    every token predicted correctly (crfsuite.c:388-391)."""
+    li = _t(spark, sf, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        F.col("l_linestatus").alias("gold"),
+        F.when(F.col("l_quantity") > 25, "O").otherwise("F").alias("pred"),
+    )
+    per_seq = df.groupBy("l_orderkey").agg(
+        F.min((F.col("gold") == F.col("pred")).cast("int")).alias("ok")
+    )
+    return per_seq.agg(
+        F.round(F.avg("ok"), 6).alias("instance_acc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+    )
 
 
 def q_j1_chunk_range_join(spark, sf):
@@ -244,11 +281,13 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    """n-gram Jaccard similarity join (word bigrams, ≥ 0.5)."""
+    """n-gram Jaccard similarity join (word bigrams, ≥ 0.5) with the
+    hot-shingle skew guard ON (max_shingle_df) — the form that survives
+    the quadratic blowup at scale; the oracle mirrors the guard."""
     from crfsuite_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    out = ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.5, max_shingle_df=None)
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.5, max_shingle_df=1000)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -286,17 +325,22 @@ def q_sim_cosine_topk(spark, sf):
 
 
 def q_ev_sessionize(spark, sf):
-    """Sessionization: 30-min-gap sessions per user (stream-window analogue)."""
+    """Sessionization: 30-min-gap sessions per user (stream-window analogue).
+
+    Gap computed in epoch milliseconds (both engines truncate µs→ms the
+    same way) and every aggregate cast to BIGINT so the driver's
+    value-hash sees identical representations (DuckDB sum() is HUGEINT)."""
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
-    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # ts is TIMESTAMP_NTZ; session TZ is UTC
+    gap = ms(F.col("ts")) - ms(F.lag("ts", 1).over(w))
+    starts = F.when(gap.isNull() | (gap > 1800 * 1000), 1).otherwise(0)
     return (
         ev.withColumn("is_start", starts)
         .groupBy("user_id")
         .agg(
-            F.sum("is_start").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_start").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
 
@@ -312,10 +356,10 @@ def q_ev_run_groups(spark, sf):
     ).otherwise(0)
     runs = ev.withColumn(
         "run_id",
-        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
     )
     return runs.groupBy("user_id", "run_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n_events")
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
     )
 
 
@@ -378,11 +422,22 @@ def q_dedup_minhash(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash fingerprints (32-bit) per document."""
+    """SimHash fingerprints (32-bit) per document, portable md5-based
+    token hash so DuckDB reproduces the exact bit pattern."""
     from crfsuite_spark.operators.dedup import simhash
 
     d = _t(spark, sf, "documents")
-    return simhash(d, "doc_id", "text")
+    return simhash(d, "doc_id", "text", hash_fn="md5_32")
+
+
+def q_dedup_simhash_near(spark, sf):
+    """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole banding
+    (4 bands of 8 bits; the oracle brute-forces all pairs)."""
+    from crfsuite_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf, "documents")
+    out = simhash_near_pairs(d, "doc_id", "text", max_hamming=3, hash_fn="md5_32")
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_sim_ann_topk(spark, sf):
@@ -414,14 +469,30 @@ def q_mm_image_features(spark, sf):
 
 def q_a2_feature_refs(spark, sf):
     """A2: per-source adjacency lists (feature-reference index build,
-    crf1d_feature.c:259-352) — group ids per key, sorted."""
+    crf1d_feature.c:259-352) — group sizes + the 5 smallest ids per key.
+
+    Bounded state: counts are a plain agg; the head-5 sample comes from a
+    row_number window (streaming per key, no unbounded collect_list), and
+    the list is emitted as a comma-joined STRING so the driver harness can
+    canonicalize it (pandas cannot sort/hash array cells)."""
     ev = _t(spark, sf, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.array_sort(F.collect_list("event_id")).alias("ids"))
-        .select("event_type", F.size("ids").alias("n"),
-                F.slice("ids", 1, 5).alias("first_ids"))
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    head = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("event_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("first_ids")
+        )
     )
+    return counts.join(head, "event_type").select("event_type", "n", "first_ids")
 
 
 def q_a10_max_seq_len(spark, sf):
@@ -483,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1t_transition_pairs": q_a1t_transition_pairs,
         "a6_confusion": q_a6_confusion,
         "a8_label_prf": q_a8_label_prf,
+        "a7_instance_accuracy": q_a7_instance_accuracy,
         "j1_chunk_range_join": q_j1_chunk_range_join,
         "o1_coef_sort": q_o1_coef_sort,
         "o4_argmax_per_group": q_o4_argmax_per_group,
@@ -497,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_synthetic": q_kg_triples_synthetic,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "sim_ann_topk": q_sim_ann_topk,
         "mm_image_features": q_mm_image_features,
         "a2_feature_refs": q_a2_feature_refs,
@@ -559,13 +632,36 @@ def oracle_sql() -> dict[str, str]:
               FROM orders),
             g AS (SELECT gold AS label, count(*) AS support FROM df GROUP BY 1),
             p AS (SELECT pred AS label, count(*) AS n_pred FROM df GROUP BY 1),
-            t AS (SELECT gold AS label, count(*) AS tp FROM df WHERE gold = pred GROUP BY 1)
-            SELECT coalesce(g.label, p.label) AS label,
-                   coalesce(g.support, 0) AS support,
-                   round(coalesce(t.tp * 1.0 / p.n_pred, 0), 6) AS precision,
-                   round(coalesce(t.tp * 1.0 / g.support, 0), 6) AS recall
-            FROM g FULL JOIN p ON g.label = p.label
-            LEFT JOIN t ON coalesce(g.label, p.label) = t.label
+            t AS (SELECT gold AS label, count(*) AS tp FROM df WHERE gold = pred GROUP BY 1),
+            tot AS (SELECT count(*) AS total FROM df),
+            j AS (
+              SELECT coalesce(g.label, p.label) AS label,
+                     coalesce(g.support, 0) AS support,
+                     coalesce(p.n_pred, 0) AS n_pred,
+                     coalesce(t.tp, 0) AS tp,
+                     tot.total AS total
+              FROM g FULL JOIN p ON g.label = p.label
+              LEFT JOIN t ON coalesce(g.label, p.label) = t.label
+              CROSS JOIN tot)
+            SELECT label,
+                   CAST(support AS BIGINT) AS support,
+                   round(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0 END, 6) AS precision,
+                   round(CASE WHEN support > 0 THEN tp * 1.0 / support ELSE 0 END, 6) AS recall,
+                   round(CASE WHEN total > support
+                              THEN (total - support - (n_pred - tp)) * 1.0 / (total - support)
+                              ELSE 0 END, 6) AS specificity
+            FROM j
+        """,
+        "a7_instance_accuracy": """
+            WITH per_seq AS (
+              SELECT l_orderkey,
+                     min(CASE WHEN l_linestatus =
+                              (CASE WHEN l_quantity > 25 THEN 'O' ELSE 'F' END)
+                         THEN 1 ELSE 0 END) AS ok
+              FROM lineitem GROUP BY 1)
+            SELECT round(avg(ok), 6) AS instance_acc,
+                   CAST(count(*) AS BIGINT) AS n_seqs
+            FROM per_seq
         """,
         "j1_chunk_range_join": """
             WITH chunks AS (
@@ -626,9 +722,14 @@ def oracle_sql() -> dict[str, str]:
               FROM w),
             e AS (SELECT doc_id, unnest(s) AS g FROM sh),
             sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1),
+            -- hot-shingle guard (max_shingle_df=1000): doc sizes keep the
+            -- full shingle sets, only the pair join drops hot shingles
+            cold AS (
+              SELECT doc_id, g FROM e
+              WHERE g IN (SELECT g FROM e GROUP BY g HAVING count(*) <= 1000)),
             common AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-              FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+              FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b,
                    round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
@@ -672,19 +773,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
         "ev_sessionize": """
-            SELECT user_id, sum(is_start) AS n_sessions, count(*) AS n_events FROM (
+            SELECT user_id,
+                   CAST(sum(is_start) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events FROM (
               SELECT user_id,
                      CASE WHEN lag(ts) OVER w IS NULL
-                               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800 * 1000
                           THEN 1 ELSE 0 END AS is_start
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             GROUP BY user_id
         """,
         "ev_run_groups": """
-            SELECT user_id, run_id, event_type, count(*) AS n_events FROM (
+            SELECT user_id, run_id, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events FROM (
               SELECT user_id, event_type,
-                     sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS run_id
+                     CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
               FROM (
                 SELECT user_id, event_type, ts, event_id,
                        CASE WHEN lag(event_type) OVER w IS NULL
@@ -694,10 +798,56 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
         "a2_feature_refs": """
-            WITH g AS (
-              SELECT event_type, list_sort(list(event_id)) AS ids
-              FROM events GROUP BY event_type)
-            SELECT event_type, len(ids) AS n, ids[1:5] AS first_ids FROM g
+            WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+            r AS (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+              FROM events)
+            SELECT c.event_type, CAST(c.n AS BIGINT) AS n,
+                   string_agg(CAST(r.event_id AS VARCHAR), ',' ORDER BY r.event_id) AS first_ids
+            FROM c JOIN r ON c.event_type = r.event_type AND r.rn <= 5
+            GROUP BY 1, 2
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+              FROM documents),
+            tt AS (
+              SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+              FROM toks WHERE t <> ''),
+            votes AS (
+              SELECT doc_id, r.j,
+                     sum(CASE WHEN (h >> CAST(r.j AS INTEGER)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS s
+              FROM tt, range(0, 32) r(j) GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                            THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY 1
+        """,
+        "dedup_simhash_near": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+              FROM documents),
+            tt AS (
+              SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+              FROM toks WHERE t <> ''),
+            votes AS (
+              SELECT doc_id, r.j,
+                     sum(CASE WHEN (h >> CAST(r.j AS INTEGER)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS s
+              FROM tt, range(0, 32) r(j) GROUP BY 1, 2),
+            sim AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0
+                              THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                              ELSE 0 END) AS BIGINT) AS fp
+              FROM votes GROUP BY 1)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
         """,
         "a10_max_seq_len": """
             WITH t AS (SELECT l_orderkey, count(*) AS T FROM lineitem GROUP BY 1)

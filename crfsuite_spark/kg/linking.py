@@ -42,13 +42,16 @@ def link_mentions(
     ``alias_dict``: (alias, canonical_id, canonical_name, entity_type,
     weight) — alias already normalized.
     """
+    spark = mentions.sparkSession
     m = mentions.withColumn("__norm", normalize_surface(surface_col))
     # normalize the dictionary side with the SAME normalizer as mentions
-    # (aliases may carry punctuation, e.g. "ms. johnson")
+    # (aliases may carry punctuation, e.g. "ms. johnson"); NULL weights are
+    # coerced to -inf so they lose every tie-break instead of winning the
+    # ascending struct comparison
     d = alias_dict.select(
         normalize_surface("alias").alias("__norm"),
         "canonical_id",
-        F.col("weight").alias("__w"),
+        F.coalesce(F.col("weight").cast("double"), F.lit(float("-inf"))).alias("__w"),
     )
     joined = m.join(F.broadcast(d), "__norm", "left")
     # disambiguate multi-entity aliases: max weight, then lexicographic id.
@@ -67,37 +70,45 @@ def link_mentions(
                 ),
             ).alias("canonical_id")
         )
-        .withColumn(
-            "link_method",
-            F.when(F.col("canonical_id").isNotNull(), F.lit("exact")),
-        )
-        .persist()  # feeds hits + misses + the fuzzy chain: compute once
     )
-    hits = exact.where(F.col("canonical_id").isNotNull())
-    misses = exact.where(F.col("canonical_id").isNull()).drop(
-        "canonical_id", "link_method"
-    )
-    # materialize the (persisted) exact pass once and skip the whole
-    # LSH chain when the dictionary covered everything — the common case
-    # on converged alias dictionaries, and it keeps the fuzzy stages off
-    # the critical path
-    if fuzzy and misses.limit(1).count() == 0:
-        fuzzy = False
+    # fuzzy link table: one row per distinct missed surface. Deriving it
+    # re-runs a column-pruned pass over the mention aggregation (cheap: the
+    # scan reads only the surface column) instead of persisting the full
+    # exact frame — persists here leaked across calls and pinned the whole
+    # mention stream in cache. The result is tiny (distinct surfaces) and is
+    # collected to the driver, exactly what the broadcast join below would
+    # ship anyway.
+    best = None
     if fuzzy:
-        linked_fuzzy = _fuzzy_link(
-            misses, alias_dict, jaccard_threshold
+        miss_norms = (
+            exact.where(F.col("canonical_id").isNull())
+            .select("__norm").where(F.length("__norm") > 0).distinct()
         )
+        best_rows = _fuzzy_best(miss_norms, alias_dict, jaccard_threshold).collect()
+        if best_rows:
+            best = spark.createDataFrame(best_rows, "__norm string, __fuzzy_id string")
+    out = exact
+    if best is not None:
+        out = out.join(F.broadcast(best), "__norm", "left")
     else:
-        linked_fuzzy = misses.withColumn(
-            "canonical_id", F.lit(None).cast("string")
-        ).withColumn("link_method", F.lit(None).cast("string"))
-    out = hits.unionByName(linked_fuzzy)
-    return out.withColumn(
-        "canonical_id",
-        F.coalesce(F.col("canonical_id"), F.concat(F.lit("unk:"), F.col("__norm"))),
-    ).withColumn(
-        "link_method", F.coalesce(F.col("link_method"), F.lit("surrogate"))
-    ).drop("__norm")
+        out = out.withColumn("__fuzzy_id", F.lit(None).cast("string"))
+    return (
+        out.withColumn(
+            "link_method",
+            F.when(F.col("canonical_id").isNotNull(), F.lit("exact"))
+            .when(F.col("__fuzzy_id").isNotNull(), F.lit("fuzzy"))
+            .otherwise(F.lit("surrogate")),
+        )
+        .withColumn(
+            "canonical_id",
+            F.coalesce(
+                F.col("canonical_id"),
+                F.col("__fuzzy_id"),
+                F.concat(F.lit("unk:"), F.col("__norm")),
+            ),
+        )
+        .drop("__norm", "__fuzzy_id")
+    )
 
 
 def canonicalize_surrogates(
@@ -140,17 +151,30 @@ def canonicalize_surrogates(
     )
 
 
-def _fuzzy_link(
-    misses: DataFrame, alias_dict: DataFrame, threshold: float
+def _fuzzy_best(
+    miss_norms: DataFrame, alias_dict: DataFrame, threshold: float
 ) -> DataFrame:
-    """MinHash-LSH candidate blocking + exact-Jaccard verify for
-    mentions the dictionary missed."""
+    """MinHash-LSH candidate blocking + exact-Jaccard verify for distinct
+    normalized surfaces the dictionary missed.
+
+    The dictionary side is normalized with the SAME normalizer as the
+    query side (an alias like "Ms. Johnson" must shed its punctuation
+    before shingling, or the Jaccard against the normalized mention is
+    deflated and fuzzy recall drops). Returns (__norm, __fuzzy_id)."""
     from crfsuite_spark.operators.minhash import minhash_join
 
-    base_cols = misses.columns  # includes __norm
+    d = (
+        alias_dict.select(
+            normalize_surface("alias").alias("__a"),
+            "canonical_id",
+            F.coalesce(F.col("weight").cast("double"), F.lit(float("-inf"))).alias("weight"),
+        )
+        .where(F.length("__a") > 0)
+        .distinct()
+    )
     cands = minhash_join(
-        misses.select(F.col("__norm").alias("__q")).distinct().where(F.length("__q") > 0),
-        alias_dict.select(F.col("alias").alias("__a"), "canonical_id", "weight").distinct(),
+        miss_norms.select(F.col("__norm").alias("__q")),
+        d,
         left_col="__q",
         right_col="__a",
         n_hashes=16,
@@ -162,16 +186,8 @@ def _fuzzy_link(
     w = Window.partitionBy("__q").orderBy(
         F.desc("jaccard"), F.desc("weight"), F.asc("canonical_id")
     )
-    best = (
+    return (
         cands.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select(F.col("__q").alias("__norm"), "canonical_id")
-    )
-    return (
-        misses.join(F.broadcast(best), "__norm", "left")
-        .withColumn(
-            "link_method",
-            F.when(F.col("canonical_id").isNotNull(), F.lit("fuzzy")),
-        )
-        .select(*base_cols, "canonical_id", "link_method")
+        .select(F.col("__q").alias("__norm"), F.col("canonical_id").alias("__fuzzy_id"))
     )

@@ -71,17 +71,26 @@ def minhash_dedup(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) 32-bit token-level SimHash fingerprint.
 
     Classic Charikar simhash: each token votes ±1 per bit of its hash;
     fingerprint bit = sign of the vote sum. One explode + one groupBy.
+
+    ``hash_fn``: 'xxhash64' (default, fastest — one JVM hash call) or
+    'md5_32' (first 8 hex chars of md5 as a 32-bit int — bit-for-bit
+    reproducible in any engine with md5(), which is what the DuckDB
+    oracle checks).
     """
     toks = df.select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t")
     ).where(F.col("__t") != "")
-    h = F.pmod(F.xxhash64("__t"), F.lit(1 << bits))
+    if hash_fn == "md5_32":
+        h = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.pmod(F.xxhash64("__t"), F.lit(1 << bits))
     toks = toks.withColumn("__h", h)
     votes = [
         F.sum(
@@ -103,6 +112,55 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str, bits: int = 32)
     a = s.select(F.col(id_col).alias("id_a"), "simhash")
     b = s.select(F.col(id_col).alias("id_b"), "simhash")
     return a.join(b, "simhash").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "simhash")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance ≤ ``max_hamming`` between
+    SimHash fingerprints: (id_a, id_b, hamming), id_a < id_b.
+
+    Pigeonhole banding (the standard Manku/Jain/Das Sarma trick): split
+    the ``bits``-bit fingerprint into ``max_hamming + 1`` contiguous
+    bands — two fingerprints within distance k must agree EXACTLY on at
+    least one band — join candidates per (band, band_value) bucket, then
+    verify with ``bit_count(a XOR b) ≤ k``. The only shuffle is the
+    band-bucket join on uniform hash-derived keys; no all-pairs product.
+    """
+    n_bands = max_hamming + 1
+    widths = [bits // n_bands + (1 if j < bits % n_bands else 0) for j in range(n_bands)]
+    los = [sum(widths[:j]) for j in range(n_bands)]
+    s = simhash(df, id_col, text_col, bits, hash_fn=hash_fn)
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), los[j])
+            .bitwiseAND(F.lit((1 << widths[j]) - 1))
+            .alias("val"),
+        )
+        for j in range(n_bands)
+    ]
+    bands = s.select(
+        id_col, "simhash", F.explode(F.array(*band_cols)).alias("__b")
+    ).select(
+        id_col, "simhash",
+        F.col("__b.band").alias("band"), F.col("__b.val").alias("val"),
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"), "band", "val")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"), "band", "val")
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
 
 
 def word_shingles(col: str, n: int = 3):

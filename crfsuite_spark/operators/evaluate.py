@@ -36,23 +36,40 @@ def crf_evaluation(
     pred_col: str = "label_pred",
     labels_overall: list[str] | None = None,
     exclude: tuple[str, ...] = ("O",),
+    seq_cols: list[str] | None = None,
 ) -> dict:
-    """Per-label + overall P/R/F1 following R/evaluation.R:85-123.
+    """Per-label + overall metrics following R/evaluation.R:2-22,85-123.
+
+    Per label (one-vs-rest 2×2 collapse, ``as_2d_table``): accuracy,
+    precision = tp/(tp+fp), recall = tp/(tp+fn),
+    **specificity** = tn/(tn+fp), F1, support.
+    Overall: support-weighted and unweighted means over
+    ``labels_overall`` (default: all labels except 'O'), item accuracy,
+    and — when ``seq_cols`` is given — **instance accuracy**: the
+    fraction of sequences whose every token is correct
+    (crfsuite.c:369-396 whole-sequence accumulation).
 
     Returns {"bylabel": pandas DF, "overall": dict}.
     """
     conf = confusion(df, gold_col, pred_col).toPandas()
+    total = int(conf["n"].sum())
     labels = sorted(set(conf["gold"]) | set(conf["pred"]))
     rows = []
     for lab in labels:
-        tp = conf[(conf["gold"] == lab) & (conf["pred"] == lab)]["n"].sum()
-        n_pred = conf[conf["pred"] == lab]["n"].sum()
-        n_gold = conf[conf["gold"] == lab]["n"].sum()
+        tp = int(conf[(conf["gold"] == lab) & (conf["pred"] == lab)]["n"].sum())
+        n_pred = int(conf[conf["pred"] == lab]["n"].sum())
+        n_gold = int(conf[conf["gold"] == lab]["n"].sum())
+        fp = n_pred - tp
+        fn = n_gold - tp
+        tn = total - tp - fp - fn
         precision = tp / n_pred if n_pred else 0.0
         recall = tp / n_gold if n_gold else 0.0
+        specificity = tn / (tn + fp) if (tn + fp) else 0.0
+        acc = (tp + tn) / total if total else 0.0
         f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
         rows.append({
-            "label": lab, "precision": precision, "recall": recall,
+            "label": lab, "accuracy": acc, "precision": precision,
+            "recall": recall, "specificity": specificity,
             "f1": f1, "support": int(n_gold),
         })
     bylabel = pd.DataFrame(rows)
@@ -64,15 +81,35 @@ def crf_evaluation(
         "precision_weighted": float((sub["precision"] * sub["support"]).sum() / wsum) if wsum else 0.0,
         "recall_weighted": float((sub["recall"] * sub["support"]).sum() / wsum) if wsum else 0.0,
         "f1_weighted": float((sub["f1"] * sub["support"]).sum() / wsum) if wsum else 0.0,
+        "specificity_weighted": float((sub["specificity"] * sub["support"]).sum() / wsum) if wsum else 0.0,
         "precision_mean": float(sub["precision"].mean()) if len(sub) else 0.0,
         "recall_mean": float(sub["recall"].mean()) if len(sub) else 0.0,
         "f1_mean": float(sub["f1"].mean()) if len(sub) else 0.0,
+        "specificity_mean": float(sub["specificity"].mean()) if len(sub) else 0.0,
         "accuracy": None,
     }
-    total = conf["n"].sum()
     correct = conf[conf["gold"] == conf["pred"]]["n"].sum()
     overall["accuracy"] = float(correct / total) if total else 0.0
+    if seq_cols:
+        overall["instance_accuracy"] = instance_accuracy(
+            df, seq_cols, gold_col, pred_col
+        )
     return {"bylabel": bylabel, "overall": overall}
+
+
+def instance_accuracy(
+    df: DataFrame, seq_cols: list[str], gold_col: str, pred_col: str
+) -> float:
+    """Whole-sequence accuracy: fraction of sequences with every token
+    correct (crfsuite.c:388-391 ``num_correct == num_observation`` per
+    instance). One shuffle on the sequence key, map-side partial min."""
+    per_seq = df.groupBy(*seq_cols).agg(
+        F.min((F.col(gold_col) == F.col(pred_col)).cast("int")).alias("__all_ok")
+    )
+    row = per_seq.agg(
+        F.avg("__all_ok").alias("acc"), F.count(F.lit(1)).alias("n")
+    ).first()
+    return float(row["acc"]) if row["n"] else 0.0
 
 
 def set_prf(pred: DataFrame, gold: DataFrame, keys: list[str]) -> dict:

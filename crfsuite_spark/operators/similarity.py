@@ -17,7 +17,7 @@ buckets) for embedding-based dedup.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,6 +111,66 @@ def ann_topk(
         }
     cand = emb_bucketed.where(F.col("bucket").isin(list(probes)))
     return cosine_topk(cand, q, k, id_col, vec_col)
+
+
+def ann_join(
+    queries: DataFrame,
+    emb_bucketed: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Batch ANN: top-k neighbours for EVERY row of a query table —
+    (query_id, vec_id, cosine, rank).
+
+    Both sides get the same hyperplane sign buckets (JVM-side literal
+    planes, no Python); each query is exploded to its multiprobe bucket
+    set (1 + n_planes [+ C(n_planes,2)] probes) and equi-joined to the
+    corpus on ``bucket``, so the corpus side never fans out and the
+    shuffle key is the uniform bucket hash. Exact cosine + per-query
+    top-k (row_number window over the candidate set) finish the job.
+    At cluster scale pre-partition the corpus by bucket and the join is
+    co-located."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    qv = F.col(query_vec_col).cast("array<double>")
+    qbits = None
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = F.when(_dot(qv, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        qbits = bit if qbits is None else qbits + bit
+    probe_deltas = [0]
+    if multiprobe_hamming >= 1:
+        probe_deltas += [1 << j for j in range(n_planes)]
+    if multiprobe_hamming >= 2:
+        probe_deltas += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probes = F.array(*[qbits.bitwiseXOR(F.lit(d)) for d in probe_deltas])
+    q = queries.select(
+        query_id_col,
+        qv.alias("__qv"),
+        F.explode(probes).alias("bucket"),
+    )
+    cand = q.join(emb_bucketed, "bucket").select(
+        query_id_col,
+        id_col,
+        cosine_sim(F.col("__qv"), F.col(vec_col).cast("array<double>")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
 
 
 def embedding_dup_pairs(

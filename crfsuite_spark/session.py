@@ -52,11 +52,24 @@ def get_spark(
     )
     # single-host only: back shuffle files with tmpfs so the one local
     # disk doesn't serialize what a cluster spreads over N machines'
-    # disks+network (a real deployment leaves spark.local.dir alone)
-    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
-        shm = "/dev/shm/spark-local"
-        os.makedirs(shm, exist_ok=True)
-        builder = builder.config("spark.local.dir", shm)
+    # disks+network (a real deployment leaves spark.local.dir alone).
+    # Guarded: only when tmpfs has real headroom (shuffle spill on a
+    # nearly-full /dev/shm would OOM the host instead of spilling to
+    # disk), and SPARK_GRAFT_SHM=0 / SPARK_LOCAL_DIRS opt out entirely.
+    if (
+        os.environ.get("SPARK_GRAFT_SHM", "1") != "0"
+        and "SPARK_LOCAL_DIRS" not in os.environ
+        and os.path.isdir("/dev/shm")
+    ):
+        try:
+            st = os.statvfs("/dev/shm")
+            free_bytes = st.f_bavail * st.f_frsize
+        except OSError:
+            free_bytes = 0
+        if free_bytes >= 8 * 1024**3:  # ≥ 8 GiB headroom
+            shm = "/dev/shm/spark-local"
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

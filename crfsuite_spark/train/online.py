@@ -110,6 +110,13 @@ def _partition_pass_online(
                 err = sv - sc
                 cost = err + (np.sqrt(d) if error_sensitive else 1.0)
                 norm2 = sum(v * v for v in delta.values())
+                if norm2 == 0.0:
+                    # mispredicted but zero feature delta (e.g. all
+                    # attributes minfreq-pruned): no direction to move in —
+                    # skip the update instead of dividing by zero
+                    loss += cost
+                    tok += T
+                    continue
                 if method == "pa":
                     tau = cost / norm2
                 elif method == "pa1":

@@ -110,6 +110,11 @@ def train_perceptron(
 
     w_state = np.zeros((A, L), dtype=np.float64)
     w_trans = np.zeros((L, L), dtype=np.float64)
+    # pre-bind the averaged weights so max_iterations=0 (or an empty first
+    # epoch) falls back to zeros instead of UnboundLocalError in the
+    # for/else assignment below
+    aw_state = np.zeros((A, L), dtype=np.float64)
+    aw_trans = np.zeros((L, L), dtype=np.float64)
     iter_log: list[dict] = log if log is not None else []
 
     for it in range(max_iterations):

@@ -177,3 +177,38 @@ def test_canonicalize_surrogates(spark):
     # unrelated surrogate keeps its own id
     assert by_surface["Zeta Systems"] == "unk:zeta systems"
     assert by_surface["Zeta Systems"] not in acme
+
+
+def test_fuzzy_link_normalizes_dictionary_side(spark):
+    """An alias with punctuation ("Ms. Johnson") must fuzzy-link a typo'd
+    mention: the dictionary side is normalized before shingling."""
+    from crfsuite_spark.kg.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("ms johnsonn",), ("unrelated gibberish zqx",)], "surface string"
+    )
+    alias = spark.createDataFrame(
+        [("Ms. Johnson", "E1", "Johnson", "PER", 1.0)],
+        "alias string, canonical_id string, canonical_name string, "
+        "entity_type string, weight double",
+    )
+    out = link_mentions(mentions, alias, fuzzy=True, jaccard_threshold=0.5).toPandas()
+    m = out.set_index("surface")
+    assert m.loc["ms johnsonn", "canonical_id"] == "E1"
+    assert m.loc["ms johnsonn", "link_method"] == "fuzzy"
+    assert m.loc["unrelated gibberish zqx", "link_method"] == "surrogate"
+
+
+def test_link_null_weight_loses_tiebreak(spark):
+    """A NULL-weight alias must not beat a weighted one for the same
+    surface (regression: NULLs sorted first in the struct tie-break)."""
+    from crfsuite_spark.kg.linking import link_mentions
+
+    mentions = spark.createDataFrame([("acme",)], "surface string")
+    alias = spark.createDataFrame(
+        [("acme", "E_null", "n", "ORG", None), ("acme", "E_w", "w", "ORG", 0.9)],
+        "alias string, canonical_id string, canonical_name string, "
+        "entity_type string, weight double",
+    )
+    out = link_mentions(mentions, alias, fuzzy=False).toPandas()
+    assert out.iloc[0]["canonical_id"] == "E_w"

@@ -342,3 +342,29 @@ def test_hashed_templates_decode_identical(spark, featurized_tokens, synth, trai
                                suffixes=("_s", "_h"))
     assert len(merged) == len(via_strings) == len(via_hashes)
     assert (merged["label_s"] == merged["label_h"]).all()
+
+
+def test_pa_zero_feature_delta_does_not_crash(spark):
+    """Regression: a mispredicted single-token sequence whose attributes
+    were all minfreq-pruned yields an empty feature delta (norm2=0); the
+    PA update must skip it instead of dividing by zero."""
+    from crfsuite_spark.train.online import train_online
+
+    rows = [
+        # frequent pattern so SOME features survive minfreq=2
+        ("c1", 0, 0, ["tok=a"], "A"),
+        ("c2", 0, 0, ["tok=a"], "A"),
+        ("c3", 0, 0, ["tok=b"], "B"),
+        ("c4", 0, 0, ["tok=b"], "B"),
+        # singleton token, gold label sorts AFTER the viterbi-default:
+        # its only attribute is pruned -> empty delta on a mispredict
+        ("c5", 0, 0, ["tok=rare"], "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, token_idx int, attrs array<string>, label string"
+    )
+    model = train_online(
+        df, seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+        method="pa", minfreq=2.0, max_iterations=3, num_partitions=2,
+    )
+    assert set(model.labels) == {"A", "B"}

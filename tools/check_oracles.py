@@ -61,6 +61,16 @@ def main():
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
             continue
         g, e = normalize(got), normalize(exp)
+        # the driver harness hashes VALUES, so a bigint-vs-hugeint(float)
+        # representation difference is a real mismatch even when the
+        # numbers are equal — flag dtype divergence loudly
+        for c in set(g.columns) & set(e.columns):
+            kg, ke = g[c].dtype.kind, e[c].dtype.kind
+            if kg != ke and {kg, ke} != {"O"}:
+                failures.append((name, f"dtype {c}: {g[c].dtype} vs {e[c].dtype}"))
+                print(f"FAIL  {name}: dtype mismatch on {c}: {g[c].dtype} vs {e[c].dtype}")
+        if any(f[0] == name for f in failures):
+            continue
         if list(g.columns) != list(e.columns):
             failures.append((name, f"columns {list(g.columns)} vs {list(e.columns)}"))
             print(f"FAIL  {name}: column mismatch {list(g.columns)} vs {list(e.columns)}")
