@@ -411,13 +411,16 @@ def q_kg_triples_synthetic(spark, sf):
 
 
 def q_dedup_minhash(spark, sf):
-    """MinHash-LSH near-dup pairs (char 5-shingles, Jaccard ≥ 0.8)."""
+    """MinHash-LSH near-dup pairs (char 5-shingles, Jaccard ≥ 0.8) with
+    the portable md5-based shingle hash, so the DuckDB oracle reproduces
+    signatures, band buckets AND verified Jaccard bit-for-bit."""
     from crfsuite_spark.operators.minhash import minhash_self_pairs
 
     d = _t(spark, sf, "documents")
     out = minhash_self_pairs(d, "doc_id", "text", n_hashes=32, bands=8,
                              shingle_size=5, jaccard_threshold=0.8,
-                             num_partitions=spark.sparkContext.defaultParallelism)
+                             num_partitions=spark.sparkContext.defaultParallelism,
+                             hash_fn="md5_32")
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -581,8 +584,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _minhash_oracle_sql(n_hashes=32, bands=8, k=5, threshold=0.8, seed=42) -> str:
+    """DuckDB SQL reproducing minhash_self_pairs(hash_fn='md5_32')
+    exactly: portable shingle hash, the same seeded affine minhash
+    params, band-equality candidate blocking, exact-Jaccard verify."""
+    from crfsuite_spark.operators.minhash import MERSENNE, _hash_params
+
+    params = _hash_params(n_hashes, seed)
+    r = n_hashes // bands
+    mh_exprs = ",\n                     ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE})) AS mh{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_rows = ",\n                     ".join(
+        "[" + ", ".join(f"mh{b * r + i}" for i in range(r)) + f"] AS band{b}"
+        for b in range(bands)
+    )
+    band_union = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS val FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN length(text) < {k}
+                       THEN [('0x' || substr(md5(text), 1, 8))::BIGINT % {MERSENNE}]
+                       ELSE list_transform(range(1, length(text) - {k} + 2),
+                            i -> ('0x' || substr(md5(substr(text, i, {k})), 1, 8))::BIGINT % {MERSENNE})
+                     END) AS hs
+              FROM documents),
+            sig AS (
+              SELECT doc_id, hs,
+                     {mh_exprs},
+                     {band_rows}
+              FROM sh),
+            bands AS ({band_union}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT c.id_a, c.id_b,
+                     len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+                       (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS j
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.id_a
+              JOIN sig sb ON sb.doc_id = c.id_b)
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM v WHERE j >= {threshold}
+        """
+
+
+def _ann_oracle_sql(dim=64, n_planes=8, k=10, seed=42) -> str:
+    """DuckDB SQL reproducing q_sim_ann_topk: the same seeded hyperplane
+    sign buckets (plane coefficients baked as literals), the same
+    multiprobe set (query bucket + all 1-bit flips), exact cosine top-k
+    inside the probed buckets."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    def arr(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    def bucket_expr(vec):
+        terms = [
+            f"(CASE WHEN list_dot_product({vec}, {arr(planes[j])}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        ]
+        return " + ".join(terms)
+
+    probes = ", ".join(
+        f"xor(qb.bucket, {d})" for d in [0] + [1 << j for j in range(n_planes)]
+    )
+    return f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            b AS (SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM e),
+            qb AS (
+              SELECT v AS qv, bucket FROM b WHERE vec_id = 0),
+            cand AS (
+              SELECT b.vec_id,
+                     list_dot_product(b.v, qb.qv)
+                       / (sqrt(list_dot_product(b.v, b.v))
+                          * sqrt(list_dot_product(qb.qv, qb.qv))) AS cosine
+              FROM b, qb
+              WHERE b.bucket IN ({probes}))
+            SELECT vec_id, round(cosine, 6) AS cosine FROM cand
+            ORDER BY cosine DESC, vec_id LIMIT {k}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_minhash": _minhash_oracle_sql(),
+        "sim_ann_topk": _ann_oracle_sql(),
         "w1_window_lag_lead": """
             SELECT user_id, event_id,
                    lag(event_type) OVER w AS type_lag,

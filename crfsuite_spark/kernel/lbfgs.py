@@ -9,9 +9,11 @@ Optimization, Alg. 7.4/7.5) sufficient for the convex CRF objective:
 
 - two-loop recursion with ``m`` correction pairs (reference default
   num_memories=6, train_lbfgs.c:163),
-- Armijo backtracking line search (the reference defaults to
-  More-Thuente; for a convex objective backtracking converges to the
-  same optimum),
+- Moré-Thuente strong-Wolfe line search (the reference default,
+  train_lbfgs.c linesearch=MoreThuente; implemented from the published
+  Moré & Thuente 1994 / MINPACK cvsrch+cstep algorithm) with Armijo
+  backtracking as the alternative — and as the FORCED search under
+  OWL-QN, matching train_lbfgs.c:288-294,
 - convergence on gradient norm ``||g|| / max(1, ||x||) < epsilon``
   (reference epsilon=1e-5, train_lbfgs.c:168) and on relative
   improvement over a ``period`` window (delta=1e-5, period=10,
@@ -56,6 +58,164 @@ def _pseudo_gradient(x: np.ndarray, g: np.ndarray, c1: float) -> np.ndarray:
     return pg
 
 
+def _cstep(stx, fx, dgx, sty, fy, dgy, stp, fp, dgp, brackt, stmin, stmax):
+    """One trial-value update of the Moré-Thuente line search (the
+    published MINPACK ``cstep``: safeguarded cubic/quadratic
+    interpolation over a bracketing interval — Moré & Thuente 1994,
+    §4; the same algorithm the reference's liblbfgs runs for its
+    default ``linesearch=MoreThuente``). Pure scalar math.
+
+    Returns (stx, fx, dgx, sty, fy, dgy, stp, brackt)."""
+    sgnd = dgp * np.sign(dgx)
+    if fp > fx:
+        # case 1: higher function value — minimum bracketed
+        bound = True
+        theta = 3 * (fx - fp) / (stp - stx) + dgx + dgp
+        s = max(abs(theta), abs(dgx), abs(dgp))
+        gamma = s * np.sqrt((theta / s) ** 2 - (dgx / s) * (dgp / s))
+        if stp < stx:
+            gamma = -gamma
+        p = (gamma - dgx) + theta
+        q = ((gamma - dgx) + gamma) + dgp
+        r = p / q
+        stpc = stx + r * (stp - stx)
+        stpq = stx + ((dgx / ((fx - fp) / (stp - stx) + dgx)) / 2) * (stp - stx)
+        if abs(stpc - stx) < abs(stpq - stx):
+            stpf = stpc
+        else:
+            stpf = stpc + (stpq - stpc) / 2
+        brackt = True
+    elif sgnd < 0:
+        # case 2: opposite-sign derivatives — minimum bracketed
+        bound = False
+        theta = 3 * (fx - fp) / (stp - stx) + dgx + dgp
+        s = max(abs(theta), abs(dgx), abs(dgp))
+        gamma = s * np.sqrt((theta / s) ** 2 - (dgx / s) * (dgp / s))
+        if stp > stx:
+            gamma = -gamma
+        p = (gamma - dgp) + theta
+        q = ((gamma - dgp) + gamma) + dgx
+        r = p / q
+        stpc = stp + r * (stx - stp)
+        stpq = stp + (dgp / (dgp - dgx)) * (stx - stp)
+        stpf = stpc if abs(stpc - stp) > abs(stpq - stp) else stpq
+        brackt = True
+    elif abs(dgp) < abs(dgx):
+        # case 3: derivative decreased in magnitude, same sign
+        bound = True
+        theta = 3 * (fx - fp) / (stp - stx) + dgx + dgp
+        s = max(abs(theta), abs(dgx), abs(dgp))
+        gamma = s * np.sqrt(max(0.0, (theta / s) ** 2 - (dgx / s) * (dgp / s)))
+        if stp > stx:
+            gamma = -gamma
+        p = (gamma - dgp) + theta
+        q = (gamma + (dgx - dgp)) + gamma
+        r = p / q
+        if r < 0 and gamma != 0:
+            stpc = stp + r * (stx - stp)
+        elif stp > stx:
+            stpc = stmax
+        else:
+            stpc = stmin
+        stpq = stp + (dgp / (dgp - dgx)) * (stx - stp)
+        if brackt:
+            stpf = stpc if abs(stp - stpc) < abs(stp - stpq) else stpq
+        else:
+            stpf = stpc if abs(stp - stpc) > abs(stp - stpq) else stpq
+    else:
+        # case 4: derivative did not decrease
+        bound = False
+        if brackt:
+            theta = 3 * (fp - fy) / (sty - stp) + dgy + dgp
+            s = max(abs(theta), abs(dgy), abs(dgp))
+            gamma = s * np.sqrt((theta / s) ** 2 - (dgy / s) * (dgp / s))
+            if stp > sty:
+                gamma = -gamma
+            p = (gamma - dgp) + theta
+            q = ((gamma - dgp) + gamma) + dgy
+            r = p / q
+            stpf = stp + r * (sty - stp)
+        elif stp > stx:
+            stpf = stmax
+        else:
+            stpf = stmin
+    # update the interval
+    if fp > fx:
+        sty, fy, dgy = stp, fp, dgp
+    else:
+        if sgnd < 0:
+            sty, fy, dgy = stx, fx, dgx
+        stx, fx, dgx = stp, fp, dgp
+    stp = min(stmax, max(stmin, stpf))
+    if brackt and bound:
+        # safeguard: keep the trial away from the far bracket end
+        lim = stx + 0.66 * (sty - stx)
+        stp = min(lim, stp) if sty > stx else max(lim, stp)
+    return stx, fx, dgx, sty, fy, dgy, stp, brackt
+
+
+def _more_thuente(phi, f0, dg0, step0, ftol=1e-4, gtol=0.9, xtol=1e-16,
+                  max_linesearch=20, step_min=1e-20, step_max=1e20):
+    """Moré-Thuente line search: find ``stp`` satisfying the strong
+    Wolfe conditions along a direction. ``phi(stp) -> (f, dg)`` where
+    dg is the directional derivative at stp. Returns
+    (stp, f, n_evals, ok)."""
+    if dg0 >= 0:
+        return 0.0, f0, 0, False
+    brackt = False
+    stage1 = True
+    finit, dgtest = f0, ftol * dg0
+    width = step_max - step_min
+    width1 = 2 * width
+    stx, fx, dgx = 0.0, finit, dg0
+    sty, fy, dgy = 0.0, finit, dg0
+    stp = step0
+    f, dg = f0, dg0
+    for n in range(1, max_linesearch + 1):
+        if brackt:
+            stmin, stmax = min(stx, sty), max(stx, sty)
+        else:
+            stmin, stmax = stx, stp + 4.0 * (stp - stx)
+        stp = min(max(stp, step_min), step_max)
+        if (brackt and (stp <= stmin or stp >= stmax)) or (
+            brackt and stmax - stmin <= xtol * stmax
+        ):
+            stp = stx  # fall back to the best step so far
+        f, dg = phi(stp)
+        ftest1 = finit + stp * dgtest
+        # strong Wolfe: sufficient decrease + curvature
+        if f <= ftest1 and abs(dg) <= gtol * (-dg0):
+            return stp, f, n, True
+        if stage1 and f <= ftest1 and dg >= min(ftol, gtol) * dg0:
+            stage1 = False
+        if stage1 and f <= fx and f > ftest1:
+            # use modified function values (Moré-Thuente §3 psi trick)
+            fm = f - stp * dgtest
+            fxm = fx - stx * dgtest
+            fym = fy - sty * dgtest
+            dgm = dg - dgtest
+            dgxm = dgx - dgtest
+            dgym = dgy - dgtest
+            stx, fxm, dgxm, sty, fym, dgym, stp, brackt = _cstep(
+                stx, fxm, dgxm, sty, fym, dgym, stp, fm, dgm, brackt, stmin, stmax
+            )
+            fx = fxm + stx * dgtest
+            fy = fym + sty * dgtest
+            dgx = dgxm + dgtest
+            dgy = dgym + dgtest
+        else:
+            stx, fx, dgx, sty, fy, dgy, stp, brackt = _cstep(
+                stx, fx, dgx, sty, fy, dgy, stp, f, dg, brackt, stmin, stmax
+            )
+        if brackt:
+            if abs(sty - stx) >= 0.66 * width1:
+                stp = stx + 0.5 * (sty - stx)
+            width1 = width
+            width = abs(sty - stx)
+    # exhausted: accept the last sufficient-decrease step if any
+    return (stp, f, max_linesearch, f <= finit + stp * dgtest)
+
+
 def minimize_lbfgs(
     fun_grad: Callable[[np.ndarray], tuple[float, np.ndarray]],
     x0: np.ndarray,
@@ -67,10 +227,17 @@ def minimize_lbfgs(
     max_linesearch: int = 20,
     callback: Callable[[int, np.ndarray, float, float], None] | None = None,
     l1_c: float = 0.0,
+    linesearch: str = "morethuente",
 ) -> LBFGSResult:
     """``l1_c`` > 0 switches to OWL-QN: pseudo-gradient direction,
     orthant-constrained search with per-step projection, and the L1 term
-    added to the objective (the smooth ``fun_grad`` stays L1-free)."""
+    added to the objective (the smooth ``fun_grad`` stays L1-free).
+
+    ``linesearch``: 'morethuente' (strong-Wolfe, the reference's
+    default — train_lbfgs.c linesearch=MoreThuente) or 'backtracking'
+    (Armijo). OWL-QN always uses the projected backtracking search,
+    exactly like the reference which FORCES Backtracking whenever
+    orthantwise_c > 0 (train_lbfgs.c:288-294)."""
     x = np.asarray(x0, dtype=np.float64).copy()
     f, g = fun_grad(x)
     if l1_c > 0:
@@ -116,26 +283,43 @@ def minimize_lbfgs(
         # the direction the pseudo-gradient pushes
         if l1_c > 0:
             orthant = np.where(x != 0.0, np.sign(x), np.sign(-g_eff))
-        # --- Armijo backtracking ---
-        step = 1.0 if s_hist else min(1.0, 1.0 / max(1e-12, float(np.linalg.norm(g_eff))))
+        step0 = 1.0 if s_hist else min(1.0, 1.0 / max(1e-12, float(np.linalg.norm(g_eff))))
         f_new, g_new = f, g
         ok = False
-        for _ in range(max_linesearch):
-            x_new = x + step * d
-            if l1_c > 0:
-                # project onto the orthant: zero out sign flips
-                x_new = np.where(x_new * orthant < 0, 0.0, x_new)
-            f_new, g_new = fun_grad(x_new)
-            if l1_c > 0:
-                f_new += l1_c * float(np.abs(x_new).sum())
-                # Armijo on the projected step (Andrew & Gao eq. 4)
-                if f_new <= f + 1e-4 * float(g_eff @ (x_new - x)):
+        if l1_c == 0.0 and linesearch == "morethuente":
+            # strong-Wolfe Moré-Thuente (reference default line search)
+            cache = {}
+
+            def phi(stp):
+                xs = x + stp * d
+                fs, gs = fun_grad(xs)
+                cache[stp] = (xs, fs, gs)
+                return fs, float(gs @ d)
+
+            step, f_ls, _, ok = _more_thuente(
+                phi, f, dg, step0, max_linesearch=max_linesearch
+            )
+            if ok:
+                x_new, f_new, g_new = cache[step]
+        else:
+            # --- Armijo backtracking (projected when OWL-QN) ---
+            step = step0
+            for _ in range(max_linesearch):
+                x_new = x + step * d
+                if l1_c > 0:
+                    # project onto the orthant: zero out sign flips
+                    x_new = np.where(x_new * orthant < 0, 0.0, x_new)
+                f_new, g_new = fun_grad(x_new)
+                if l1_c > 0:
+                    f_new += l1_c * float(np.abs(x_new).sum())
+                    # Armijo on the projected step (Andrew & Gao eq. 4)
+                    if f_new <= f + 1e-4 * float(g_eff @ (x_new - x)):
+                        ok = True
+                        break
+                elif f_new <= f + 1e-4 * step * dg:
                     ok = True
                     break
-            elif f_new <= f + 1e-4 * step * dg:
-                ok = True
-                break
-            step *= 0.5
+                step *= 0.5
         if not ok:
             break  # line search failed — keep best x
         s = x_new - x

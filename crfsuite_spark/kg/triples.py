@@ -48,40 +48,81 @@ def materialize(
     n_buckets: int = 16,
     epoch: int = 0,
     bucket_col: str = "conv_id",
+    fault_hook=None,
 ) -> dict:
     """Idempotently write the triple table; returns a write report.
 
     Buckets already present in the manifest are skipped entirely —
     their data is neither recomputed nor rewritten.
+
+    Crash-atomic commit protocol (the manifest record IS the commit):
+
+    1. the upstream pipeline is evaluated exactly ONCE — a single
+       partitioned write into ``_staging/``;
+    2. per bucket: any ``data/bucket=k`` directory WITHOUT a manifest
+       record is a leftover from a previous crash and is deleted, then
+       the staging directory is atomically renamed into ``data/``;
+    3. per-bucket metrics are read back from the WRITTEN files (footer
+       counts + a scan of the tiny committed bucket — never a second
+       pass over the upstream lineage);
+    4. the manifest record is written last (tmp + rename, atomic).
+
+    A kill between any two steps re-runs cleanly: uncommitted data is
+    discarded and rewritten, committed buckets are never touched, and
+    the final table is identical (tests/test_kg.py fault-injection via
+    ``fault_hook(bucket)``, called just before each manifest write).
     """
-    os.makedirs(_manifest_dir(path), exist_ok=True)
+    import shutil
+
+    spark = triples.sparkSession
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    data_root = os.path.join(path, "data")
+    os.makedirs(data_root, exist_ok=True)
+    staging = os.path.join(path, "_staging")
     done = completed_buckets(path)
     todo = [b for b in range(n_buckets) if b not in done]
     report = {"skipped_buckets": sorted(done), "written_buckets": [], "rows_written": 0}
     if not todo:
         return report
+    # stale staging from a crashed run: its buckets never committed
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
     bucketed = triples.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
     ).where(F.col("bucket").isin(todo))
-    # one shuffle, partitioned write; per-bucket commit via manifest record
+    # the ONLY evaluation of the upstream pipeline: one shuffle, one write
     (
         bucketed.repartition("bucket")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(os.path.join(path, "data"))
+        .parquet(staging)
     )
-    stats = {
-        r["bucket"]: r
-        for r in bucketed.groupBy("bucket").agg(
-            F.count("*").alias("n"),
-            F.approx_count_distinct("subj").alias("n_subj"),
-            F.approx_count_distinct("obj").alias("n_obj"),
-            F.approx_count_distinct("pred").alias("n_pred"),
-            F.approx_count_distinct("conv_id").alias("n_convs"),
-        ).collect()
-    }
     for b in todo:
-        s = stats.get(b)
+        src = os.path.join(staging, f"bucket={b}")
+        dst = os.path.join(data_root, f"bucket={b}")
+        if os.path.isdir(dst):
+            # data present but no manifest record -> uncommitted leftover
+            shutil.rmtree(dst)
+        has_rows = os.path.isdir(src)
+        if has_rows:
+            os.rename(src, dst)  # atomic on one filesystem
+        if has_rows:
+            s = (
+                spark.read.parquet(dst)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.approx_count_distinct("subj").alias("n_subj"),
+                    F.approx_count_distinct("obj").alias("n_obj"),
+                    F.approx_count_distinct("pred").alias("n_pred"),
+                    F.approx_count_distinct("conv_id").alias("n_convs"),
+                )
+                .first()
+            )
+        else:
+            s = None
+        if fault_hook is not None:
+            fault_hook(b)
         rec = {
             "bucket": b,
             "rows": int(s["n"]) if s else 0,
@@ -95,10 +136,14 @@ def materialize(
                 "distinct_conversations": int(s["n_convs"]) if s else 0,
             },
         }
-        with open(os.path.join(_manifest_dir(path), f"bucket={b}.json"), "w") as f:
+        tmp = os.path.join(mdir, f".bucket={b}.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(rec, f)
+        os.rename(tmp, os.path.join(mdir, f"bucket={b}.json"))
         report["written_buckets"].append(b)
         report["rows_written"] += rec["rows"]
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
     return report
 
 

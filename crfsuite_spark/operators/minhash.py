@@ -47,19 +47,27 @@ def char_shingles(col: str, k: int = 3):
     )
 
 
-def shingle_hashes(col: str, k: int = 3):
-    """Distinct xxhash64-mod-p hashes of the char k-grams — int64 array.
+def shingle_hashes(col: str, k: int = 3, hash_fn: str = "xxhash64"):
+    """Distinct hashed char k-grams — int64 array in [0, 2^31).
 
     Hashing before ``array_distinct`` keeps every downstream operator
     (signature min, Jaccard verify) on fixed-width ints instead of
     string arrays.
+
+    ``hash_fn``: 'xxhash64' (default, one JVM hash op) or 'md5_32'
+    (first 8 hex chars of md5 → int, reproducible in any engine with
+    md5() — the DuckDB oracle uses this variant).
     """
+    if hash_fn == "md5_32":
+        one = f"pmod(CAST(conv(substr(md5({{s}}), 1, 8), 16, 10) AS BIGINT), {MERSENNE}L)"
+    else:
+        one = f"pmod(xxhash64({{s}}), {MERSENNE}L)"
     return F.array_distinct(
         F.expr(
             f"CASE WHEN length({col}) < {k} "
-            f"THEN array(pmod(xxhash64({col}), {MERSENNE}L)) "
+            f"THEN array({one.format(s=col)}) "
             f"ELSE transform(sequence(0, length({col}) - {k}), "
-            f"i -> pmod(xxhash64(substr({col}, i + 1, {k})), {MERSENNE}L)) END"
+            f"i -> {one.format(s=f'substr({col}, i + 1, {k})')}) END"
         )
     )
 
@@ -83,6 +91,7 @@ def minhash_signature(
     seed: int = 42,
     keep_shingles: bool = True,
     num_partitions: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One row per id with mh0..mh{n-1} signature columns
     (+ ``__hs``, the hashed shingle set, when ``keep_shingles``).
@@ -99,7 +108,7 @@ def minhash_signature(
     if num_partitions:
         df = df.repartition(num_partitions)
     base = df.select(
-        id_col, shingle_hashes(text_col, shingle_size).alias("__hs")
+        id_col, shingle_hashes(text_col, shingle_size, hash_fn).alias("__hs")
     ).where(F.size("__hs") > 0)
     sig_cols = [
         F.expr(
@@ -188,12 +197,13 @@ def minhash_self_pairs(
     jaccard_threshold: float = 0.8,
     seed: int = 42,
     num_partitions: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs within one table:
     (id_a, id_b, jaccard) with id_a < id_b, Jaccard ≥ threshold."""
     sig = minhash_signature(
         df, id_col, text_col, n_hashes, shingle_size, seed,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, hash_fn=hash_fn,
     ).persist()
     b = lsh_band_buckets(sig, id_col, n_hashes, bands)
     ba = b.select(F.col(id_col).alias("id_a"), "band", "bucket")

@@ -33,9 +33,18 @@ class Option:
     help: str
 
 
-# reference defaults: train_lbfgs.c:161-209
-LBFGS_OPTIONS = [
+# crf1de encoder options shared by every trainer
+# (crf1d_encode.c:789-795 exchange_options)
+FEATURE_OPTIONS = [
     Option("feature.minfreq", 0.0, "float", "minimum frequency of features"),
+    Option("feature.possible_states", False, "bool",
+           "densify state features to all attribute × label pairs"),
+    Option("feature.possible_transitions", False, "bool",
+           "densify transition features to all label × label pairs"),
+]
+
+# reference defaults: train_lbfgs.c:161-209
+LBFGS_OPTIONS = FEATURE_OPTIONS + [
     Option("c1", 0.0, "float", "L1 regularization coefficient (OWL-QN when > 0)"),
     Option("c2", 1.0, "float", "L2 regularization coefficient"),
     Option("max_iterations", 2147483647, "int", "maximum L-BFGS iterations"),
@@ -47,14 +56,51 @@ LBFGS_OPTIONS = [
     Option("max_linesearch", 20, "int", "maximum line search trials"),
 ]
 
+# train_l2sgd.c exchange_options (c2=1, max_iterations=1000, period=10,
+# delta=1e-6, calibration.* block)
+L2SGD_OPTIONS = FEATURE_OPTIONS + [
+    Option("c2", 1.0, "float", "L2 regularization coefficient"),
+    Option("max_iterations", 1000, "int", "maximum SGD epochs"),
+    Option("period", 10, "int", "epochs over which to test improvement"),
+    Option("delta", 1e-6, "float", "minimum loss improvement over period"),
+    Option("calibration.eta", 0.1, "float", "initial learning-rate candidate"),
+    Option("calibration.rate", 2.0, "float", "eta multiplier between trials"),
+    Option("calibration.samples", 1000, "int", "sequences used to calibrate eta"),
+    Option("calibration.candidates", 10, "int", "number of eta candidates to accept"),
+    Option("calibration.max_trials", 20, "int", "maximum eta trials"),
+]
+
 # train_averaged_perceptron.c exchange_options
-AP_OPTIONS = [
-    Option("feature.minfreq", 0.0, "float", "minimum frequency of features"),
+AP_OPTIONS = FEATURE_OPTIONS + [
     Option("max_iterations", 100, "int", "maximum epochs"),
     Option("epsilon", 0.0, "float", "stop when label-error ratio < epsilon"),
 ]
 
-METHODS = {"lbfgs": LBFGS_OPTIONS, "averaged-perceptron": AP_OPTIONS}
+# train_passive_aggressive.c exchange_options (type 0/1/2 = PA, PA-I, PA-II)
+PA_OPTIONS = FEATURE_OPTIONS + [
+    Option("type", 1, "int", "PA variant: 0=PA, 1=PA-I, 2=PA-II"),
+    Option("c", 1.0, "float", "aggressiveness parameter"),
+    Option("error_sensitive", True, "bool", "cost includes sqrt(#wrong labels)"),
+    Option("averaging", True, "bool", "average weights over updates"),
+    Option("max_iterations", 100, "int", "maximum epochs"),
+    Option("epsilon", 0.0, "float", "stop when error ratio < epsilon"),
+]
+
+# train_arow.c exchange_options
+AROW_OPTIONS = FEATURE_OPTIONS + [
+    Option("variance", 1.0, "float", "initial variance of every parameter"),
+    Option("gamma", 1.0, "float", "tradeoff between loss and confidence update"),
+    Option("max_iterations", 100, "int", "maximum epochs"),
+    Option("epsilon", 0.0, "float", "stop when error ratio < epsilon"),
+]
+
+METHODS = {
+    "lbfgs": LBFGS_OPTIONS,
+    "l2sgd": L2SGD_OPTIONS,
+    "averaged-perceptron": AP_OPTIONS,
+    "passive-aggressive": PA_OPTIONS,
+    "arow": AROW_OPTIONS,
+}
 
 
 def crf_options(method: str = "lbfgs") -> list[Option]:

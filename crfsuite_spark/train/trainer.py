@@ -10,19 +10,22 @@ src/crf/src/train_lbfgs.c:217-341) re-architected for Spark:
 2. featurization to int ids (quark.c interning → broadcast dict) via a
    streaming mapInPandas pass (whole sequences, Arrow-batched);
 3. per-L-BFGS-iteration gradient = one Spark job over the *cached*
-   featurized sequences: mapInPandas computes a per-batch
-   (loss, gradient) partial with the batched numpy kernel; partials are
-   summed on the driver (at cluster scale: treeAggregate — the partial
-   per batch is already the map-side combine);
+   featurized sequences: mapInPandas accumulates ONE (loss, gradient)
+   partial per PARTITION with the batched numpy kernel; at small
+   partition counts the driver sums them in partition-id order
+   (deterministic float summation), above ``tree_reduce_threshold``
+   they are tree-reduced executor-side so the driver receives a single
+   vector regardless of cluster width;
 4. L2 regularization + L-BFGS update on the driver
    (train_lbfgs.c:98-106; kernel/lbfgs.py).
 
 Scale notes: the training corpus for a tagger is a bounded sample even
 at a 10^12-turn table (you train on ~10^5-10^6 labelled sequences, then
 decode everything); the decode path (decode/tagger.py) is the
-unbounded one. The gradient partial per Arrow batch is a dense
-[A, L] float64 — fine to ~10^6 attributes; beyond that switch the
-accumulation to scipy-style CSR.
+unbounded one. A gradient partial is a dense n_params float64 vector
+(~80 MB at the ~10^6-attribute ceiling); driver memory is bounded by
+min(n_partitions, tree_reduce_threshold) partials, independent of data
+size — beyond that ceiling switch the accumulation to scipy-style CSR.
 """
 
 from __future__ import annotations
@@ -57,6 +60,35 @@ def generate_state_features(
         .where(F.col("freq") >= F.lit(minfreq))
     )
     return out.toPandas()
+
+
+def generate_transition_features(
+    df: DataFrame,
+    seq_cols: list[str],
+    order_col: str,
+    label_col: str = "label",
+    minfreq: float = 1.0,
+) -> pd.DataFrame:
+    """A1 transition half: observed adjacent (prev, cur) label pairs with
+    freq ≥ minfreq (crf1d_feature.c:167-178 emits one transition feature
+    per adjacent pair; minfreq filter at 139-144). The reference's
+    DEFAULT model class trains only these observed pairs — the dense
+    L×L matrix is the ``feature.possible_transitions=1`` option
+    (crf1d_feature.c:238-248, crf1d_encode.c:791-795)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*seq_cols).orderBy(order_col)
+    pairs = (
+        df.select(
+            F.lag(label_col).over(w).alias("prev"),
+            F.col(label_col).alias("cur"),
+        )
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+        .where(F.col("freq") >= F.lit(minfreq))
+    )
+    return pairs.toPandas()
 
 
 def build_dicts(state_feats: pd.DataFrame, labels_df: pd.DataFrame | list[str]):
@@ -239,6 +271,10 @@ def train_crf(
     checkpoint_dir: str | None = None,
     log: list | None = None,
     embeddings_col: str | None = None,
+    possible_states: bool = False,
+    possible_transitions: bool = False,
+    tree_reduce_threshold: int = 64,
+    linesearch: str = "morethuente",
 ) -> CRFModel:
     """Train a linear-chain CRF (method=lbfgs, the reference default).
 
@@ -249,23 +285,62 @@ def train_crf(
     R/modelling.R:16,131-139). ``c1`` > 0 adds L1 regularization via
     OWL-QN exactly like the reference (train_lbfgs.c:289-291 sets
     orthantwise_c = c1 and forces backtracking line search).
+
+    ``possible_states`` / ``possible_transitions`` mirror the
+    reference's ``feature.possible_states`` / ``feature.possible_transitions``
+    (crf1d_encode.c:791-795, densify at crf1d_feature.c:217-248): by
+    DEFAULT only OBSERVED (attribute, label) state features and observed
+    adjacent (prev, cur) transition features become trainable parameters
+    — an absent feature scores 0, exactly like the C engine. Setting
+    either flag densifies that family to the full grid (all attributes ×
+    labels / all label pairs), including attributes whose observed
+    features were minfreq-pruned, matching the C densify loops which
+    iterate the full dictionaries.
     """
     spark = tokens.sparkSession
     state_feats = generate_state_features(tokens, attrs_col, label_col, minfreq)
     label_values = [
         r[0] for r in tokens.select(label_col).distinct().collect()
     ]
-    labels, attrs = build_dicts(state_feats, label_values)
+    if possible_states:
+        # densify over the FULL attribute dictionary (crf1d_feature.c:217-225
+        # iterates every interned attribute, not just minfreq survivors)
+        all_attrs = sorted(
+            r[0]
+            for r in tokens.select(F.explode(attrs_col).alias("a")).distinct().collect()
+        )
+        labels = sorted(set(label_values))
+        attrs = all_attrs
+    else:
+        labels, attrs = build_dicts(state_feats, label_values)
     label2id = {l: i for i, l in enumerate(labels)}
     attr2id = {a: i for i, a in enumerate(attrs)}
     A, L = len(attrs), len(labels)
 
-    # parameter layout: [K state feats] + [L*L transitions]
-    sf_flat = np.sort(
-        state_feats["attribute"].map(attr2id).to_numpy() * L
-        + state_feats["label"].map(label2id).to_numpy()
-    )
+    # parameter layout: [K state feats] + [D*L embeddings] + [Kt transitions]
+    if possible_states:
+        sf_flat = np.arange(A * L, dtype=np.int64)
+    else:
+        sf_flat = np.sort(
+            state_feats["attribute"].map(attr2id).to_numpy() * L
+            + state_feats["label"].map(label2id).to_numpy()
+        )
+    if possible_transitions:
+        tf_flat = np.arange(L * L, dtype=np.int64)
+    else:
+        trans_feats = generate_transition_features(
+            tokens, seq_cols, order_col, label_col, minfreq
+        )
+        tf_flat = (
+            np.sort(
+                trans_feats["prev"].map(label2id).to_numpy() * L
+                + trans_feats["cur"].map(label2id).to_numpy()
+            )
+            if len(trans_feats)
+            else np.zeros(0, dtype=np.int64)
+        )
     K = len(sf_flat)
+    Kt = len(tf_flat)
     D = 0
     if embeddings_col:
         D = int(tokens.select(F.size(embeddings_col)).first()[0])
@@ -277,39 +352,74 @@ def train_crf(
     n_seq = featurized.count()  # materialize the cache
 
     sc = spark.sparkContext
-    dims_bc = sc.broadcast((A, L, D, sf_flat))
-    n_params = K + D * L + L * L
+    dims_bc = sc.broadcast((A, L, D, sf_flat, tf_flat))
+    n_params = K + D * L + Kt
+    # above tree_reduce_threshold partials, sum them in a shuffle tree
+    # instead of shipping all to the driver (each partial is n_params
+    # float64 — ~80 MB at the 10^6-attribute ceiling; hundreds of them
+    # OOM a driver)
 
     def fun_grad(w: np.ndarray) -> tuple[float, np.ndarray]:
         w_bc = sc.broadcast(w)
 
-        def grad_batches(batches):
-            A_, L_, D_, sf = dims_bc.value
+        def grad_partials(batches):
+            """ONE (loss, grad) partial per PARTITION: accumulate across
+            Arrow batches inside the iterator so driver/tree traffic is
+            bounded by the partition count, never the batch count."""
+            A_, L_, D_, sf, tf = dims_bc.value
             wv = w_bc.value
             state_w = np.zeros(A_ * L_, dtype=np.float64)
             state_w[sf] = wv[:K]
             state_w = state_w.reshape(A_, L_)
             emb_w = wv[K:K + D_ * L_].reshape(D_, L_) if D_ else None
-            trans_w = wv[K + D_ * L_:].reshape(L_, L_)
+            trans_w = np.zeros(L_ * L_, dtype=np.float64)
+            trans_w[tf] = wv[K + D_ * L_:]
+            trans_w = trans_w.reshape(L_, L_)
+            acc = np.zeros(n_params, dtype=np.float64)
+            total = 0.0
+            seen = False
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                seen = True
                 packed = _pack_batch(pdf, emb_dim=D_)
                 loss, g_state, g_trans, g_emb = batch_objective(
                     *packed, state_w, trans_w, emb_w
                 )
-                pieces = [g_state.reshape(-1)[sf]]
+                total += loss
+                acc[:K] += g_state.reshape(-1)[sf]
                 if D_:
-                    pieces.append(g_emb.reshape(-1))
-                pieces.append(g_trans.reshape(-1))
-                g = np.concatenate(pieces)
-                yield pd.DataFrame({"loss": [loss], "grad": [pickle.dumps(g)]})
+                    acc[K:K + D_ * L_] += g_emb.reshape(-1)
+                acc[K + D_ * L_:] += g_trans.reshape(-1)[tf]
+            if seen:
+                from pyspark import TaskContext
 
-        parts = featurized.mapInPandas(grad_batches, "loss double, grad binary").collect()
-        loss = sum(r["loss"] for r in parts)
-        grad = np.zeros(n_params, dtype=np.float64)
-        for r in parts:
-            grad += pickle.loads(r["grad"])
+                pid = TaskContext.get().partitionId()
+                yield pd.DataFrame(
+                    {"pid": [pid], "loss": [total], "grad": [pickle.dumps(acc)]}
+                )
+
+        partials_df = featurized.mapInPandas(
+            grad_partials, "pid int, loss double, grad binary"
+        )
+        n_part_hint = featurized.rdd.getNumPartitions()
+        if n_part_hint > tree_reduce_threshold:
+            # cluster scale: tree-sum the partials executor-side; the
+            # driver receives exactly one (loss, grad)
+            loss, grad = partials_df.rdd.map(
+                lambda r: (r["loss"], pickle.loads(r["grad"]))
+            ).treeReduce(lambda a, b: (a[0] + b[0], a[1] + b[1]), depth=2)
+            grad = grad.copy()
+        else:
+            # small partition counts: collect and sum in partition-id
+            # order — deterministic float summation, so repeated runs on
+            # the same partitioning are bit-identical
+            parts = sorted(partials_df.collect(), key=lambda r: r["pid"])
+            loss = 0.0
+            grad = np.zeros(n_params, dtype=np.float64)
+            for r in parts:
+                loss += r["loss"]
+                grad += pickle.loads(r["grad"])
         w_bc.destroy()
         # L2 (train_lbfgs.c:98-106)
         if c2 > 0:
@@ -326,27 +436,32 @@ def train_crf(
 
     res = minimize_lbfgs(
         fun_grad, np.zeros(n_params), max_iterations=max_iterations, callback=cb,
-        l1_c=c1,
+        l1_c=c1, linesearch=linesearch,
     )
     featurized.unpersist()
 
     state_w = np.zeros(A * L, dtype=np.float64)
     state_w[sf_flat] = res.x[:K]
+    trans_w = np.zeros(L * L, dtype=np.float64)
+    trans_w[tf_flat] = res.x[K + D * L:]
     return CRFModel(
         labels=labels,
         attrs=attrs,
         state_w=state_w.reshape(A, L),
-        trans_w=res.x[K + D * L:].reshape(L, L),
+        trans_w=trans_w.reshape(L, L),
         emb_names=[f"{embeddings_col}[{j}]" for j in range(D)],
         emb_w=res.x[K:K + D * L].reshape(D, L) if D else None,
         meta={
             "n_sequences": int(n_seq),
             "n_state_features": int(K),
+            "n_transition_features": int(Kt),
             "n_iterations": res.n_iter,
             "final_loss": float(res.fun),
             "converged": bool(res.converged),
             "c1": c1,
             "c2": c2,
             "minfreq": minfreq,
+            "possible_states": possible_states,
+            "possible_transitions": possible_transitions,
         },
     )

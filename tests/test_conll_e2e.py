@@ -1,0 +1,109 @@
+"""Real-data-shaped end-to-end validation on a checked-in CoNLL-2002
+format corpus — the reference's own validation protocol
+(vignettes/crfsuite-nlp.Rmd:109-153, R/modelling.R:36-76): read CoNLL →
+window feature templates → train lbfgs → decode a held-out document
+fold → entity-level precision/recall ≥ 0.95.
+
+The fixture (tests/fixtures/conll2002_synth.txt, 2000 sentences /
+~19k tokens, built once by tools/make_conll_fixture.py) is independent
+of the transcript generator the other e2e tests use, has multi-token
+BIO entities across PER/ORG/LOC/MISC, and ambiguous surfaces
+("Washington", "Jordan", "Parijs" are people after titles and locations
+after prepositions), so a pure lexicon can't pass — context and
+transition features must carry it."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "conll2002_synth.txt")
+
+
+def spans_from_bio(pdf: pd.DataFrame, label_col: str) -> set:
+    """(doc, sent, start_tok, end_tok, type) entity spans from BIO tags —
+    the entity-level unit the CoNLL-2002 metric counts."""
+    out = set()
+    cur = None
+    rows = pdf.sort_values(["doc_id", "sentence_id", "token_id"]).itertuples()
+    for r in rows:
+        lab = getattr(r, label_col)
+        key = (r.doc_id, r.sentence_id)
+        if lab and lab.startswith("B-"):
+            if cur:
+                out.add(cur)
+            cur = (key, r.token_id, r.token_id, lab[2:])
+        elif lab and lab.startswith("I-") and cur and cur[3] == lab[2:] and cur[0] == key and r.token_id == cur[2] + 1:
+            cur = (cur[0], cur[1], r.token_id, cur[3])
+        else:
+            if cur:
+                out.add(cur)
+            cur = None
+    if cur:
+        out.add(cur)
+    return out
+
+
+@pytest.fixture(scope="module")
+def conll(spark):
+    from crfsuite_spark.sources.conll import read_conll
+
+    df = read_conll(spark, FIXTURE).persist()
+    df.count()
+    return df
+
+
+def test_conll_fixture_shape(conll):
+    pdf = conll.toPandas()
+    assert len(pdf) > 15000
+    assert pdf["doc_id"].nunique() == 40
+    labs = set(pdf["label"])
+    assert {"B-PER", "I-PER", "B-ORG", "I-ORG", "B-LOC", "B-MISC", "O"} <= labs
+    # ambiguity really present: "Washington" occurs under both PER and LOC
+    w = pdf[pdf["token"] == "Washington"]["label"].str[2:].value_counts()
+    assert {"PER", "LOC"} <= set(w.index)
+
+
+def test_conll_train_decode_entity_prf(spark, conll):
+    """The north-rule gate on CoNLL-shaped data: entity-level P/R ≥ 0.95
+    on a held-out document fold, token-level weighted F1 ≥ 0.95."""
+    from crfsuite_spark.functions.templates import cbind_attributes
+    from crfsuite_spark.operators.evaluate import crf_evaluation
+    from crfsuite_spark.train.options import holdout_split
+    from crfsuite_spark.train.trainer import train_crf
+    from crfsuite_spark.decode.tagger import decode
+
+    feat = cbind_attributes(
+        conll, terms=["token", "pos"], by=["doc_id", "sentence_id"],
+        order_col="token_id", ngram_max=2,
+    )
+    train_df, test_df = holdout_split(feat, "doc_id", k=5, fold=0)
+    model = train_crf(
+        train_df, seq_cols=["doc_id", "sentence_id"], order_col="token_id",
+        minfreq=2.0, c2=1.0, max_iterations=35, num_partitions=8,
+    )
+    pred = decode(
+        test_df.withColumnRenamed("label", "label_gold"),
+        model, seq_cols=["doc_id", "sentence_id"], order_col="token_id",
+        with_marginal=False,
+        passthrough_cols=["doc_id", "sentence_id", "token_id", "token", "label_gold"],
+    ).toPandas()
+    assert len(pred) == test_df.count()
+
+    # token-level (the vignette's crf_evaluation contract)
+    ev = crf_evaluation(
+        spark.createDataFrame(pred), gold_col="label_gold", pred_col="label",
+        seq_cols=["doc_id", "sentence_id"],
+    )
+    assert ev["overall"]["f1_weighted"] >= 0.95, ev["overall"]
+    assert ev["overall"]["instance_accuracy"] >= 0.85, ev["overall"]
+
+    # entity-level (exact span + type match)
+    gold_spans = spans_from_bio(pred.rename(columns={"label_gold": "g"}), "g")
+    pred_spans = spans_from_bio(pred.rename(columns={"label": "p"}), "p")
+    tp = len(gold_spans & pred_spans)
+    precision = tp / len(pred_spans) if pred_spans else 0.0
+    recall = tp / len(gold_spans) if gold_spans else 0.0
+    assert precision >= 0.95, (precision, recall, len(gold_spans))
+    assert recall >= 0.95, (precision, recall, len(gold_spans))

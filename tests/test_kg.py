@@ -212,3 +212,56 @@ def test_link_null_weight_loses_tiebreak(spark):
     )
     out = link_mentions(mentions, alias, fuzzy=False).toPandas()
     assert out.iloc[0]["canonical_id"] == "E_w"
+
+
+def test_materialize_crash_between_data_and_manifest(spark, synth, tmp_path):
+    """Kill injected BETWEEN the bucket data rename and its manifest
+    write: the re-run must discard the uncommitted bucket data and
+    produce the identical final table — no duplicate triples."""
+    path = str(tmp_path / "triples_crash")
+    gold = spark.createDataFrame(synth.gold_triples)
+
+    # reference run (no fault) for the expected final table
+    ref_path = str(tmp_path / "triples_ref")
+    materialize(gold, ref_path, n_buckets=8)
+    expected = {
+        tuple(r) for r in read_triples(spark, ref_path)
+        .select("conv_id", "turn_idx", "subj", "pred", "obj").collect()
+    }
+
+    class Boom(Exception):
+        pass
+
+    state = {"committed": 0}
+
+    def fault(bucket):
+        # let 3 buckets commit, then crash before the 4th manifest write
+        # (its data directory is already renamed into data/)
+        if state["committed"] == 3:
+            raise Boom()
+        state["committed"] += 1
+
+    import pytest as _pytest
+    with _pytest.raises(Boom):
+        materialize(gold, path, n_buckets=8, fault_hook=fault)
+    assert len(completed_buckets(path)) == 3
+    # the crashed bucket's data is on disk but uncommitted
+    import os
+    n_data_dirs = len([d for d in os.listdir(os.path.join(path, "data"))
+                       if d.startswith("bucket=")])
+    assert n_data_dirs >= 4  # 3 committed + >=1 uncommitted leftover
+
+    r2 = materialize(gold, path, n_buckets=8)
+    assert len(r2["written_buckets"]) == 5
+    got = {
+        tuple(r) for r in read_triples(spark, path)
+        .select("conv_id", "turn_idx", "subj", "pred", "obj").collect()
+    }
+    assert got == expected
+    # per-bucket row counts must equal the reference run's
+    import json
+    for b in range(8):
+        with open(os.path.join(path, "_manifest", f"bucket={b}.json")) as f:
+            rb = json.load(f)["rows"]
+        with open(os.path.join(ref_path, "_manifest", f"bucket={b}.json")) as f:
+            assert rb == json.load(f)["rows"]

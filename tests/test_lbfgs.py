@@ -72,3 +72,44 @@ def test_owlqn_l1_produces_exact_zeros():
     assert np.allclose(res.x, expected, atol=1e-4), (res.x, expected)
     # exact zeros, not tiny values
     assert (res.x[2] == 0.0) and (res.x[3] == 0.0) and (res.x[4] == 0.0)
+
+
+def test_morethuente_vs_backtracking_same_optimum():
+    """Both line searches reach the same optimum on a convex problem;
+    MoreThuente (strong Wolfe) must not need more function evals."""
+    A = np.diag([1.0, 10.0, 100.0])
+    b = np.array([1.0, -2.0, 3.0])
+    evals = {"mt": 0, "bt": 0}
+
+    def make_fg(key):
+        def fg(x):
+            evals[key] += 1
+            return 0.5 * x @ A @ x - b @ x, A @ x - b
+        return fg
+
+    r_mt = minimize_lbfgs(make_fg("mt"), np.zeros(3), max_iterations=200,
+                          epsilon=1e-10, linesearch="morethuente")
+    r_bt = minimize_lbfgs(make_fg("bt"), np.zeros(3), max_iterations=200,
+                          epsilon=1e-10, linesearch="backtracking")
+    x_star = np.linalg.solve(A, b)
+    np.testing.assert_allclose(r_mt.x, x_star, atol=1e-6)
+    np.testing.assert_allclose(r_bt.x, x_star, atol=1e-6)
+    assert r_mt.converged and r_bt.converged
+    assert evals["mt"] <= evals["bt"] * 1.5  # MT is at least as frugal
+
+
+def test_morethuente_rosenbrock():
+    """Non-quadratic curvature: strong-Wolfe search still converges on
+    the 2-d Rosenbrock valley (a standard line-search stress test)."""
+    def fg(x):
+        a, bq = 1.0, 100.0
+        f = (a - x[0]) ** 2 + bq * (x[1] - x[0] ** 2) ** 2
+        g = np.array([
+            -2 * (a - x[0]) - 4 * bq * x[0] * (x[1] - x[0] ** 2),
+            2 * bq * (x[1] - x[0] ** 2),
+        ])
+        return f, g
+
+    res = minimize_lbfgs(fg, np.array([-1.2, 1.0]), max_iterations=500,
+                         epsilon=1e-10, linesearch="morethuente")
+    np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-5)

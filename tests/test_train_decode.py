@@ -368,3 +368,111 @@ def test_pa_zero_feature_delta_does_not_crash(spark):
         method="pa", minfreq=2.0, max_iterations=3, num_partitions=2,
     )
     assert set(model.labels) == {"A", "B"}
+
+
+def _mk_tokens(spark, seqs):
+    rows = []
+    for ci, seq in enumerate(seqs):
+        for ti, (tok, lab) in enumerate(seq):
+            rows.append((f"c{ci}", 0, ti, [f"tok={tok}"], lab))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, token_idx int, attrs array<string>, label string"
+    )
+
+
+def test_observed_only_transitions_default(spark):
+    """Reference default (feature.possible_transitions=0): only OBSERVED
+    adjacent label pairs become trainable transition parameters; the
+    unobserved pairs stay exactly 0 (crf1d_feature.c:167-178, densify is
+    opt-in at 238-248)."""
+    import numpy as np
+    from crfsuite_spark.train.trainer import train_crf
+
+    # transitions observed: A->B, B->A only (never A->A, B->B)
+    seqs = [
+        [("x", "A"), ("y", "B"), ("x", "A"), ("y", "B")],
+        [("y", "B"), ("x", "A")],
+    ] * 3
+    df = _mk_tokens(spark, seqs)
+    m = train_crf(df, ["conv_id", "turn_idx"], "token_idx",
+                  max_iterations=20, num_partitions=2)
+    ia, ib = m.labels.index("A"), m.labels.index("B")
+    assert m.meta["n_transition_features"] == 2
+    assert m.trans_w[ia, ia] == 0.0 and m.trans_w[ib, ib] == 0.0
+    assert m.trans_w[ia, ib] != 0.0 and m.trans_w[ib, ia] != 0.0
+
+
+def test_possible_transitions_matches_dense_when_all_observed(spark):
+    """When every label pair IS observed, densify is a no-op: the default
+    observed-only model and possible_transitions=1 produce identical
+    parameters (same feature set -> same convex optimum path)."""
+    import numpy as np
+    from crfsuite_spark.train.trainer import train_crf
+
+    # cover all 4 transitions of {A,B}
+    seqs = [
+        [("x", "A"), ("x", "A"), ("y", "B"), ("y", "B"), ("x", "A")],
+        [("y", "B"), ("x", "A"), ("y", "B")],
+    ] * 3
+    df = _mk_tokens(spark, seqs)
+    kw = dict(seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+              max_iterations=25, num_partitions=2)
+    m0 = train_crf(df, **kw)
+    m1 = train_crf(df, possible_transitions=True, **kw)
+    assert m0.meta["n_transition_features"] == 4
+    assert m1.meta["n_transition_features"] == 4
+    np.testing.assert_allclose(m0.trans_w, m1.trans_w, atol=1e-10)
+    np.testing.assert_allclose(m0.state_w, m1.state_w, atol=1e-10)
+
+
+def test_possible_states_densifies_attr_grid(spark):
+    """possible_states=1: every (attribute, label) pair is trainable,
+    including pairs never observed together (crf1d_feature.c:217-225)."""
+    from crfsuite_spark.train.trainer import train_crf
+
+    seqs = [[("x", "A"), ("y", "B")]] * 4
+    df = _mk_tokens(spark, seqs)
+    m0 = train_crf(df, ["conv_id", "turn_idx"], "token_idx",
+                   max_iterations=10, num_partitions=2)
+    m1 = train_crf(df, ["conv_id", "turn_idx"], "token_idx",
+                   max_iterations=10, num_partitions=2, possible_states=True)
+    # observed-only: 2 state features; densified: 2 attrs x 2 labels = 4
+    assert m0.meta["n_state_features"] == 2
+    assert m1.meta["n_state_features"] == 4
+
+
+def test_gradient_tree_reduce_matches_driver_sum(spark):
+    """The treeReduce partial-sum path must train to the same optimum as
+    the deterministic driver-side sorted sum."""
+    import numpy as np
+    from crfsuite_spark.train.trainer import train_crf
+
+    seqs = [
+        [("x", "A"), ("y", "B"), ("z", "O")],
+        [("z", "O"), ("x", "A")],
+        [("y", "B"), ("z", "O"), ("y", "B")],
+    ] * 4
+    df = _mk_tokens(spark, seqs)
+    kw = dict(seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+              max_iterations=20, num_partitions=4)
+    m_sum = train_crf(df, **kw)
+    m_tree = train_crf(df, tree_reduce_threshold=0, **kw)
+    np.testing.assert_allclose(m_sum.state_w, m_tree.state_w, atol=1e-8)
+    np.testing.assert_allclose(m_sum.trans_w, m_tree.trans_w, atol=1e-8)
+
+
+def test_crf_options_registry_all_methods():
+    """T8 parity: all five reference trainers are registered with the
+    shared crf1de feature options (params.c / crf1d_encode.c:789-795)."""
+    from crfsuite_spark.train.options import crf_options
+
+    for method in ("lbfgs", "l2sgd", "averaged-perceptron",
+                   "passive-aggressive", "arow"):
+        opts = {o.name: o for o in crf_options(method)}
+        assert "feature.minfreq" in opts
+        assert "feature.possible_states" in opts
+        assert "feature.possible_transitions" in opts
+        assert "max_iterations" in opts
+    assert {o.name for o in crf_options("l2sgd")} >= {"c2", "calibration.eta"}
+    assert {o.name for o in crf_options("arow")} >= {"variance", "gamma"}
+    assert {o.name for o in crf_options("passive-aggressive")} >= {"type", "c"}

@@ -1,0 +1,125 @@
+"""Generate the checked-in CoNLL-2002-format NER fixture.
+
+Deterministic (seeded) corpus shaped like the reference's CoNLL-2002
+Dutch data (R/data.R:49-79 format: ``token pos label`` lines, blank line
+between sentences, ``-DOCSTART- -DOCSTART- O`` between documents) with
+the properties the real corpus stresses:
+
+- BIO tagging over PER/ORG/LOC/MISC with multi-token entities,
+- ambiguous surfaces (e.g. "Washington" is a person after a title and a
+  location after a preposition; "Jordan" likewise) so a lexicon alone
+  cannot reach the 0.95 gate — context/transition features must work,
+- punctuation, numbers, casing variety, entity-free sentences.
+
+Run: ``python tools/make_conll_fixture.py`` (rewrites
+tests/fixtures/conll2002_synth.txt; the file is committed, tests only
+read it).
+"""
+
+import os
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                   "conll2002_synth.txt")
+
+FIRST = ["Jan", "Piet", "Marie", "Anna", "Koen", "Els", "Bart", "Sofie",
+         "Hugo", "Lies", "Tom", "Eva", "Daan", "Nora", "Stef", "Mira"]
+LAST = ["Peeters", "Janssens", "Maes", "Claes", "Wouters", "Mertens",
+        "Willems", "Goossens", "Vermeulen", "Hendrickx", "Washington",
+        "Jordan", "Parijs"]
+ORG_CORE = ["Telenet", "Bekaert", "Umicore", "Solvay", "Proximus",
+            "Colruyt", "Barco", "Agfa", "Melexis", "Aperam", "Arcelor",
+            "Vandelay"]
+ORG_SUFFIX = ["NV", "Groep", "Holding", "International"]
+LOC = ["Antwerpen", "Gent", "Brussel", "Leuven", "Brugge", "Hasselt",
+       "Namen", "Luik", "Oostende", "Mechelen", "Washington", "Jordan",
+       "Parijs", "Berlijn", "Londen"]
+MISC = ["Ronde", "Oscars", "Wereldbeker", "Europacup", "Grand", "Prix",
+        "Olympische", "Spelen"]
+
+# (template tokens, pos tags) — {P}=person {O}=org {L}=loc {M}=misc slots
+TEMPLATES = [
+    ("De woordvoerder van {O} zei dat {P} naar {L} verhuist .",
+     "Art N Prep {O} V Conj {P} Prep {L} V Punc"),
+    ("{P} werkt sinds 1998 bij {O} in {L} .",
+     "{P} V Prep Num Prep {O} Prep {L} Punc"),
+    ("Volgens {P} stijgt de omzet van {O} met 12 procent .",
+     "Prep {P} V Art N Prep {O} Prep Num N Punc"),
+    ("De burgemeester van {L} opent het kantoor van {O} .",
+     "Art N Prep {L} V Art N Prep {O} Punc"),
+    ("{O} neemt {O2} over voor 3 miljard euro .",
+     "{O} V {O2} Adv Prep Num N N Punc"),
+    ("mevrouw {P} sprak gisteren met {P2} over de fusie .",
+     "N {P} V Adv Prep {P2} Prep Art N Punc"),
+    ("de trein van {L} naar {L2} had vertraging .",
+     "Art N Prep {L} Prep {L2} V N Punc"),
+    ("{P} wint de {M} in {L} .",
+     "{P} V Art {M} Prep {L} Punc"),
+    ("de aandelen sloten vrijdag hoger op de beurs .",
+     "Art N V N Adj Prep Art N Punc"),
+    ("het bedrijf kondigde een herstructurering aan .",
+     "Art N V Art N Prep Punc"),
+    ("analisten verwachten een moeilijk kwartaal .",
+     "N V Art Adj N Punc"),
+    ("dhr. {P} vertegenwoordigt {O} in de raad .",
+     "N {P} V {O} Prep Art N Punc"),
+    ("in {L} protesteerden duizenden mensen tegen het plan .",
+     "Prep {L} V Num N Prep Art N Punc"),
+    ("{O} verkoopt zijn divisie in {L} aan {O2} .",
+     "{O} V Pron N Prep {L} Prep {O2} Punc"),
+]
+
+
+def sample_entity(rng, kind):
+    """Returns (tokens, tags) for one entity mention."""
+    if kind.startswith("P"):
+        f = FIRST[rng.integers(len(FIRST))]
+        l = LAST[rng.integers(len(LAST))]
+        if rng.random() < 0.35:
+            return [l], ["B-PER"], ["N"]
+        return [f, l], ["B-PER", "I-PER"], ["N", "N"]
+    if kind.startswith("O"):
+        c = ORG_CORE[rng.integers(len(ORG_CORE))]
+        if rng.random() < 0.45:
+            s = ORG_SUFFIX[rng.integers(len(ORG_SUFFIX))]
+            return [c, s], ["B-ORG", "I-ORG"], ["N", "N"]
+        return [c], ["B-ORG"], ["N"]
+    if kind.startswith("L"):
+        return ([LOC[rng.integers(len(LOC))]], ["B-LOC"], ["N"])
+    m1 = MISC[rng.integers(len(MISC))]
+    if rng.random() < 0.4 and m1 in ("Grand", "Olympische", "Ronde"):
+        pair = {"Grand": "Prix", "Olympische": "Spelen", "Ronde": "Ronde"}[m1]
+        return [m1, pair], ["B-MISC", "I-MISC"], ["N", "N"]
+    return [m1], ["B-MISC"], ["N"]
+
+
+def main(n_sentences=2000, n_docs=40, seed=7):
+    rng = np.random.default_rng(seed)
+    lines = []
+    per_doc = n_sentences // n_docs
+    for d in range(n_docs):
+        lines.append("-DOCSTART- -DOCSTART- O")
+        lines.append("")
+        for _ in range(per_doc):
+            words, poss = TEMPLATES[rng.integers(len(TEMPLATES))]
+            out = []
+            for w, p in zip(words.split(), poss.split()):
+                if w.startswith("{"):
+                    kind = w.strip("{}")
+                    toks, tags, tps = sample_entity(rng, kind)
+                    for t, g, tp in zip(toks, tags, tps):
+                        out.append((t, tp, g))
+                else:
+                    out.append((w, p, "O"))
+            for t, p, g in out:
+                lines.append(f"{t} {p} {g}")
+            lines.append("")
+    with open(os.path.abspath(OUT), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    n_tok = sum(1 for l in lines if l and not l.startswith("-DOCSTART-"))
+    print(f"wrote {os.path.abspath(OUT)}: {n_sentences} sentences, {n_tok} tokens")
+
+
+if __name__ == "__main__":
+    main()
