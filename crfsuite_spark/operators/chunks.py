@@ -69,3 +69,29 @@ def merge_chunkrange(
         F.concat(F.when(rn == 1, F.lit("B-")).otherwise(F.lit("I-")), F.col("__ent"))
     )
     return picked.withColumn("label", label).drop("__cid", "__cs", "__ce", "__ent")
+
+
+# the shiny annotation app's chunkrange record (S9): one row per saved
+# chunk — inst/app/annotation.Rmd:87-95 writes exactly these fields
+ANNOTATION_SCHEMA = (
+    "annotation_time timestamp, doc_id string, text string, "
+    "text_visible string, start int, end int, chunk_id int, "
+    "chunk_entity string, chunk string"
+)
+_ANNOTATION_COLS = [f.split()[0] for f in ANNOTATION_SCHEMA.split(", ")]
+
+
+def write_annotations(df: DataFrame, path: str, mode: str = "append") -> None:
+    """S9 annotation sink: persist chunkrange annotation rows in the
+    app's record layout (the reference saves RDS; we write parquet so
+    the table is directly joinable by merge_chunkrange at any scale).
+    Raises on missing columns — the app schema is the contract."""
+    missing = [c for c in _ANNOTATION_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(f"annotation frame missing columns: {missing}")
+    df.select(*_ANNOTATION_COLS).write.mode(mode).parquet(path)
+
+
+def read_annotations(spark, path: str) -> DataFrame:
+    """Scan saved chunkrange annotations (S9 companion scan)."""
+    return spark.read.parquet(path).select(*_ANNOTATION_COLS)

@@ -52,3 +52,41 @@ def test_iob_recode(fixture):
     assert m[("d1", 2)] == "I-LOCATION"
     assert m[("d1", 3)] == "I-LOCATION"
     assert m[("d2", 0)] == "O"
+
+
+def test_annotation_sink_roundtrip(spark, tmp_path):
+    """S9: chunkrange annotation rows persist in the app's record layout
+    (inst/app/annotation.Rmd:87-95) and feed merge_chunkrange back."""
+    from crfsuite_spark.operators.chunks import (
+        ANNOTATION_SCHEMA, merge_chunkrange, read_annotations,
+        write_annotations,
+    )
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1), "d1", "Jan Peeters woont in Gent",
+         "Jan Peeters woont in Gent", 0, 10, 1, "PER", "Jan Peeters"),
+        (datetime.datetime(2024, 1, 1), "d1", "Jan Peeters woont in Gent",
+         "Jan Peeters woont in Gent", 21, 24, 2, "LOC", "Gent"),
+    ]
+    ann = spark.createDataFrame(rows, ANNOTATION_SCHEMA)
+    path = str(tmp_path / "annotations")
+    write_annotations(ann, path)
+    back = read_annotations(spark, path)
+    assert back.count() == 2
+    assert back.columns[0] == "annotation_time"
+    # missing-column contract
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        write_annotations(ann.drop("chunk_id"), path)
+    # feeds the containment join
+    toks = spark.createDataFrame(
+        [("d1", 1, "Jan", 0, 2), ("d1", 2, "Peeters", 4, 10),
+         ("d1", 3, "woont", 12, 16), ("d1", 4, "Gent", 21, 24)],
+        "doc_id string, token_idx int, token string, start int, end int",
+    )
+    out = merge_chunkrange(toks, back).toPandas().set_index("token")
+    assert out.loc["Jan", "label"] == "B-PER"
+    assert out.loc["Peeters", "label"] == "I-PER"
+    assert out.loc["woont", "label"] == "O"
+    assert out.loc["Gent", "label"] == "B-LOC"
