@@ -227,7 +227,16 @@ def run_scaling(sf_dir: str) -> None:
     t32 = rows[n_hi]["n_turns"] / rows[n_hi]["queries"]["kg_pipeline"]
     eff = t32 / (4 * t8)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # keep the hand-written sections (training-vs-reference, decode
+    # throughput) that follow the scaling table across refreshes
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        idx = prev.find("\n## ")
+        if idx >= 0:
+            tail = prev[idx:]
+    with open(out_path, "w") as f:
         f.write(
             "# BENCH — scaling evidence (N → 4N parallelism)\n\n"
             "Same job (full KG pipeline: tokenize → featurize → batched Viterbi\n"
@@ -244,7 +253,7 @@ def run_scaling(sf_dir: str) -> None:
             f"| {n_hi} cores (local[{n_hi}], taskset 0-{n_hi - 1}) | "
             f"{rows[n_hi]['queries']['kg_pipeline']} | {t32:.1f} |\n\n"
             f"**Scaling efficiency** = T_4N / (4 × T_N) = **{eff:.3f}** "
-            f"(target ≥ 0.8)\n"
+            f"(target ≥ 0.8)\n" + tail
         )
     print(json.dumps({"scaling_efficiency": round(eff, 3),
                       "throughput_8": round(t8, 1), "throughput_32": round(t32, 1)}))

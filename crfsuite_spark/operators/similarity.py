@@ -17,6 +17,7 @@ buckets) for embedding-based dedup.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -171,6 +172,78 @@ def ann_join(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10000,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: k-means centroids [n_cells, dim]
+    from a driver-side sample (the standard IVF recipe — the quantizer
+    is tiny and trains on a bounded sample regardless of corpus size;
+    at 100 TB you sample ~10^5 vectors, never the table)."""
+    sample = np.array(
+        [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(n_iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``cell`` column = nearest centroid id, via one Arrow-batched
+    pandas UDF doing a [batch, dim] @ [dim, C] matmul (no per-row
+    Python). At cluster scale the corpus is written partitioned by
+    ``cell`` once, and probes read only their cells (partition pruning)."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = emb.sparkSession
+    c_bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        C = c_bc.value
+        X = np.array(vs.tolist(), dtype=np.float64)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return emb.withColumn("cell", cell_of(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_topk(
+    emb_assigned: DataFrame,
+    centroids: np.ndarray,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN point query: probe the ``n_probe`` nearest cells, exact
+    cosine top-k inside them only (scan of n_probe/n_cells of the data)."""
+    q = np.asarray(query, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d = ((C - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in d.argsort()[:n_probe]]
+    cand = emb_assigned.where(F.col("cell").isin(probes))
+    return cosine_topk(cand, q, k, id_col, vec_col)
 
 
 def embedding_dup_pairs(

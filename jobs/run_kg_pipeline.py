@@ -48,8 +48,10 @@ def main(argv=None):
     existing = SparkSession.getActiveSession()
     spark = existing or SparkSession.builder.appName("kg-pipeline").getOrCreate()
 
+    from pyspark.sql import functions as F
+
     from crfsuite_spark.kg.pipeline import PipelineConfig, run_pipeline
-    from crfsuite_spark.kg.triples import materialize
+    from crfsuite_spark.kg.triples import completed_buckets, materialize
     from crfsuite_spark.train.model import CRFModel
 
     def read(path):
@@ -57,14 +59,30 @@ def main(argv=None):
                 else spark.read.parquet(path))
 
     t0 = time.time()
-    transcripts = read(args.transcripts)
-    alias = read(args.alias_dict)
-    model = CRFModel.load(args.model)
-    cfg = PipelineConfig(num_partitions=args.partitions,
-                         fuzzy_linking=not args.no_fuzzy)
-    triples = run_pipeline(transcripts, model, alias, cfg)
-    report = materialize(triples, args.output, n_buckets=args.buckets,
-                         epoch=args.epoch)
+    done = completed_buckets(args.output)
+    todo = [b for b in range(args.buckets) if b not in done]
+    if not todo:
+        # fully resumed: don't even build the pipeline (decode is the
+        # expensive stage; a no-op resume must be O(manifest))
+        report = {"skipped_buckets": sorted(done), "written_buckets": [],
+                  "rows_written": 0}
+    else:
+        transcripts = read(args.transcripts)
+        if done:
+            # partial resume: drop completed conversations BEFORE decode —
+            # same bucket hash as materialize, so the filter reaches the
+            # scan and the CRF/linking stages never see committed buckets
+            transcripts = transcripts.where(
+                F.pmod(F.xxhash64(F.col("conv_id")), F.lit(args.buckets))
+                .cast("int").isin(todo)
+            )
+        alias = read(args.alias_dict)
+        model = CRFModel.load(args.model)
+        cfg = PipelineConfig(num_partitions=args.partitions,
+                             fuzzy_linking=not args.no_fuzzy)
+        triples = run_pipeline(transcripts, model, alias, cfg)
+        report = materialize(triples, args.output, n_buckets=args.buckets,
+                             epoch=args.epoch)
     report["seconds"] = round(time.time() - t0, 1)
     print(json.dumps(report))
     if existing is None:  # owned session (real spark-submit run)

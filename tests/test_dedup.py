@@ -214,3 +214,22 @@ def test_ann_join_batch_recall(emb):
     for qid in (0, 5, 100):
         top1 = got[(got["query_id"] == qid) & (got["rank"] == 1)]
         assert int(top1["vec_id"].iloc[0]) == qid
+
+
+def test_ivf_topk_recall(emb):
+    """IVF coarse-quantizer ANN: probing 2 of 4 cells must recover the
+    exact top-1 (the query vector itself is in its own cell) and clear
+    recall@5 >= 0.6 vs brute force."""
+    cents = sim.ivf_train(emb, n_cells=4, sample_rows=100, seed=1)
+    assert cents.shape == (4, 16)
+    assigned = sim.ivf_assign(emb, cents).persist()
+    # every row gets a valid cell
+    cells = assigned.select("cell").distinct().toPandas()["cell"]
+    assert set(cells) <= {0, 1, 2, 3}
+    q = emb.where(F.col("vec_id") == 100).collect()[0]["embedding"]
+    got = sim.ivf_topk(assigned, cents, q, k=5, n_probe=2).toPandas()
+    assert got["vec_id"].iloc[0] == 100  # self is always found
+    truth = set(sim.cosine_topk(emb, q, k=5).toPandas()["vec_id"])
+    recall = len(truth & set(got["vec_id"])) / len(truth)
+    assert recall >= 0.6, recall
+    assigned.unpersist()
