@@ -307,6 +307,24 @@ def q_ta_text_stats(spark, sf):
     )
 
 
+def q_ta_winnow(spark, sf):
+    """Winnowing rolling-hash document fingerprints (MOSS algorithm,
+    k=5-gram hashes, window w=4): per-doc fingerprint count + head-8
+    sample as a comma-joined string (portable md5 hash → DuckDB oracle
+    reproduces every fingerprint)."""
+    from crfsuite_spark.functions.analysis import winnow_fingerprints
+
+    d = _t(spark, sf, "documents")
+    fps = winnow_fingerprints("text", k=5, w=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fps"),
+        F.array_join(
+            F.transform(F.slice(fps, 1, 8), lambda x: x.cast("string")), ","
+        ).alias("head_fps"),
+    )
+
+
 def q_sim_cosine_topk(spark, sf):
     """Brute-force cosine top-k against the vec_id=0 embedding."""
     e = _t(spark, sf, "embeddings")
@@ -565,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ta_text_stats": q_ta_text_stats,
+        "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
         "ev_sessionize": q_ev_sessionize,
         "ev_run_groups": q_ev_run_groups,
@@ -859,6 +878,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_de > 0 THEN 'de'
                         ELSE 'und' END AS lang_pred
             FROM hits
+        """,
+        "ta_winnow": """
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) < 5 THEN [text]
+                          ELSE list_transform(range(1, length(text) - 5 + 2),
+                               i -> substr(text, i, 5)) END AS grams
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     list_transform(grams, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+              FROM g),
+            m AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                          ELSE list_transform(range(1, len(hs) - 4 + 2),
+                               i -> list_min(hs[i:i+3])) END AS mins
+              FROM h),
+            fp AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
+            SELECT doc_id,
+                   CAST(len(fps) AS BIGINT) AS n_fps,
+                   array_to_string(list_transform(fps[1:8], x -> CAST(x AS VARCHAR)), ',') AS head_fps
+            FROM fp
         """,
         "sim_cosine_topk": """
             SELECT e.vec_id,

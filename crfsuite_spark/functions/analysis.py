@@ -119,3 +119,33 @@ def md5_fingerprint(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""), r"\s+", " ")
     return F.md5(F.trim(norm))
+
+
+def winnow_fingerprints(col: str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every char k-gram, slide a window of w
+    hashes, keep each window's minimum — guarantees any shared substring
+    of length ≥ k + w - 1 yields a shared fingerprint, with ~2/(w+1)
+    selection density. All JVM higher-order functions on one row: no
+    explode, no shuffle — at 100 TB this is pure map-side scan work.
+
+    Hash = md5-derived 32-bit int (portable: DuckDB reproduces it), so
+    fingerprints are comparable across engines and runs. Returns a
+    sorted distinct array<bigint>.
+    """
+    if not isinstance(col, str):
+        raise ValueError("winnow_fingerprints requires a column NAME (string)")
+    s = col
+    grams = (
+        f"CASE WHEN length({s}) < {k} THEN array({s}) "
+        f"ELSE transform(sequence(0, length({s}) - {k}), i -> substr({s}, i + 1, {k})) END"
+    )
+    hashes = (
+        f"transform({grams}, g -> CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT))"
+    )
+    mins = (
+        f"CASE WHEN size({hashes}) <= {w} THEN array(array_min({hashes})) "
+        f"ELSE transform(sequence(0, size({hashes}) - {w}), "
+        f"i -> array_min(slice({hashes}, i + 1, {w}))) END"
+    )
+    return F.expr(f"array_sort(array_distinct({mins}))")

@@ -91,3 +91,26 @@ def test_media_metadata_sniffing(spark):
     out = {r["media_id"]: r["media_type"] for r in mm.media_metadata(df).collect()}
     assert out[0] == "image/png" and out[1] == "image/jpeg"
     assert out[2] == "application/octet-stream"
+
+
+def test_winnow_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): documents sharing a
+    substring of length >= k + w - 1 share at least one fingerprint;
+    disjoint documents share none (w.h.p.)."""
+    from crfsuite_spark.functions.analysis import winnow_fingerprints
+
+    shared = "the identical shared passage of text"  # len 36 >= 5+4-1
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "totally different lead-in " + shared + " and tail"),
+        (3, "no overlap here whatsoever zqxv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = df.select(
+        "doc_id", winnow_fingerprints("text", k=5, w=4).alias("fps")
+    ).toPandas()
+    fps = {r.doc_id: set(r.fps) for r in out.itertuples()}
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    # density sanity: far fewer fingerprints than k-grams
+    assert len(fps[1]) < len(rows[0][1])
