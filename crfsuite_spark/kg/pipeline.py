@@ -95,16 +95,23 @@ def extract_triples(
     ).persist()
     rels.count()
     # link distinct surfaces once (the mention stream repeats surfaces
-    # heavily at transcript scale), then broadcast the tiny link table back
+    # heavily at transcript scale), then broadcast the tiny link table back.
+    # PERSIST the distinct set: the linking stages (exact agg, miss
+    # derivation, LSH fuzzy chain, final join) each walk their input
+    # lineage — without the cache every walk re-runs the 2x-rels
+    # union+distinct shuffle (measured 10x the whole link stage at 3.6M
+    # turns). The set is tiny (distinct surfaces), the cache is cheap.
     surfaces = (
         rels.select(F.col("subj_surface").alias("surface"))
         .unionByName(rels.select(F.col("obj_surface").alias("surface")))
         .distinct()
-    )
+    ).persist()
+    surfaces.count()
     linked = link_mentions(
         surfaces, alias_dict, surface_col="surface", fuzzy=cfg.fuzzy_linking
     ).select("surface", "canonical_id", "link_method").persist()
     linked.count()  # materialize: exactly one decode pass through the cache
+    surfaces.unpersist()
     if cfg.canonicalize:
         from crfsuite_spark.kg.linking import canonicalize_surrogates
 
