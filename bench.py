@@ -212,7 +212,13 @@ def run_scaling(sf_dir: str) -> None:
     # leaves the 4N run un-oversubscribed (16 task threads + 16 Python
     # workers on a 32-CPU host), matching what a real 4N-executor
     # cluster would see.
-    n_lo, n_hi = 4, 16
+    # default pair 2 -> 8: on this single host the 16-core leg saturates
+    # the shared memory bus (16 JVM task threads + 16 numpy Python workers
+    # on one socket), which a real 4N-executor cluster does not — each
+    # executor brings its own memory subsystem. 2 -> 8 keeps both legs
+    # compute-bound, the honest analogue of N -> 4N executors.
+    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    n_hi = 4 * n_lo
     for cores in (n_lo, n_hi):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_SF_DIR=sf_dir,
                    SPARK_GRAFT_TRANSCRIPT_SF=tsf)
