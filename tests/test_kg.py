@@ -265,3 +265,33 @@ def test_materialize_crash_between_data_and_manifest(spark, synth, tmp_path):
             rb = json.load(f)["rows"]
         with open(os.path.join(ref_path, "_manifest", f"bucket={b}.json")) as f:
             assert rb == json.load(f)["rows"]
+
+
+def test_streaming_spans_parity_and_plan(spark, synth, lexicon_model):
+    """assemble_spans_streaming over decode output must equal the
+    shuffle-based assemble_spans row-for-row, and its physical plan must
+    contain NO Exchange between the decode UDF and the span UDF."""
+    from crfsuite_spark.kg.pipeline import featurize_transcripts
+    from crfsuite_spark.decode.tagger import decode
+    from crfsuite_spark.kg.spans import assemble_spans, assemble_spans_streaming
+
+    tdf = spark.createDataFrame(synth.transcripts)
+    feat = featurize_transcripts(tdf)
+    decoded = decode(
+        feat, lexicon_model, ["conv_id", "turn_idx"], "token_idx",
+        with_marginal=False,
+        passthrough_cols=["conv_id", "turn_idx", "token_idx", "token"],
+    )
+    a = assemble_spans(decoded, seq_cols=["conv_id", "turn_idx"], order_col="token_idx")
+    b = assemble_spans_streaming(decoded, seq_cols=["conv_id", "turn_idx"], order_col="token_idx")
+    cols = ["conv_id", "turn_idx", "span_id", "entity_type", "surface",
+            "start_tok", "end_tok"]
+    sa = {tuple(r) for r in a.select(*cols).collect()}
+    sb = {tuple(r) for r in b.select(*cols).collect()}
+    assert sa == sb and len(sa) > 0
+    # plan: the streaming variant adds no shuffle on top of decode's one
+    plan_b = b._jdf.queryExecution().executedPlan().toString()
+    plan_decoded = decoded._jdf.queryExecution().executedPlan().toString()
+    assert plan_b.count("Exchange") == plan_decoded.count("Exchange")
+    plan_a = a._jdf.queryExecution().executedPlan().toString()
+    assert plan_a.count("Exchange") > plan_decoded.count("Exchange")
