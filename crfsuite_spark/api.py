@@ -20,6 +20,7 @@ from crfsuite_spark.train.options import crf_options
 # reference option string -> trainer kwarg
 _COMMON = {
     "feature.minfreq": "minfreq",
+    "feature.possible_transitions": "possible_transitions",
     "max_iterations": "max_iterations",
 }
 _RENAMES = {
@@ -29,7 +30,6 @@ _RENAMES = {
         "c2": "c2",
         "linesearch": "linesearch",
         "feature.possible_states": "possible_states",
-        "feature.possible_transitions": "possible_transitions",
     },
     "l2sgd": {**_COMMON, "c2": "c2", "period": "period", "epsilon": "epsilon",
               "calibration.samples": "calibration_samples"},

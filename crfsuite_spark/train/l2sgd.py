@@ -53,7 +53,7 @@ def _seq_iter(pdf):
         tok += T
 
 
-def _sgd_step(aid_lists, gold, w_state, w_trans, gain, decay):
+def _sgd_step(aid_lists, gold, w_state, w_trans, gain, decay, trans_mask=None):
     """One per-sequence gradient step on the decay-scaled weights.
 
     The true weights are decay * w_stored; state scores must therefore
@@ -74,8 +74,13 @@ def _sgd_step(aid_lists, gold, w_state, w_trans, gain, decay):
         if len(ids):
             w_state[ids, :] -= gain * p_state[t]
             w_state[ids, gold[t]] += gain
-    # transition gradient
-    w_trans -= gain * p_trans
+    # transition gradient — restricted to EXISTING transition features
+    # (observed-only default; trainer.transition_mask). Gold pairs are
+    # observed by construction, so the +gain term below is inside the mask.
+    if trans_mask is not None:
+        w_trans -= gain * p_trans * trans_mask
+    else:
+        w_trans -= gain * p_trans
     if T > 1:
         np.add.at(
             w_trans.reshape(-1), gold[:-1] * L + gold[1:], gain
@@ -83,7 +88,7 @@ def _sgd_step(aid_lists, gold, w_state, w_trans, gain, decay):
     return loss
 
 
-def _epoch_pass(pdf_iter, w_state, w_trans, lam, t0, t_start):
+def _epoch_pass(pdf_iter, w_state, w_trans, lam, t0, t_start, trans_mask=None):
     """Sequential SGD over a partition. Returns (n, sum_loss, t)."""
     decay = 1.0
     t = t_start
@@ -96,7 +101,8 @@ def _epoch_pass(pdf_iter, w_state, w_trans, lam, t0, t_start):
             eta = 1.0 / (lam * (t0 + t))
             decay *= (1.0 - eta * lam)
             gain = eta / decay
-            sum_loss += _sgd_step(aid_lists, gold, w_state, w_trans, gain, decay)
+            sum_loss += _sgd_step(aid_lists, gold, w_state, w_trans, gain,
+                                  decay, trans_mask)
             t += 1
             n += 1
     w_state *= decay
@@ -118,8 +124,11 @@ def train_l2sgd(
     calibration_samples: int = 500,
     num_partitions: int | None = None,
     log: list | None = None,
+    possible_transitions: bool = False,
 ) -> CRFModel:
     """Distributed l2sgd via iterative parameter mixing."""
+    from crfsuite_spark.train.trainer import transition_mask
+
     spark = tokens.sparkSession
     sc = spark.sparkContext
     state_feats = generate_state_features(tokens, attrs_col, label_col, minfreq)
@@ -128,6 +137,10 @@ def train_l2sgd(
     label2id = {l: i for i, l in enumerate(labels)}
     attr2id = {a: i for i, a in enumerate(attrs)}
     A, L = len(attrs), len(labels)
+    tmask = transition_mask(
+        tokens, seq_cols, order_col, label2id, label_col, minfreq,
+        possible_transitions,
+    )
 
     featurized = featurize_sequences(
         tokens, attr2id, label2id, seq_cols, order_col, attrs_col, label_col,
@@ -145,7 +158,7 @@ def train_l2sgd(
         ws = np.zeros((A, L))
         wt = np.zeros((L, L))
         t0_c = 1.0 / (lam * eta0)
-        _, loss, _ = _epoch_pass([sample], ws, wt, lam, t0_c, 0)
+        _, loss, _ = _epoch_pass([sample], ws, wt, lam, t0_c, 0, tmask)
         if np.isfinite(loss) and loss < best_loss:
             best_loss, best_eta = loss, eta0
     eta0 = best_eta or 0.1
@@ -159,12 +172,12 @@ def train_l2sgd(
     t_global = 0
 
     for epoch in range(1, max_iterations + 1):
-        w_bc = sc.broadcast((w_state, w_trans, t_global))
+        w_bc = sc.broadcast((w_state, w_trans, t_global, tmask))
 
         def run(batches):
-            ws, wt, t_start = w_bc.value
+            ws, wt, t_start, tm = w_bc.value
             ws, wt = ws.copy(), wt.copy()
-            n, loss, t_end = _epoch_pass(batches, ws, wt, lam, t0, t_start)
+            n, loss, t_end = _epoch_pass(batches, ws, wt, lam, t0, t_start, tm)
             if n == 0:
                 return
             yield pd.DataFrame({"n": [n], "loss": [loss],

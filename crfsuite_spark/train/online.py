@@ -41,12 +41,15 @@ from crfsuite_spark.train.trainer import (
 )
 
 
-def _path_delta(aid_lists, gold, pred, L):
+def _path_delta(aid_lists, gold, pred, L, trans_mask=None):
     """Sparse feature delta φ(gold) − φ(pred) for one sequence.
 
     Keys: ("s", aid, label) state features and ("t", l1, l2)
     transitions; mirrors the features_on_path double walk
-    (train_passive_aggressive.c:357-371)."""
+    (train_passive_aggressive.c:357-371). ``trans_mask``: transitions
+    that are not generated features (observed-only default) contribute
+    no delta — exactly as the reference's feature walk, which can only
+    visit ids that exist."""
     delta: dict = {}
     T = len(gold)
     for t in range(T):
@@ -57,11 +60,14 @@ def _path_delta(aid_lists, gold, pred, L):
                 delta[ks] = delta.get(ks, 0.0) + 1.0
                 delta[kp] = delta.get(kp, 0.0) - 1.0
         if t > 0:
-            tg = ("t", int(gold[t - 1]), g)
-            tp = ("t", int(pred[t - 1]), p)
+            pg, pp = int(gold[t - 1]), int(pred[t - 1])
+            tg = ("t", pg, g)
+            tp = ("t", pp, p)
             if tg != tp:
-                delta[tg] = delta.get(tg, 0.0) + 1.0
-                delta[tp] = delta.get(tp, 0.0) - 1.0
+                if trans_mask is None or trans_mask[pg, g]:
+                    delta[tg] = delta.get(tg, 0.0) + 1.0
+                if trans_mask is None or trans_mask[pp, p]:
+                    delta[tp] = delta.get(tp, 0.0) - 1.0
     return {k: v for k, v in delta.items() if v != 0.0}
 
 
@@ -77,7 +83,7 @@ def _apply(delta, coef, w_state, w_trans, cov_state=None, cov_trans=None):
 
 def _partition_pass_online(
     pdf, w_state, w_trans, method, c, gamma, error_sensitive,
-    cov_state=None, cov_trans=None,
+    cov_state=None, cov_trans=None, trans_mask=None,
 ):
     """Sequential PA/AROW pass over one partition. Returns (n, loss)."""
     lengths, labels, aids, tok_offsets, _ = _pack_batch(pdf)
@@ -94,7 +100,7 @@ def _partition_pass_online(
         d = int((path != gold).sum())
         if d:
             sc = crf.path_score(state, w_trans, gold)
-            delta = _path_delta(aid_lists, gold, path, w_state.shape[1])
+            delta = _path_delta(aid_lists, gold, path, w_state.shape[1], trans_mask)
             if method == "arow":
                 cost = sv - sc + d  # train_arow.c:336
                 frac = gamma
@@ -145,8 +151,11 @@ def train_online(
     epsilon: float = 0.0,
     num_partitions: int | None = None,
     log: list | None = None,
+    possible_transitions: bool = False,
 ) -> CRFModel:
     """Distributed PA / AROW via iterative parameter mixing."""
+    from crfsuite_spark.train.trainer import transition_mask
+
     assert method in ("pa", "pa1", "pa2", "arow"), method
     spark = tokens.sparkSession
     sc_ = spark.sparkContext
@@ -156,6 +165,10 @@ def train_online(
     label2id = {l: i for i, l in enumerate(labels)}
     attr2id = {a: i for i, a in enumerate(attrs)}
     A, L = len(attrs), len(labels)
+    tmask = transition_mask(
+        tokens, seq_cols, order_col, label2id, label_col, minfreq,
+        possible_transitions,
+    )
 
     featurized = featurize_sequences(
         tokens, attr2id, label2id, seq_cols, order_col, attrs_col, label_col,
@@ -172,11 +185,11 @@ def train_online(
     iter_log: list[dict] = log if log is not None else []
 
     for it in range(max_iterations):
-        payload = (w_state, w_trans, cov_state, cov_trans)
+        payload = (w_state, w_trans, cov_state, cov_trans, tmask)
         w_bc = sc_.broadcast(payload)
 
         def epoch(batches):
-            ws, wt, cs, ct = w_bc.value
+            ws, wt, cs, ct, tm = w_bc.value
             ws, wt = ws.copy(), wt.copy()
             cs = cs.copy() if cs is not None else None
             ct = ct.copy() if ct is not None else None
@@ -185,7 +198,8 @@ def train_online(
                 if len(pdf) == 0:
                     continue
                 dn, dloss = _partition_pass_online(
-                    pdf, ws, wt, method, c, gamma, error_sensitive, cs, ct
+                    pdf, ws, wt, method, c, gamma, error_sensitive, cs, ct,
+                    trans_mask=tm,
                 )
                 n += dn
                 loss += dloss

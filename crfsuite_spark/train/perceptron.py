@@ -35,7 +35,8 @@ from crfsuite_spark.train.trainer import (
 )
 
 
-def _partition_pass(pdf: pd.DataFrame, w_state, w_trans, avg_state, avg_trans, counter):
+def _partition_pass(pdf: pd.DataFrame, w_state, w_trans, avg_state, avg_trans,
+                    counter, trans_mask=None):
     """One sequential perceptron pass over a partition's sequences.
 
     Mirrors train_averaged_perceptron.c:175-205: per sequence, Viterbi
@@ -71,10 +72,15 @@ def _partition_pass(pdf: pd.DataFrame, w_state, w_trans, avg_state, avg_trans, c
                 if t > 0:
                     pg, pp = int(gold[t - 1]), int(path[t - 1])
                     if (pg, g) != (pp, p):
-                        w_trans[pg, g] += 1.0
-                        w_trans[pp, p] -= 1.0
-                        avg_trans[pg, g] += counter
-                        avg_trans[pp, p] -= counter
+                        # updates land only on EXISTING transition
+                        # features (observed-only default; see
+                        # trainer.transition_mask)
+                        if trans_mask is None or trans_mask[pg, g]:
+                            w_trans[pg, g] += 1.0
+                            avg_trans[pg, g] += counter
+                        if trans_mask is None or trans_mask[pp, p]:
+                            w_trans[pp, p] -= 1.0
+                            avg_trans[pp, p] -= counter
         counter += 1
         tok += T
     return len(lengths), loss, counter
@@ -91,8 +97,11 @@ def train_perceptron(
     epsilon: float = 0.0,
     num_partitions: int | None = None,
     log: list | None = None,
+    possible_transitions: bool = False,
 ) -> CRFModel:
     """Distributed averaged perceptron via iterative parameter mixing."""
+    from crfsuite_spark.train.trainer import transition_mask
+
     spark = tokens.sparkSession
     sc = spark.sparkContext
     state_feats = generate_state_features(tokens, attrs_col, label_col, minfreq)
@@ -101,6 +110,10 @@ def train_perceptron(
     label2id = {l: i for i, l in enumerate(labels)}
     attr2id = {a: i for i, a in enumerate(attrs)}
     A, L = len(attrs), len(labels)
+    tmask = transition_mask(
+        tokens, seq_cols, order_col, label2id, label_col, minfreq,
+        possible_transitions,
+    )
 
     featurized = featurize_sequences(
         tokens, attr2id, label2id, seq_cols, order_col, attrs_col, label_col,
@@ -118,10 +131,10 @@ def train_perceptron(
     iter_log: list[dict] = log if log is not None else []
 
     for it in range(max_iterations):
-        w_bc = sc.broadcast((w_state, w_trans))
+        w_bc = sc.broadcast((w_state, w_trans, tmask))
 
         def epoch(batches):
-            ws, wt = w_bc.value
+            ws, wt, tm = w_bc.value
             ws = ws.copy()
             wt = wt.copy()
             avg_s = np.zeros_like(ws)
@@ -131,7 +144,9 @@ def train_perceptron(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                dn, dloss, counter = _partition_pass(pdf, ws, wt, avg_s, avg_t, counter)
+                dn, dloss, counter = _partition_pass(
+                    pdf, ws, wt, avg_s, avg_t, counter, trans_mask=tm
+                )
                 n += dn
                 loss += dloss
             if n == 0:

@@ -101,6 +101,34 @@ def build_dicts(state_feats: pd.DataFrame, labels_df: pd.DataFrame | list[str]):
     return labels, attrs
 
 
+def transition_mask(
+    tokens: DataFrame,
+    seq_cols: list[str],
+    order_col: str,
+    label2id: dict[str, int],
+    label_col: str = "label",
+    minfreq: float = 1.0,
+    possible_transitions: bool = False,
+) -> "np.ndarray":
+    """[L, L] float mask of EXISTING transition features: 1 for observed
+    adjacent label pairs (freq ≥ minfreq), dense 1s when
+    ``possible_transitions``. The reference generates transition
+    features once in the shared crf1de encoder for every trainer
+    (crf1d_encode.c:875-890) — updates to non-features are impossible,
+    which this mask mirrors for the online trainers."""
+    L = len(label2id)
+    if possible_transitions:
+        return np.ones((L, L), dtype=np.float64)
+    pairs = generate_transition_features(
+        tokens, seq_cols, order_col, label_col, minfreq
+    )
+    m = np.zeros((L, L), dtype=np.float64)
+    for r in pairs.itertuples():
+        if r.prev in label2id and r.cur in label2id:
+            m[label2id[r.prev], label2id[r.cur]] = 1.0
+    return m
+
+
 def featurize_sequences(
     df: DataFrame,
     attr2id: dict[str, int],

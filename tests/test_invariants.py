@@ -89,3 +89,74 @@ def test_decode_partition_invariance(spark, synth, lexicon_model):
     assert outs[0].equals(outs[1])
     assert outs[0].equals(outs[2])
     feat.unpersist()
+
+
+def test_simhash_reference_parity_property(spark):
+    """Property (hypothesis-style, fixed seed deck): the Spark simhash
+    equals a pure-Python re-implementation of Charikar's construction
+    for arbitrary token multisets, including duplicates and case."""
+    import hashlib
+
+    import numpy as np
+
+    from crfsuite_spark.operators.dedup import simhash
+
+    rng = np.random.default_rng(123)
+    vocab = ["alpha", "Beta", "GAMMA", "delta4", "e", "??", "longer-token"]
+    rows = []
+    for i in range(25):
+        n = int(rng.integers(1, 30))
+        toks = [vocab[rng.integers(len(vocab))] for _ in range(n)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = dict(zip(*map(list, zip(*[
+        (r.doc_id, r.simhash) for r in
+        simhash(df, "doc_id", "text", hash_fn="md5_32").collect()
+    ]))))
+
+    def py_simhash(text):
+        votes = [0] * 32
+        for t in text.lower().split():
+            if not t:
+                continue
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for j in range(32):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum((1 << j) for j in range(32) if votes[j] > 0)
+
+    for i, text in rows:
+        assert got[i] == py_simhash(text), (i, text)
+
+
+def test_winnow_reference_parity_property(spark):
+    """Spark winnowing equals a pure-Python MOSS implementation on
+    random strings (whitespace, unicode, short strings)."""
+    import hashlib
+
+    import numpy as np
+
+    from crfsuite_spark.functions.analysis import winnow_fingerprints
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdefg hij.!é")
+    rows = []
+    for i in range(25):
+        n = int(rng.integers(1, 60))
+        rows.append((i, "".join(alphabet[rng.integers(len(alphabet))] for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: list(r.fps)
+        for r in df.select("doc_id", winnow_fingerprints("text", 5, 4).alias("fps")).collect()
+    }
+
+    def py_winnow(text, k=5, w=4):
+        grams = [text] if len(text) < k else [text[i:i + k] for i in range(len(text) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        if len(hs) <= w:
+            mins = [min(hs)]
+        else:
+            mins = [min(hs[i:i + w]) for i in range(len(hs) - w + 1)]
+        return sorted(set(mins))
+
+    for i, text in rows:
+        assert got[i] == py_winnow(text), (i, repr(text))

@@ -476,3 +476,33 @@ def test_crf_options_registry_all_methods():
     assert {o.name for o in crf_options("l2sgd")} >= {"c2", "calibration.eta"}
     assert {o.name for o in crf_options("arow")} >= {"variance", "gamma"}
     assert {o.name for o in crf_options("passive-aggressive")} >= {"type", "c"}
+
+
+@pytest.mark.parametrize("which", ["perceptron", "pa1", "arow", "l2sgd"])
+def test_online_trainers_observed_only_transitions(spark, which):
+    """All trainers share the crf1de feature set: transition parameters
+    exist only for OBSERVED adjacent pairs by default (the reference
+    generates features once for every trainer, crf1d_encode.c:875-890),
+    so unobserved pairs must stay exactly 0."""
+    import numpy as np
+
+    seqs = [
+        [("x", "A"), ("y", "B"), ("x", "A"), ("y", "B")],
+        [("y", "B"), ("x", "A")],
+    ] * 4
+    df = _mk_tokens(spark, seqs)
+    kw = dict(seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+              max_iterations=5, num_partitions=2)
+    if which == "perceptron":
+        from crfsuite_spark.train.perceptron import train_perceptron
+        m = train_perceptron(df, **kw)
+    elif which == "l2sgd":
+        from crfsuite_spark.train.l2sgd import train_l2sgd
+        m = train_l2sgd(df, **kw)
+    else:
+        from crfsuite_spark.train.online import train_online
+        m = train_online(df, method=which, **kw)
+    ia, ib = m.labels.index("A"), m.labels.index("B")
+    # A->A and B->B never observed -> no trainable parameter -> exact 0
+    assert m.trans_w[ia, ia] == 0.0, which
+    assert m.trans_w[ib, ib] == 0.0, which
