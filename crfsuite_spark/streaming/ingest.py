@@ -89,3 +89,26 @@ def stream_triples(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop later arrivals whose text digest was
+    already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the md5 digest (not
+    the raw text — fixed-width state entries), and the watermark bounds
+    state size: at any moment the store holds one digest per distinct
+    document seen in the horizon — the streaming counterpart of the
+    batch ``exact_dedup`` hash-groupBy, with the same uniform-key
+    no-skew property.
+    """
+    with_digest = docs.withColumn(
+        "__digest", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    ).withWatermark(watermark_col, watermark)
+    return with_digest.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")

@@ -107,3 +107,28 @@ def test_stateful_conversation_entity_state(spark, synth, staged, tmp_path):
     assert (merged["n_turns"] == merged["n"]).all()
     assert (merged["max_turn"] == merged["mx"]).all()
     assert (res["n_distinct_entities"] > 0).any()
+
+
+def test_streaming_dedup_drops_repeats(spark, synth, staged, tmp_path):
+    """Streaming exact dedup: a repeated text within the watermark
+    horizon survives only once; distinct texts all pass."""
+    from crfsuite_spark.streaming.ingest import stream_transcripts, streaming_dedup
+
+    _, src = staged
+    stream = stream_transcripts(spark, src)
+    deduped = streaming_dedup(stream)
+    out_dir = str(tmp_path / "dedup_out")
+    cp = str(tmp_path / "dedup_cp")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    src_pdf = spark.read.parquet(src).toPandas()
+    # one survivor per distinct text
+    assert len(got) == src_pdf["text"].fillna("").nunique()
+    assert got["text"].fillna("").nunique() == len(got)
