@@ -30,8 +30,15 @@ _RENAMES = {
         "c2": "c2",
         "linesearch": "linesearch",
         "feature.possible_states": "possible_states",
+        "epsilon": "epsilon",
+        "num_memories": "num_memories",
+        "period": "period",
+        "delta": "delta",
+        "max_linesearch": "max_linesearch",
     },
-    "l2sgd": {**_COMMON, "c2": "c2", "period": "period", "epsilon": "epsilon",
+    # reference 'delta' (min improvement over period, train_l2sgd.c) is
+    # this implementation's epsilon parameter
+    "l2sgd": {**_COMMON, "c2": "c2", "period": "period", "delta": "epsilon",
               "calibration.samples": "calibration_samples"},
     "averaged-perceptron": {**_COMMON, "epsilon": "epsilon"},
     "passive-aggressive": {**_COMMON, "c": "c", "epsilon": "epsilon",
@@ -60,13 +67,25 @@ def crf(
     registry names from :func:`crf_options` — unknown keys raise, like
     the reference's parameter interface (params.c get/set)."""
     method = {"pa": "passive-aggressive", "ap": "averaged-perceptron"}.get(method, method)
-    known = {o.name for o in crf_options(method)}
+    registry = {o.name: o for o in crf_options(method)}
     options = dict(options or {})
-    unknown = set(options) - known
+    unknown = set(options) - set(registry)
     if unknown:
         raise ValueError(f"unknown option(s) for {method}: {sorted(unknown)}")
     rename = _RENAMES[method]
     kw = {rename[k]: v for k, v in options.items() if k in rename}
+    # registry-listed options with no knob in this implementation
+    # ('type' is consumed below for PA): accept the default value as a
+    # no-op, reject anything else — a silently ignored setting is worse
+    # than an error
+    for k, v in options.items():
+        if k in rename or (method == "passive-aggressive" and k == "type"):
+            continue
+        if v != registry[k].default:
+            raise NotImplementedError(
+                f"option {k!r} is fixed at {registry[k].default!r} in this "
+                f"implementation (got {v!r})"
+            )
     if "linesearch" in kw:
         # reference spells these MoreThuente / Backtracking (params.c)
         kw["linesearch"] = str(kw["linesearch"]).lower()

@@ -177,15 +177,22 @@ def _more_thuente(phi, f0, dg0, step0, ftol=1e-4, gtol=0.9, xtol=1e-16,
         else:
             stmin, stmax = stx, stp + 4.0 * (stp - stx)
         stp = min(max(stp, step_min), step_max)
-        if (brackt and (stp <= stmin or stp >= stmax)) or (
-            brackt and stmax - stmin <= xtol * stmax
-        ):
-            stp = stx  # fall back to the best step so far
+        # unusual termination (MINPACK info=4/5/6 analogues): interval
+        # degenerate or below xtol — evaluate the best step so far and
+        # RETURN instead of re-entering cstep with stp == stx (which
+        # would divide by stp - stx == 0)
+        bail = brackt and (
+            stp <= stmin or stp >= stmax or stmax - stmin <= xtol * stmax
+        )
+        if bail:
+            stp = stx
         f, dg = phi(stp)
         ftest1 = finit + stp * dgtest
         # strong Wolfe: sufficient decrease + curvature
         if f <= ftest1 and abs(dg) <= gtol * (-dg0):
             return stp, f, n, True
+        if bail:
+            return stp, f, n, f <= ftest1
         if stage1 and f <= ftest1 and dg >= min(ftol, gtol) * dg0:
             stage1 = False
         if stage1 and f <= fx and f > ftest1:
@@ -212,8 +219,12 @@ def _more_thuente(phi, f0, dg0, step0, ftol=1e-4, gtol=0.9, xtol=1e-16,
                 stp = stx + 0.5 * (sty - stx)
             width1 = width
             width = abs(sty - stx)
-    # exhausted: accept the last sufficient-decrease step if any
-    return (stp, f, max_linesearch, f <= finit + stp * dgtest)
+    # exhausted: cstep already moved stp past the last evaluation, so
+    # return the best EVALUATED step (stx tracks it by construction) —
+    # returning an unevaluated stp would break callers that cache
+    # (x, f, g) per evaluated step
+    ok = fx <= finit + stx * dgtest and stx > 0
+    return (stx, fx, max_linesearch, ok)
 
 
 def minimize_lbfgs(

@@ -37,11 +37,15 @@ def assemble_spans(
     lab = F.col(label_col)
     etype = F.substring_index(lab, "-", -1)
     prev_lab = F.lag(label_col).over(w)
-    prev_type = F.substring_index(prev_lab, "-", -1)
-    is_start = (
-        lab.startswith("B-")
-        | (lab.startswith("I-") & (prev_lab.isNull() | ~prev_lab.endswith(etype)))
-        | (lab.startswith("I-") & prev_lab.isNull())
+    # continuation only after B-<type> / I-<type> with the EXACT same
+    # type (a suffix match like "B-GPE-LOC".endswith("LOC") must NOT
+    # continue an I-LOC run); identical test in the streaming twin
+    prev_continues = (prev_lab == F.concat(F.lit("B-"), etype)) | (
+        prev_lab == F.concat(F.lit("I-"), etype)
+    )
+    is_start = lab.startswith("B-") | (
+        lab.startswith("I-")
+        & (prev_lab.isNull() | ~F.coalesce(prev_continues, F.lit(False)))
     )
     toks = (
         decoded.withColumn("__etype", etype)

@@ -74,17 +74,24 @@ def _sgd_step(aid_lists, gold, w_state, w_trans, gain, decay, trans_mask=None):
         if len(ids):
             w_state[ids, :] -= gain * p_state[t]
             w_state[ids, gold[t]] += gain
-    # transition gradient — restricted to EXISTING transition features
-    # (observed-only default; trainer.transition_mask). Gold pairs are
-    # observed by construction, so the +gain term below is inside the mask.
+    # transition gradient — BOTH terms restricted to EXISTING transition
+    # features (observed-only default; trainer.transition_mask). With
+    # minfreq > 1 a gold pair seen fewer times than the threshold is NOT
+    # a feature, so its empirical term must be masked too or the weight
+    # grows one-sidedly.
     if trans_mask is not None:
         w_trans -= gain * p_trans * trans_mask
+        if T > 1:
+            idx = gold[:-1] * L + gold[1:]
+            np.add.at(
+                w_trans.reshape(-1), idx, gain * trans_mask.reshape(-1)[idx]
+            )
     else:
         w_trans -= gain * p_trans
-    if T > 1:
-        np.add.at(
-            w_trans.reshape(-1), gold[:-1] * L + gold[1:], gain
-        )
+        if T > 1:
+            np.add.at(
+                w_trans.reshape(-1), gold[:-1] * L + gold[1:], gain
+            )
     return loss
 
 

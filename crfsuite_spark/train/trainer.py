@@ -303,6 +303,11 @@ def train_crf(
     possible_transitions: bool = False,
     tree_reduce_threshold: int = 64,
     linesearch: str = "morethuente",
+    epsilon: float = 1e-5,
+    num_memories: int = 6,
+    period: int = 10,
+    delta: float = 1e-5,
+    max_linesearch: int = 20,
 ) -> CRFModel:
     """Train a linear-chain CRF (method=lbfgs, the reference default).
 
@@ -326,20 +331,20 @@ def train_crf(
     iterate the full dictionaries.
     """
     spark = tokens.sparkSession
-    state_feats = generate_state_features(tokens, attrs_col, label_col, minfreq)
     label_values = [
         r[0] for r in tokens.select(label_col).distinct().collect()
     ]
     if possible_states:
         # densify over the FULL attribute dictionary (crf1d_feature.c:217-225
-        # iterates every interned attribute, not just minfreq survivors)
-        all_attrs = sorted(
+        # iterates every interned attribute, not just minfreq survivors);
+        # the per-(attr, label) frequency aggregation is unused here
+        attrs = sorted(
             r[0]
             for r in tokens.select(F.explode(attrs_col).alias("a")).distinct().collect()
         )
         labels = sorted(set(label_values))
-        attrs = all_attrs
     else:
+        state_feats = generate_state_features(tokens, attrs_col, label_col, minfreq)
         labels, attrs = build_dicts(state_feats, label_values)
     label2id = {l: i for i, l in enumerate(labels)}
     attr2id = {a: i for i, a in enumerate(attrs)}
@@ -464,7 +469,9 @@ def train_crf(
 
     res = minimize_lbfgs(
         fun_grad, np.zeros(n_params), max_iterations=max_iterations, callback=cb,
-        l1_c=c1, linesearch=linesearch,
+        l1_c=c1, linesearch=linesearch, epsilon=epsilon,
+        num_memories=num_memories, period=period, delta=delta,
+        max_linesearch=max_linesearch,
     )
     featurized.unpersist()
 

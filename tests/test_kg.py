@@ -295,3 +295,27 @@ def test_streaming_spans_parity_and_plan(spark, synth, lexicon_model):
     assert plan_b.count("Exchange") == plan_decoded.count("Exchange")
     plan_a = a._jdf.queryExecution().executedPlan().toString()
     assert plan_a.count("Exchange") > plan_decoded.count("Exchange")
+
+
+def test_span_type_suffix_not_continuation(spark):
+    """A type that is a string-suffix of another ("XLOC" vs "LOC") must
+    not merge spans: B-XLOC followed by I-LOC is TWO spans, identically
+    in the JVM and streaming variants."""
+    from crfsuite_spark.kg.spans import assemble_spans, assemble_spans_streaming
+
+    rows = [
+        ("c1", 0, 0, "alpha", "B-XLOC"),
+        ("c1", 0, 1, "beta", "I-LOC"),
+        ("c1", 0, 2, "gamma", "I-LOC"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, token_idx int, token string, label string"
+    ).repartition(1, "conv_id", "turn_idx").sortWithinPartitions(
+        "conv_id", "turn_idx", "token_idx"
+    )
+    for fn in (assemble_spans, assemble_spans_streaming):
+        out = fn(df, seq_cols=["conv_id", "turn_idx"], order_col="token_idx").toPandas()
+        out = out.sort_values("start_tok").reset_index(drop=True)
+        assert len(out) == 2, fn.__name__
+        assert out.loc[0, "entity_type"] == "XLOC" and out.loc[0, "surface"] == "alpha"
+        assert out.loc[1, "entity_type"] == "LOC" and out.loc[1, "surface"] == "beta gamma"

@@ -113,3 +113,23 @@ def test_morethuente_rosenbrock():
     res = minimize_lbfgs(fg, np.array([-1.2, 1.0]), max_iterations=500,
                          epsilon=1e-10, linesearch="morethuente")
     np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-5)
+
+
+def test_morethuente_exhausted_linesearch_no_crash():
+    """Tiny max_linesearch budgets must degrade gracefully (return the
+    best evaluated step or fail the search), never crash on an
+    unevaluated step or divide by a degenerate interval."""
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        d = rng.integers(2, 6)
+        A = np.diag(10.0 ** rng.uniform(-2, 4, size=d))
+        b = rng.normal(size=d)
+
+        def fg(x):
+            return 0.5 * x @ A @ x - b @ x, A @ x - b
+
+        for mls in (1, 2, 3):
+            res = minimize_lbfgs(fg, np.zeros(d), max_iterations=50,
+                                 max_linesearch=mls, linesearch="morethuente")
+            f0, _ = fg(np.zeros(d))
+            assert res.fun <= f0 + 1e-12

@@ -506,3 +506,19 @@ def test_online_trainers_observed_only_transitions(spark, which):
     # A->A and B->B never observed -> no trainable parameter -> exact 0
     assert m.trans_w[ia, ia] == 0.0, which
     assert m.trans_w[ib, ib] == 0.0, which
+
+
+def test_l2sgd_minfreq_pruned_transition_stays_zero(spark):
+    """Regression: with minfreq > 1, a gold transition observed only
+    once is NOT a feature — the empirical +gain term must be masked too,
+    or its weight grows one-sidedly."""
+    from crfsuite_spark.train.l2sgd import train_l2sgd
+
+    # A->B occurs 4 times; B->A exactly once (below minfreq=2)
+    seqs = [[("x", "A"), ("y", "B")]] * 4 + [[("y", "B"), ("x", "A")]]
+    df = _mk_tokens(spark, seqs)
+    m = train_l2sgd(df, ["conv_id", "turn_idx"], "token_idx",
+                    minfreq=2.0, max_iterations=4, num_partitions=2)
+    ia, ib = m.labels.index("A"), m.labels.index("B")
+    assert m.trans_w[ib, ia] == 0.0  # pruned pair: not a parameter
+    assert m.trans_w[ia, ib] != 0.0  # surviving pair trains
