@@ -127,3 +127,59 @@ def media_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
         .when(magic.startswith("52494646"), "audio/wav")
         .otherwise("application/octet-stream"),
     )
+
+
+def _decode_video_bytes(blob: bytes, strict: bool = False) -> np.ndarray:
+    """STUB decode: real impl would be pyav/decord frame iteration.
+
+    Deterministic fake: [n_frames, 4, 4, 3] uint8 frames seeded from the
+    blob digest; n_frames derived from blob length (longer blob =
+    "longer video"), so frame-count logic is exercised for real."""
+    if strict:
+        raise NotImplementedError("video codec not available in this container")
+    d = hashlib.sha256(blob).digest()
+    rng = np.random.default_rng(struct.unpack("<Q", d[:8])[0])
+    n_frames = 4 + (len(blob) % 13)
+    return rng.integers(0, 256, size=(n_frames, 4, 4, 3), dtype=np.uint8)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_cols: tuple[str, ...] = ("media_id",),
+    n_sample: int = 3,
+) -> DataFrame:
+    """binary video → ``n_sample`` evenly-spaced frames, each mean-pooled
+    to an RGB triple (the usual keyframe-sampling shape for vision
+    encoders). Output: *id_cols, frame_idx int, ts_frac double,
+    rgb array<float> — one row per sampled frame, so downstream
+    per-frame featurization is a plain DataFrame op.
+
+    mapInPandas iterator like the image/audio paths: Arrow-bounded
+    memory, no per-row Python; the decode call is the stub seam."""
+    id_cols = list(id_cols)
+    schema = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in id_cols)
+    schema += ", frame_idx int, ts_frac double, rgb array<float>"
+
+    def fe(batches):
+        for pdf in batches:
+            rows = {c: [] for c in id_cols}
+            rows["frame_idx"], rows["ts_frac"], rows["rgb"] = [], [], []
+            for i, blob in enumerate(pdf[blob_col]):
+                frames = _decode_video_bytes(bytes(blob))
+                n = frames.shape[0]
+                k = min(n_sample, n)
+                # evenly spaced indices incl. first and last frame
+                idxs = [int(round(j * (n - 1) / max(1, k - 1))) for j in range(k)]
+                for j, fi in enumerate(idxs):
+                    for c in id_cols:
+                        rows[c].append(pdf[c].iloc[i])
+                    rows["frame_idx"].append(fi)
+                    rows["ts_frac"].append(fi / max(1, n - 1))
+                    rows["rgb"].append(
+                        (frames[fi].reshape(-1, 3).mean(axis=0) / 255.0)
+                        .astype(np.float32).tolist()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(*id_cols, blob_col).mapInPandas(fe, schema)
