@@ -473,6 +473,19 @@ def q_sim_ann_topk(spark, sf):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_sim_emb_dup_pairs(spark, sf):
+    """Embedding-cosine near-duplicate pairs via hyperplane-bucketed
+    self-join (cosine ≥ 0.4 within a shared bucket, id_a < id_b; the
+    synthetic embeddings are near-orthogonal so 0.4 is the "near-dup"
+    regime here) — the oracle reproduces the buckets from the same
+    seeded planes."""
+    from crfsuite_spark.operators import similarity as sim
+
+    e = _t(spark, sf, "embeddings")
+    out = sim.embedding_dup_pairs(e, dim=64, threshold=0.4, n_planes=6)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_mm_image_features(spark, sf):
     """Multimodal plumbing: binary blobs → feature vectors (stub codec)."""
     from crfsuite_spark.multimodal.binary import extract_image_features
@@ -593,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "sim_ann_topk": q_sim_ann_topk,
+        "sim_emb_dup_pairs": q_sim_emb_dup_pairs,
         "mm_image_features": q_mm_image_features,
         "a2_feature_refs": q_a2_feature_refs,
         "a10_max_seq_len": q_a10_max_seq_len,
@@ -694,10 +708,43 @@ def _ann_oracle_sql(dim=64, n_planes=8, k=10, seed=42) -> str:
         """
 
 
+def _emb_dup_oracle_sql(dim=64, n_planes=6, threshold=0.4, seed=42) -> str:
+    """DuckDB SQL reproducing q_sim_emb_dup_pairs: same seeded
+    hyperplane buckets (literal planes), same-bucket self-join, exact
+    cosine ≥ threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    def arr(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(planes[j])}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+            p AS (
+              SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                     list_dot_product(a.v, b2.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b2.v, b2.v))) AS cosine
+              FROM b a JOIN b b2
+                ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+            SELECT id_a, id_b, round(cosine, 6) AS cosine
+            FROM p WHERE cosine >= {threshold}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash": _minhash_oracle_sql(),
         "sim_ann_topk": _ann_oracle_sql(),
+        "sim_emb_dup_pairs": _emb_dup_oracle_sql(),
         "w1_window_lag_lead": """
             SELECT user_id, event_id,
                    lag(event_type) OVER w AS type_lag,
