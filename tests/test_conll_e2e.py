@@ -107,3 +107,55 @@ def test_conll_train_decode_entity_prf(spark, conll):
     recall = tp / len(gold_spans) if gold_spans else 0.0
     assert precision >= 0.95, (precision, recall, len(gold_spans))
     assert recall >= 0.95, (precision, recall, len(gold_spans))
+
+
+def test_conll_unseen_entity_generalization(spark):
+    """Generalization split: the heldout documents draw every entity
+    surface from vocabularies NEVER seen in training, so lexicon
+    memorization scores zero — context windows (token/pos) plus
+    shape/capitalisation features must carry the prediction. This is the
+    property the reference's CoNLL vignette actually demonstrates."""
+    from crfsuite_spark.sources.conll import read_conll
+    from crfsuite_spark.functions import text as TXT
+    from crfsuite_spark.functions.templates import cbind_attributes
+    from crfsuite_spark.train.trainer import train_crf
+    from crfsuite_spark.decode.tagger import decode
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "conll2002_synth_unseen.txt")
+    df = read_conll(spark, path)
+    df = df.withColumn("shape", F.concat(
+        F.when(TXT.is_capitalised(F.col("token")) == "true", F.lit("Xx"))
+        .otherwise(F.lit("x")),
+    ))
+    feat = cbind_attributes(
+        df, terms=["token", "pos", "shape"], by=["doc_id", "sentence_id"],
+        order_col="token_id", ngram_max=2,
+    )
+    train_df = feat.where(F.col("doc_id") <= 32)   # doc ids are 1-based
+    test_df = feat.where(F.col("doc_id") > 32)
+    # sanity: every span-initial (B-) surface in test is unseen in train
+    # (shared I- continuation tokens like the org suffix "NV" are
+    # realistic context, not memorization)
+    tr_ents = {r[0] for r in train_df.where(F.col("label") != "O").select("token").distinct().collect()}
+    te_heads = {r[0] for r in test_df.where(F.col("label").startswith("B-")).select("token").distinct().collect()}
+    assert not (tr_ents & te_heads), sorted(tr_ents & te_heads)[:5]
+
+    model = train_crf(
+        train_df, seq_cols=["doc_id", "sentence_id"], order_col="token_id",
+        minfreq=2.0, c2=1.0, max_iterations=30, num_partitions=8,
+    )
+    pred = decode(
+        test_df.withColumnRenamed("label", "label_gold"),
+        model, seq_cols=["doc_id", "sentence_id"], order_col="token_id",
+        with_marginal=False,
+        passthrough_cols=["doc_id", "sentence_id", "token_id", "token", "label_gold"],
+    ).toPandas()
+    gold_spans = spans_from_bio(pred.rename(columns={"label_gold": "g"}), "g")
+    pred_spans = spans_from_bio(pred.rename(columns={"label": "p"}), "p")
+    tp = len(gold_spans & pred_spans)
+    precision = tp / len(pred_spans) if pred_spans else 0.0
+    recall = tp / len(gold_spans) if gold_spans else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    # unseen surfaces: the pure-lexicon score is 0; context+shape carry it
+    assert f1 >= 0.75, (precision, recall, len(gold_spans))

@@ -94,10 +94,17 @@ def sample_entity(rng, kind):
     return [m1], ["B-MISC"], ["N"]
 
 
-def main(n_sentences=2000, n_docs=40, seed=7):
-    rng = np.random.default_rng(seed)
-    lines = []
-    per_doc = n_sentences // n_docs
+# vocab reserved for the generalization fixture's heldout documents:
+# NEVER sampled in its training docs, so the tagger must label them from
+# context (pos windows, neighbouring tokens, shape) alone
+UNSEEN_FIRST = ["Quirin", "Xenia", "Olaf", "Petra"]
+UNSEEN_LAST = ["Quackels", "Zylstra", "Vreeburg", "Nackaerts"]
+UNSEEN_ORG = ["Zephyrix", "Quantalux", "Nordfab", "Vexicom"]
+UNSEEN_LOC = ["Zwevegem", "Quaregnon", "Xhoris", "Vorselaar"]
+UNSEEN_MISC = ["Memorial", "Zeskamp", "Veldrit", "Regatta"]
+
+
+def _emit_docs(rng, n_docs, per_doc, lines):
     for d in range(n_docs):
         lines.append("-DOCSTART- -DOCSTART- O")
         lines.append("")
@@ -115,11 +122,40 @@ def main(n_sentences=2000, n_docs=40, seed=7):
             for t, p, g in out:
                 lines.append(f"{t} {p} {g}")
             lines.append("")
+
+
+def main(n_sentences=2000, n_docs=40, seed=7):
+    rng = np.random.default_rng(seed)
+    lines: list = []
+    _emit_docs(rng, n_docs, n_sentences // n_docs, lines)
     with open(os.path.abspath(OUT), "w") as f:
         f.write("\n".join(lines) + "\n")
     n_tok = sum(1 for l in lines if l and not l.startswith("-DOCSTART-"))
     print(f"wrote {os.path.abspath(OUT)}: {n_sentences} sentences, {n_tok} tokens")
 
 
+def main_unseen(n_train_docs=32, n_test_docs=8, per_doc=50, seed=11):
+    """Second fixture: the LAST n_test_docs documents draw every entity
+    from vocabularies absent from the first n_train_docs — the
+    generalization split (doc_id >= n_train_docs ⇒ unseen surfaces)."""
+    global FIRST, LAST, ORG_CORE, LOC, MISC
+    out = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                       "conll2002_synth_unseen.txt")
+    rng = np.random.default_rng(seed)
+    lines: list = []
+    _emit_docs(rng, n_train_docs, per_doc, lines)
+    saved = FIRST, LAST, ORG_CORE, LOC, MISC
+    FIRST, LAST, ORG_CORE, LOC, MISC = (
+        UNSEEN_FIRST, UNSEEN_LAST, UNSEEN_ORG, UNSEEN_LOC, UNSEEN_MISC)
+    try:
+        _emit_docs(rng, n_test_docs, per_doc, lines)
+    finally:
+        FIRST, LAST, ORG_CORE, LOC, MISC = saved
+    with open(os.path.abspath(out), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {os.path.abspath(out)}: {n_train_docs}+{n_test_docs} docs")
+
+
 if __name__ == "__main__":
     main()
+    main_unseen()
