@@ -32,6 +32,13 @@ MEDIA_META_SCHEMA = (
 )
 
 
+def _blob_rng(blob: bytes) -> np.random.Generator:
+    """Deterministic per-blob RNG (sha256-digest seed) — the single
+    source of the stub decoders' fake-but-stable content."""
+    d = hashlib.sha256(blob).digest()
+    return np.random.default_rng(struct.unpack("<Q", d[:8])[0])
+
+
 def _decode_image_bytes(blob: bytes, strict: bool = False) -> np.ndarray:
     """STUB decode: real impl would be PIL.Image.open(BytesIO(blob)).
 
@@ -39,18 +46,14 @@ def _decode_image_bytes(blob: bytes, strict: bool = False) -> np.ndarray:
     digest, so tests are stable and pipelines exercise real shapes."""
     if strict:
         raise NotImplementedError("image codec not available in this container")
-    d = hashlib.sha256(blob).digest()
-    rng = np.random.default_rng(struct.unpack("<Q", d[:8])[0])
-    return rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    return _blob_rng(blob).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
 
 
 def _decode_audio_bytes(blob: bytes, strict: bool = False) -> np.ndarray:
     """STUB decode: real impl would be soundfile/torchaudio."""
     if strict:
         raise NotImplementedError("audio codec not available in this container")
-    d = hashlib.sha256(blob).digest()
-    rng = np.random.default_rng(struct.unpack("<Q", d[:8])[0])
-    return rng.normal(0, 0.1, size=256).astype(np.float32)
+    return _blob_rng(blob).normal(0, 0.1, size=256).astype(np.float32)
 
 
 def extract_image_features(
@@ -137,10 +140,8 @@ def _decode_video_bytes(blob: bytes, strict: bool = False) -> np.ndarray:
     "longer video"), so frame-count logic is exercised for real."""
     if strict:
         raise NotImplementedError("video codec not available in this container")
-    d = hashlib.sha256(blob).digest()
-    rng = np.random.default_rng(struct.unpack("<Q", d[:8])[0])
     n_frames = 4 + (len(blob) % 13)
-    return rng.integers(0, 256, size=(n_frames, 4, 4, 3), dtype=np.uint8)
+    return _blob_rng(blob).integers(0, 256, size=(n_frames, 4, 4, 3), dtype=np.uint8)
 
 
 def sample_video_frames(
@@ -155,8 +156,10 @@ def sample_video_frames(
     rgb array<float> — one row per sampled frame, so downstream
     per-frame featurization is a plain DataFrame op.
 
-    mapInPandas iterator like the image/audio paths: Arrow-bounded
-    memory, no per-row Python; the decode call is the stub seam."""
+    mapInPandas iterator like the image/audio paths: per-partition
+    Arrow batching with no per-row UDF dispatch (the decode loop itself
+    is per-blob Python, as any codec call is); the decode call is the
+    stub seam."""
     id_cols = list(id_cols)
     schema = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in id_cols)
     schema += ", frame_idx int, ts_frac double, rgb array<float>"

@@ -124,10 +124,11 @@ def test_conll_unseen_entity_generalization(spark):
     path = os.path.join(os.path.dirname(__file__), "fixtures",
                         "conll2002_synth_unseen.txt")
     df = read_conll(spark, path)
-    df = df.withColumn("shape", F.concat(
+    df = df.withColumn(
+        "shape",
         F.when(TXT.is_capitalised(F.col("token")) == "true", F.lit("Xx"))
         .otherwise(F.lit("x")),
-    ))
+    )
     feat = cbind_attributes(
         df, terms=["token", "pos", "shape"], by=["doc_id", "sentence_id"],
         order_col="token_id", ngram_max=2,

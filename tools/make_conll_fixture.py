@@ -71,23 +71,31 @@ TEMPLATES = [
 ]
 
 
-def sample_entity(rng, kind):
-    """Returns (tokens, tags) for one entity mention."""
+DEFAULT_VOCAB = None  # set below once the lists exist
+
+
+def sample_entity(rng, kind, vocab=None):
+    """Returns (tokens, tags) for one entity mention drawn from
+    ``vocab`` = {"first", "last", "org", "loc", "misc"} lists (the
+    module defaults when None)."""
+    v = vocab or DEFAULT_VOCAB
     if kind.startswith("P"):
-        f = FIRST[rng.integers(len(FIRST))]
-        l = LAST[rng.integers(len(LAST))]
+        f = v["first"][rng.integers(len(v["first"]))]
+        l = v["last"][rng.integers(len(v["last"]))]
         if rng.random() < 0.35:
             return [l], ["B-PER"], ["N"]
         return [f, l], ["B-PER", "I-PER"], ["N", "N"]
     if kind.startswith("O"):
-        c = ORG_CORE[rng.integers(len(ORG_CORE))]
+        c = v["org"][rng.integers(len(v["org"]))]
         if rng.random() < 0.45:
+            # org suffixes are deliberately SHARED across vocabularies:
+            # "NV"/"Groep" are context, not identity
             s = ORG_SUFFIX[rng.integers(len(ORG_SUFFIX))]
             return [c, s], ["B-ORG", "I-ORG"], ["N", "N"]
         return [c], ["B-ORG"], ["N"]
     if kind.startswith("L"):
-        return ([LOC[rng.integers(len(LOC))]], ["B-LOC"], ["N"])
-    m1 = MISC[rng.integers(len(MISC))]
+        return ([v["loc"][rng.integers(len(v["loc"]))]], ["B-LOC"], ["N"])
+    m1 = v["misc"][rng.integers(len(v["misc"]))]
     if rng.random() < 0.4 and m1 in ("Grand", "Olympische", "Ronde"):
         pair = {"Grand": "Prix", "Olympische": "Spelen", "Ronde": "Ronde"}[m1]
         return [m1, pair], ["B-MISC", "I-MISC"], ["N", "N"]
@@ -103,8 +111,13 @@ UNSEEN_ORG = ["Zephyrix", "Quantalux", "Nordfab", "Vexicom"]
 UNSEEN_LOC = ["Zwevegem", "Quaregnon", "Xhoris", "Vorselaar"]
 UNSEEN_MISC = ["Memorial", "Zeskamp", "Veldrit", "Regatta"]
 
+DEFAULT_VOCAB = {"first": FIRST, "last": LAST, "org": ORG_CORE,
+                 "loc": LOC, "misc": MISC}
+UNSEEN_VOCAB = {"first": UNSEEN_FIRST, "last": UNSEEN_LAST,
+                "org": UNSEEN_ORG, "loc": UNSEEN_LOC, "misc": UNSEEN_MISC}
 
-def _emit_docs(rng, n_docs, per_doc, lines):
+
+def _emit_docs(rng, n_docs, per_doc, lines, vocab=None):
     for d in range(n_docs):
         lines.append("-DOCSTART- -DOCSTART- O")
         lines.append("")
@@ -114,7 +127,7 @@ def _emit_docs(rng, n_docs, per_doc, lines):
             for w, p in zip(words.split(), poss.split()):
                 if w.startswith("{"):
                     kind = w.strip("{}")
-                    toks, tags, tps = sample_entity(rng, kind)
+                    toks, tags, tps = sample_entity(rng, kind, vocab)
                     for t, g, tp in zip(toks, tags, tps):
                         out.append((t, tp, g))
                 else:
@@ -136,21 +149,15 @@ def main(n_sentences=2000, n_docs=40, seed=7):
 
 def main_unseen(n_train_docs=32, n_test_docs=8, per_doc=50, seed=11):
     """Second fixture: the LAST n_test_docs documents draw every entity
-    from vocabularies absent from the first n_train_docs — the
-    generalization split (doc_id >= n_train_docs ⇒ unseen surfaces)."""
-    global FIRST, LAST, ORG_CORE, LOC, MISC
+    head from vocabularies absent from the first n_train_docs — the
+    generalization split. read_conll doc ids are 1-BASED, so the unseen
+    documents are ``doc_id > n_train_docs`` (33..40 by default)."""
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
                        "conll2002_synth_unseen.txt")
     rng = np.random.default_rng(seed)
     lines: list = []
     _emit_docs(rng, n_train_docs, per_doc, lines)
-    saved = FIRST, LAST, ORG_CORE, LOC, MISC
-    FIRST, LAST, ORG_CORE, LOC, MISC = (
-        UNSEEN_FIRST, UNSEEN_LAST, UNSEEN_ORG, UNSEEN_LOC, UNSEEN_MISC)
-    try:
-        _emit_docs(rng, n_test_docs, per_doc, lines)
-    finally:
-        FIRST, LAST, ORG_CORE, LOC, MISC = saved
+    _emit_docs(rng, n_test_docs, per_doc, lines, vocab=UNSEEN_VOCAB)
     with open(os.path.abspath(out), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {os.path.abspath(out)}: {n_train_docs}+{n_test_docs} docs")
