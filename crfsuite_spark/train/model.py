@@ -184,3 +184,25 @@ class CRFModel:
         out.append("STATE FEATURES (top 50):")
         out += [f"  {r.attribute} -> {r.label}: {r.weight:+.6f}" for r in states.head(50).itertuples()]
         return "\n".join(out)
+
+    def summary(self, iter_log: list | None = None) -> dict:
+        """S8 ``summary.crf`` analogue (R/modelling.R:187-226): model
+        dimensions + size (print.crf shows Mb, R/modelling.R:177-183)
+        and, when the trainer's per-iteration ``log`` list is supplied,
+        the parsed iteration metrics the R side regex-extracts from the
+        trainer log file."""
+        n_nonzero = int((self.state_w != 0).sum() + (self.trans_w != 0).sum())
+        out = {
+            "n_labels": len(self.labels),
+            "n_attributes": len(self.attrs),
+            "n_nonzero_weights": n_nonzero,
+            "size_mb": round(
+                (self.state_w.nbytes + self.trans_w.nbytes
+                 + sum(len(a) for a in self.attrs)) / 1e6, 3),
+            "labels": list(self.labels),
+            **{k: v for k, v in self.meta.items()},
+        }
+        if iter_log:
+            out["iterations"] = [dict(r) for r in iter_log]
+            out["last_iteration"] = dict(iter_log[-1])
+        return out

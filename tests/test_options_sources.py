@@ -95,3 +95,21 @@ def test_read_wikiner(spark, tmp_path):
     df = read_wikiner(spark, str(p)).toPandas().sort_values(["sentence_id", "token_id"])
     assert list(df["token"]) == ["Jan", "gaat", "naar", "Gent"]
     assert list(df["label"]) == ["B-PER", "O", "O", "B-LOC"]
+
+
+def test_model_summary(spark):
+    """S8 summary.crf analogue: dimensions, size, iteration log."""
+    import numpy as np
+    from crfsuite_spark.train.model import CRFModel
+
+    m = CRFModel(labels=["A", "B"], attrs=["x", "y"],
+                 state_w=np.array([[1.0, 0.0], [0.0, 2.0]]),
+                 trans_w=np.zeros((2, 2)), meta={"c2": 1.0})
+    log = [{"iter": 1, "loss": 5.0, "gnorm": 1.0},
+           {"iter": 2, "loss": 3.0, "gnorm": 0.5}]
+    s = m.summary(iter_log=log)
+    assert s["n_labels"] == 2 and s["n_attributes"] == 2
+    assert s["n_nonzero_weights"] == 2
+    assert s["c2"] == 1.0
+    assert s["last_iteration"]["loss"] == 3.0
+    assert len(s["iterations"]) == 2 and s["size_mb"] >= 0
