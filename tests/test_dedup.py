@@ -233,3 +233,19 @@ def test_ivf_topk_recall(emb):
     recall = len(truth & set(got["vec_id"])) / len(truth)
     assert recall >= 0.6, recall
     assigned.unpersist()
+
+
+def test_minhash_arrow_signatures_identical(spark, docs):
+    """The Arrow/numpy signature path produces bit-identical signatures
+    and identical near-dup pairs to the HOF path."""
+    from crfsuite_spark.operators.minhash import minhash_signature
+
+    a = minhash_signature(docs, "doc_id", "text", 16, 4, impl="hof").drop("__hs").toPandas()
+    b = minhash_signature(docs, "doc_id", "text", 16, 4, impl="arrow").drop("__hs").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a == b).all().all()
+    pa = minhash_self_pairs(docs, "doc_id", "text", 32, 16, 4, 0.6).toPandas()
+    pb = minhash_self_pairs(docs, "doc_id", "text", 32, 16, 4, 0.6, impl="arrow").toPandas()
+    key = lambda d: set(map(tuple, d[["id_a", "id_b"]].to_numpy()))
+    assert key(pa) == key(pb)
