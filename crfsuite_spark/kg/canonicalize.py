@@ -27,15 +27,51 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """(src, dst) undirected edges → (node, component) with component =
-    min node id in the component (lexicographic for strings)."""
+    min node id in the component (lexicographic for strings).
+
+    Small-graph fast path: entity-canonicalization edge sets are usually
+    tiny relative to the corpus (distinct near-duplicate surfaces), and
+    each distributed CC round costs several fixed-overhead Spark jobs.
+    Below ``small_graph_threshold`` edges the components are computed
+    with a driver-side union-find in one collect — same output, one job
+    instead of ~4 per round. The distributed path remains for genuinely
+    large similarity graphs."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )
+    if small_graph_threshold:
+        head = sym.limit(small_graph_threshold + 1).collect()
+        if len(head) <= small_graph_threshold:
+            sym.unpersist()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                a, b = row["a"], row["b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id so the representative matches the
+                    # distributed path's min-label convergence
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            rows = [(n, find(n)) for n in parent]
+            spark = edges.sparkSession
+            return spark.createDataFrame(rows, ["node", "component"])
     # initial label: min(self, min neighbour)
     labels = (
         sym.groupBy("a")

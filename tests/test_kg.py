@@ -319,3 +319,20 @@ def test_span_type_suffix_not_continuation(spark):
         assert len(out) == 2, fn.__name__
         assert out.loc[0, "entity_type"] == "XLOC" and out.loc[0, "surface"] == "alpha"
         assert out.loc[1, "entity_type"] == "LOC" and out.loc[1, "surface"] == "beta gamma"
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver-side union-find fast path and the distributed
+    small-star rounds produce identical components."""
+    from crfsuite_spark.kg.canonicalize import connected_components
+
+    import numpy as np
+    rng = np.random.default_rng(5)
+    edges = [(f"n{int(a)}", f"n{int(b)}")
+             for a, b in rng.integers(0, 60, size=(120, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {(r.node, r.component)
+            for r in connected_components(df).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(df, small_graph_threshold=0).collect()}
+    assert fast == dist and len(fast) > 0
