@@ -11,6 +11,7 @@ verification lives in tests/ (enumeration oracles, gold-triple parity).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -487,7 +488,12 @@ def q_sim_emb_dup_pairs(spark, sf):
 
 
 def q_mm_image_features(spark, sf):
-    """Multimodal plumbing: binary blobs → feature vectors (stub codec)."""
+    """Multimodal plumbing: binary blobs → feature vectors (stub codec).
+
+    The oracle covers the deterministic fields (media_id + the stub
+    decoder's fixed 4x4 shape); the feature values themselves are
+    pytest-asserted (tests/test_analysis.py) since they hang off the
+    sha256-seeded stub RNG that SQL can't reproduce."""
     from crfsuite_spark.multimodal.binary import extract_image_features
 
     d = _t(spark, sf, "documents").select(
@@ -495,8 +501,7 @@ def q_mm_image_features(spark, sf):
         F.encode(F.col("text"), "utf-8").alias("blob"),
     )
     out = extract_image_features(d)
-    return out.select("media_id", "img_width", "img_height",
-                      F.round(F.element_at("features", 1), 6).alias("f0"))
+    return out.select("media_id", "img_width", "img_height")
 
 
 
@@ -741,7 +746,30 @@ def _emb_dup_oracle_sql(dim=64, n_planes=6, threshold=0.4, seed=42) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
     return {
+        # seed-deterministic synthetic queries: expected outputs derived
+        # INDEPENDENTLY of the pipeline (tools/make_gold_fixtures.py —
+        # plain-pandas argmax for the zero-transition decode; the
+        # generator's own gold triple set) and checked in as parquet
+        "crf_decode_synthetic": f"""
+            SELECT conv_id, turn_idx, token_idx, token, pos, label
+            FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')
+        """,
+        "kg_triples_synthetic": f"""
+            SELECT conv_id, turn_idx, subj, pred, obj
+            FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')
+        """,
+        # stub image codec always decodes to a 4x4 frame (deterministic
+        # by construction, multimodal/binary.py); feature values are
+        # pytest-only (sha256-seeded stub RNG)
+        "mm_image_features": """
+            SELECT doc_id AS media_id,
+                   CAST(4 AS INTEGER) AS img_width,
+                   CAST(4 AS INTEGER) AS img_height
+            FROM documents
+        """,
         "dedup_minhash": _minhash_oracle_sql(),
         "sim_ann_topk": _ann_oracle_sql(),
         "sim_emb_dup_pairs": _emb_dup_oracle_sql(),

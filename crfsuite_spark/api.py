@@ -73,7 +73,11 @@ def crf(
     if unknown:
         raise ValueError(f"unknown option(s) for {method}: {sorted(unknown)}")
     rename = _RENAMES[method]
-    kw = {rename[k]: v for k, v in options.items() if k in rename}
+    # seed from the registry's reference defaults so an unsupplied option
+    # behaves as documented (e.g. l2sgd delta=1e-6, calibration.samples=1000)
+    # instead of silently falling back to the Python trainers' own defaults
+    kw = {rename[k]: registry[k].default for k in rename if k in registry}
+    kw.update({rename[k]: v for k, v in options.items() if k in rename})
     # registry-listed options with no knob in this implementation
     # ('type' is consumed below for PA): accept the default value as a
     # no-op, reject anything else — a silently ignored setting is worse

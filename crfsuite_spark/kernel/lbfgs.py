@@ -192,7 +192,10 @@ def _more_thuente(phi, f0, dg0, step0, ftol=1e-4, gtol=0.9, xtol=1e-16,
         if f <= ftest1 and abs(dg) <= gtol * (-dg0):
             return stp, f, n, True
         if bail:
-            return stp, f, n, f <= ftest1
+            # stp can have collapsed to stx == 0.0 (f0 <= finit holds
+            # trivially); accepting a zero step would make the caller
+            # loop forever burning one gradient job per iteration
+            return stp, f, n, (f <= ftest1) and stp > 0
         if stage1 and f <= ftest1 and dg >= min(ftol, gtol) * dg0:
             stage1 = False
         if stage1 and f <= fx and f > ftest1:

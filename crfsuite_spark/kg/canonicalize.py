@@ -48,6 +48,14 @@ def connected_components(
     if small_graph_threshold:
         head = sym.limit(small_graph_threshold + 1).collect()
         if len(head) <= small_graph_threshold:
+            if not head:
+                # empty edge set: createDataFrame([]) can't infer a schema,
+                # so derive the typed empty frame from sym itself
+                out = sym.select(
+                    F.col("a").alias("node"), F.col("a").alias("component")
+                )
+                sym.unpersist()
+                return out
             sym.unpersist()
             parent: dict = {}
 

@@ -36,6 +36,7 @@ def link_mentions(
     surface_col: str = "surface",
     fuzzy: bool = True,
     jaccard_threshold: float = 0.5,
+    fuzzy_collect_threshold: int = 100_000,
 ) -> DataFrame:
     """Attach ``canonical_id`` (+ ``link_method``) to every mention row.
 
@@ -75,21 +76,30 @@ def link_mentions(
     # re-runs a column-pruned pass over the mention aggregation (cheap: the
     # scan reads only the surface column) instead of persisting the full
     # exact frame — persists here leaked across calls and pinned the whole
-    # mention stream in cache. The result is tiny (distinct surfaces) and is
-    # collected to the driver, exactly what the broadcast join below would
-    # ship anyway.
+    # mention stream in cache. While the distinct-missed-surface set stays
+    # dictionary-scale it is collected and re-broadcast (exactly what the
+    # broadcast join would ship anyway); on an open-domain corpus where it
+    # can be ~10^8 rows, collecting would OOM the driver, so above
+    # ``fuzzy_collect_threshold`` the link table stays distributed and the
+    # attach is a plain shuffle join on the uniform __norm key.
     best = None
+    best_distributed = False
     if fuzzy:
         miss_norms = (
             exact.where(F.col("canonical_id").isNull())
             .select("__norm").where(F.length("__norm") > 0).distinct()
         )
-        best_rows = _fuzzy_best(miss_norms, alias_dict, jaccard_threshold).collect()
-        if best_rows:
-            best = spark.createDataFrame(best_rows, "__norm string, __fuzzy_id string")
+        n_miss = miss_norms.limit(fuzzy_collect_threshold + 1).count()
+        if n_miss <= fuzzy_collect_threshold:
+            best_rows = _fuzzy_best(miss_norms, alias_dict, jaccard_threshold).collect()
+            if best_rows:
+                best = spark.createDataFrame(best_rows, "__norm string, __fuzzy_id string")
+        elif n_miss:
+            best = _fuzzy_best(miss_norms, alias_dict, jaccard_threshold).persist()
+            best_distributed = True
     out = exact
     if best is not None:
-        out = out.join(F.broadcast(best), "__norm", "left")
+        out = out.join(best if best_distributed else F.broadcast(best), "__norm", "left")
     else:
         out = out.withColumn("__fuzzy_id", F.lit(None).cast("string"))
     return (

@@ -62,3 +62,26 @@ def test_crf_facade_all_methods(spark, toy, method, opts):
     assert len(pdf) == toy.count()
     acc = (pdf["label"] == "PER").sum()  # sanity: some labels emitted
     assert set(pdf["label"]) <= {"PER", "LOC", "O"}
+
+
+def test_crf_seeds_registry_defaults(spark, toy, monkeypatch):
+    """Unsupplied options must resolve to the registry's reference
+    defaults (e.g. l2sgd delta=1e-6, calibration.samples=1000), not the
+    Python trainers' own signature defaults."""
+    import crfsuite_spark.train.l2sgd as l2sgd_mod
+    from crfsuite_spark.api import crf
+
+    captured = {}
+
+    def fake(tokens, **kw):
+        captured.update(kw)
+        return "sentinel"
+
+    monkeypatch.setattr(l2sgd_mod, "train_l2sgd", fake)
+    out = crf(toy, ["conv_id", "turn_idx"], "token_idx", method="l2sgd",
+              options={"c2": 2.5})
+    assert out == "sentinel"
+    assert captured["c2"] == 2.5            # user override wins
+    assert captured["max_iterations"] == 1000   # registry, not trainer's 20
+    assert captured["epsilon"] == 1e-6          # registry delta, not 1e-4
+    assert captured["calibration_samples"] == 1000  # registry, not 500

@@ -336,3 +336,46 @@ def test_connected_components_paths_agree(spark):
     dist = {(r.node, r.component)
             for r in connected_components(df, small_graph_threshold=0).collect()}
     assert fast == dist and len(fast) > 0
+
+
+def test_connected_components_empty_edges(spark):
+    """Zero-edge graph: the small-graph fast path must return a typed
+    empty frame instead of raising on empty-schema inference."""
+    from crfsuite_spark.kg.canonicalize import connected_components
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = connected_components(edges)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
+
+
+def test_minhash_dedup_no_near_dups(spark):
+    """Dedup of a corpus with zero near-duplicate pairs keeps every row
+    (the empty-edge CC path used to crash here)."""
+    from crfsuite_spark.operators.dedup import minhash_dedup
+
+    df = spark.createDataFrame(
+        [("a", "completely different text one"),
+         ("b", "zqx unrelated gibberish words"),
+         ("c", "third totally distinct sentence")],
+        "doc_id string, text string",
+    )
+    assert minhash_dedup(df, "doc_id", "text").count() == 3
+
+
+def test_link_mentions_distributed_fuzzy_path(spark, synth):
+    """Above the collect threshold the fuzzy link table stays distributed
+    (no driver materialization); links match the collect path exactly."""
+    alias = spark.createDataFrame(synth.alias_dict)
+    mentions = spark.createDataFrame(
+        [("Acme Corp",), ("Acme Corpp",), ("Zzz Unknown Qq",)], "surface string"
+    )
+    key = lambda rows: {(r["surface"], r["canonical_id"], r["link_method"])
+                        for r in rows}
+    collected = key(link_mentions(
+        mentions, alias, fuzzy=True, jaccard_threshold=0.4).collect())
+    distributed = key(link_mentions(
+        mentions, alias, fuzzy=True, jaccard_threshold=0.4,
+        fuzzy_collect_threshold=0).collect())
+    assert distributed == collected
+    assert any(m == "fuzzy" for _, _, m in distributed)

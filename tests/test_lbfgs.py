@@ -133,3 +133,19 @@ def test_morethuente_exhausted_linesearch_no_crash():
                                  max_linesearch=mls, linesearch="morethuente")
             f0, _ = fg(np.zeros(d))
             assert res.fun <= f0 + 1e-12
+
+
+def test_morethuente_degenerate_bracket_rejects_zero_step():
+    """A bracket that collapses onto stx == 0 must not report ok with a
+    zero step (the caller would loop forever, one gradient job per
+    iteration, until the period stop fires)."""
+    from crfsuite_spark.kernel.lbfgs import _more_thuente
+
+    # phi claims descent at 0 (dg0 = -1) but increases immediately and
+    # steeply, so every trial fails sufficient decrease and the bracket
+    # degenerates toward stx == 0
+    def phi(s):
+        return 1.0 + 1000.0 * s, 1000.0
+
+    stp, f, n, ok = _more_thuente(phi, 1.0, -1.0, 1.0)
+    assert not (ok and stp == 0.0)

@@ -1,0 +1,75 @@
+"""Generate gold fixture parquets for the driver's DuckDB oracle.
+
+The two rows-only scoreboard queries (`crf_decode_synthetic`,
+`kg_triples_synthetic`) use the seed-deterministic synthetic generator,
+so their expected outputs can be derived INDEPENDENTLY of the pipeline
+under test and checked in as parquet fixtures the oracle SQL SELECTs
+from (`read_parquet`):
+
+- **decode**: the query's lexicon model has zero transition weights and
+  one `token[t]=` attribute per vocabulary token, so Viterbi degenerates
+  to a per-token argmax of gold vote counts (monotonic log1p transform
+  preserves the argmax; np.argmax ties break to the lowest label index =
+  lexicographically smallest label). That argmax is recomputed here in
+  plain pandas — no CRF kernel, no Spark — from the generator's gold
+  token table.
+- **triples**: the generator emits the gold (subj, pred, obj) set
+  directly (datagen/transcripts.py SynthResult.gold_triples); pipeline
+  parity against it is already pytest-asserted
+  (tests/test_kg.py::test_e2e_triples_from_gold_labels).
+
+Rerun after changing the generator: python tools/make_gold_fixtures.py
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+
+
+def gold_decode(data) -> pd.DataFrame:
+    votes = (
+        data.tokens.groupby(["token", "label"]).size().reset_index(name="n")
+    )
+    labels = sorted(data.tokens["label"].unique())
+    # per token: max votes, tie -> lexicographically smallest label
+    # (labels sorted ascending; stable sort keeps first max)
+    best = (
+        votes.sort_values(["token", "n", "label"], ascending=[True, False, True])
+        .drop_duplicates("token")
+        .rename(columns={"label": "pred"})[["token", "pred"]]
+    )
+    out = data.tokens.merge(best, on="token", how="left")
+    out["pred"] = out["pred"].fillna(labels[0])  # unseen token -> label 0
+    out = out[["conv_id", "turn_idx", "token_idx", "token", "pos", "pred"]]
+    out = out.rename(columns={"pred": "label"})
+    out["turn_idx"] = out["turn_idx"].astype(np.int32)
+    out["token_idx"] = out["token_idx"].astype(np.int32)
+    return out
+
+
+def main() -> None:
+    from crfsuite_spark.datagen.transcripts import generate
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+
+    dec = gold_decode(data)
+    dec.to_parquet(
+        os.path.join(FIXTURES, "gold_decode_synthetic.parquet"), index=False
+    )
+    print(f"gold_decode_synthetic: {len(dec)} rows")
+
+    tri = data.gold_triples[["conv_id", "turn_idx", "subj", "pred", "obj"]].copy()
+    tri["turn_idx"] = tri["turn_idx"].astype(np.int32)
+    tri.to_parquet(
+        os.path.join(FIXTURES, "gold_triples_synthetic.parquet"), index=False
+    )
+    print(f"gold_triples_synthetic: {len(tri)} rows")
+
+
+if __name__ == "__main__":
+    main()
