@@ -61,6 +61,16 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _bucket_bits(v, planes: np.ndarray):
+    """Sign-pattern bucket expression for literal hyperplanes (JVM-side)."""
+    bucket = None
+    for j in range(len(planes)):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     dim: int,
@@ -74,12 +84,64 @@ def hyperplane_buckets(
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
     v = F.col(vec_col).cast("array<double>")
-    bucket = None
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
-        bit = F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return emb.withColumn("bucket", bucket.cast("int"))
+    return emb.withColumn("bucket", _bucket_bits(v, planes).cast("int"))
+
+
+def refined_hyperplane_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket_size: int | None = 50_000,
+    refine_planes: int = 8,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Hyperplane buckets with a POPULATION GUARD: buckets holding more
+    than ``max_bucket_size`` rows are re-split on extra seeded planes
+    (their bits shifted above the coarse bits, so refined ids never
+    collide with unrefined ones), up to ``max_rounds`` times.
+
+    This bounds the within-bucket self-join of
+    :func:`embedding_dup_pairs` — without it, one low-variance direction
+    in the corpus puts a large fraction of rows in one bucket and the
+    join goes quadratic. A bucket of GENUINE near-duplicates is not
+    splittable by sign-LSH (near-identical vectors have near-identical
+    signs) — but there the OUTPUT itself is quadratic, so no candidate
+    bound can help; rounds simply exhaust. Each round costs one count
+    aggregation over the bucket column (cheap; no data movement)."""
+    b = hyperplane_buckets(emb, dim, n_planes, id_col, vec_col, seed)
+    if not max_bucket_size:
+        return b
+    b = b.withColumn("bucket", F.col("bucket").cast("long"))
+    v = F.col(vec_col).cast("array<double>")
+    shift = n_planes
+    for round_ in range(max_rounds):
+        over = [
+            r["bucket"]
+            for r in b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .collect()
+        ]
+        if not over:
+            break
+        rng = np.random.default_rng(seed + 7919 * (round_ + 1))
+        planes = rng.normal(size=(refine_planes, dim))
+        sub = _bucket_bits(v, planes).cast("long")
+        # refined id = coarse id + (sub+1) << shift: the +1 keeps refined
+        # ids disjoint from unrefined ones, the growing shift keeps
+        # rounds disjoint from each other
+        b = b.withColumn(
+            "bucket",
+            F.when(
+                F.col("bucket").isin(over),
+                F.col("bucket") + F.shiftleft(sub + 1, shift),
+            ).otherwise(F.col("bucket")),
+        )
+        shift += refine_planes + 1
+    return b
 
 
 def ann_topk(
@@ -125,10 +187,18 @@ def ann_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    multiprobe_hamming: int = 1,
+    multiprobe_hamming: int = 2,
 ) -> DataFrame:
     """Batch ANN: top-k neighbours for EVERY row of a query table —
     (query_id, vec_id, cosine, rank).
+
+    Defaults tuned on the recall/cost curve (BENCH/BASELINE.md §ANN):
+    for top-k SEARCH (as opposed to near-dup PAIRS, where neighbours are
+    very close), fewer planes + deeper multiprobe wins — on
+    near-orthogonal embeddings (sign-LSH's worst case) 4-6 planes with
+    multiprobe 2 clears recall@3 ≥ 0.9; 8+ planes with multiprobe 1
+    drops below 0.5. On clustered real embeddings the same settings cost
+    far less (candidates concentrate in the query's own bucket).
 
     Both sides get the same hyperplane sign buckets (JVM-side literal
     planes, no Python); each query is exploded to its multiprobe bucket
@@ -254,14 +324,21 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = 50_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucketed self-join:
     (id_a, id_b, cosine) with cosine ≥ threshold, id_a < id_b.
 
     Only pairs falling in the same hyperplane bucket are compared —
     the standard recall/cost trade; raise n_planes for cheaper, lower
-    recall."""
-    b = hyperplane_buckets(emb, dim, n_planes, id_col, vec_col, seed)
+    recall. Buckets over ``max_bucket_size`` are re-split on extra
+    planes (:func:`refined_hyperplane_buckets`) so one hot bucket can't
+    make the self-join quadratic; at or below the cap, output is
+    identical to the unguarded join."""
+    b = refined_hyperplane_buckets(
+        emb, dim, n_planes, id_col, vec_col, seed,
+        max_bucket_size=max_bucket_size,
+    )
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
     return (

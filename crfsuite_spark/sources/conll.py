@@ -7,13 +7,18 @@ line starts a new document, a blank line starts a new sentence, ids are
 running cumulative sums (R/data.R:49-79). The Spark version expresses
 the same thing declaratively:
 
-- ``spark.read.text`` keeps file order per file split; we materialize
-  an explicit ``line_id`` so the cumulative sums are well-defined and
-  deterministic regardless of partitioning (zipWithIndex semantics via
-  a single-file read or a provided order column);
-- doc/sentence ids = ``sum(is_boundary) OVER (ORDER BY line_id)`` —
-  one global window (fine: training corpora are bounded, §scale note in
-  train/trainer.py), or per-file windows at many-file scale;
+- ``spark.read.text(..., wholetext=True)`` reads one row per FILE, and
+  a JVM-side split+posexplode assigns exact per-file line numbers — no
+  reliance on split ordering, no ``monotonically_increasing_id``;
+- doc/sentence ids = ``sum(is_boundary) OVER (PARTITION BY file ORDER
+  BY line_no)`` — per-FILE windows, so a many-file corpus parallelizes
+  across files instead of funneling through one global sort partition;
+  per-file id offsets (a tiny one-row-per-file aggregate, cumulated on
+  the driver in file-name order) make doc/sentence ids globally unique
+  and deterministic. Parallelism is bounded below by the file count and
+  above by the largest single file (wholetext holds one file per row —
+  the right trade for token-per-line training corpora, which are many
+  bounded files);
 - WikiNER's ``token|pos|label`` pipe format (R/data.R:140-145) is the
   same plan with a different separator and an explode of
   space-separated tokens.
@@ -37,31 +42,66 @@ def read_conll(
 
     Blank line = sentence boundary; line starting with ``docstart`` =
     document boundary (R/data.R:49-79 semantics, cumulative-sum ids).
+
+    Windows are PER FILE (partitioned by ``input_file_name``): a corpus
+    of many files never funnels through a single sort partition. Ids
+    stay globally unique via per-file offsets cumulated in file-name
+    order (one tiny driver-side pass over the file list).
     """
-    lines = spark.read.text(path)
-    w = Window.orderBy("line_id")
-    df = (
-        lines.select(
-            F.monotonically_increasing_id().alias("line_id"),
-            F.col("value").alias("line"),
+    lines = (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("file"),
+            F.posexplode(F.split(F.col("value"), r"\r?\n")).alias(
+                "line_no", "line"
+            ),
         )
+    )
+    w = Window.partitionBy("file").orderBy("line_no")
+    df = (
+        lines
         .withColumn("is_doc", F.col("line").startswith(docstart).cast("int"))
         .withColumn(
             "is_blank", (F.trim(F.col("line")) == "").cast("int")
         )
-        .withColumn("doc_id", F.sum("is_doc").over(w))
+        .withColumn("doc_seq", F.sum("is_doc").over(w))
         .withColumn(
-            "sentence_id",
+            "sent_seq",
             F.sum(F.greatest("is_doc", "is_blank")).over(w),
         )
     )
     toks = df.where((F.col("is_doc") == 0) & (F.col("is_blank") == 0))
+    # per-file id offsets: one row per file, cumulated in deterministic
+    # file-name order on the driver (file count is bounded; the token
+    # stream itself never leaves its per-file partitions)
+    per_file = sorted(
+        (r["file"], int(r["nd"] or 0), int(r["ns"] or 0))
+        for r in df.groupBy("file")
+        .agg(F.max("doc_seq").alias("nd"), F.max("sent_seq").alias("ns"))
+        .collect()
+    )
+    if len(per_file) > 1:
+        offs, d_off, s_off = [], 0, 0
+        for fname, nd, ns in per_file:
+            offs.append((fname, d_off, s_off))
+            d_off += nd
+            s_off += ns
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                offs, "file string, doc_off long, sent_off long"
+            )
+        )
+        toks = toks.join(off_df, "file")
+    else:
+        toks = toks.withColumn("doc_off", F.lit(0)).withColumn(
+            "sent_off", F.lit(0)
+        )
     parts = F.split(F.col("line"), F.lit(sep) if sep != "|" else r"\|")
     sel = [
-        "doc_id",
-        "sentence_id",
+        (F.col("doc_seq") + F.col("doc_off")).alias("doc_id"),
+        (F.col("sent_seq") + F.col("sent_off")).alias("sentence_id"),
         F.row_number().over(
-            Window.partitionBy("doc_id", "sentence_id").orderBy("line_id")
+            Window.partitionBy("file", "sent_seq").orderBy("line_no")
         ).alias("token_id"),
     ] + [parts.getItem(i).alias(c) for i, c in enumerate(columns)]
     return toks.select(*sel)

@@ -228,8 +228,9 @@ def batch_objective(
     state_w: np.ndarray,
     trans_w: np.ndarray,
     emb_w: np.ndarray | None = None,
-) -> tuple[float, np.ndarray, np.ndarray, np.ndarray | None]:
-    """NLL loss + dense gradients for one packed batch of sequences.
+    sparse_state: bool = False,
+) -> tuple[float, object, np.ndarray, np.ndarray | None]:
+    """NLL loss + gradients for one packed batch of sequences.
 
     Returns (loss, g_state [A, L], g_trans [L, L], g_emb [D, L] | None)
     where gradient = model expectation − observed counts
@@ -237,6 +238,14 @@ def batch_objective(
     log-space kernel. ``embs [N, D]`` are the real-valued attributes
     (reference embeddings, rcpp_crfsuite.cpp:91-99): score contribution
     E @ emb_w, gradient Eᵀ(p − onehot(gold)).
+
+    ``sparse_state``: return the state gradient as ``(uniq_aids [U],
+    g_local [U, L])`` — only attributes OBSERVED in this batch carry a
+    nonzero gradient, so at the ~10^6-attribute ceiling this avoids a
+    dense [A, L] allocation per batch (the CSR switch promised in the
+    module docstring). Accumulation order per (attr, label) cell is the
+    occurrence order of ``aids``, identical to the dense ``np.add.at``
+    path, so results are bit-identical.
     """
     A, L = state_w.shape
     B = len(lengths)
@@ -266,13 +275,27 @@ def batch_objective(
     gold_trans = trans_w[prev_l, next_l].sum() if adj.any() else 0.0
     loss = float(log_norm.sum() - gold_state - gold_trans)
     # gradient: state
-    g_state = np.zeros((A, L), dtype=np.float64)
     p_flat = p_state[seq_of_tok, pos_in_seq]  # [N, L]
-    if len(aids):
-        np.add.at(g_state, aids, p_flat[tok_of_aid])  # model expectation (A4)
-        np.add.at(
-            g_state.reshape(-1), aids * L + labels[tok_of_aid], -1.0
-        )  # observed (A3)
+    if sparse_state:
+        uniq, inv = (
+            np.unique(aids, return_inverse=True)
+            if len(aids)
+            else (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+        )
+        g_local = np.zeros((len(uniq), L), dtype=np.float64)
+        if len(aids):
+            np.add.at(g_local, inv, p_flat[tok_of_aid])  # model expectation (A4)
+            np.add.at(
+                g_local.reshape(-1), inv * L + labels[tok_of_aid], -1.0
+            )  # observed (A3)
+        g_state = (uniq, g_local)
+    else:
+        g_state = np.zeros((A, L), dtype=np.float64)
+        if len(aids):
+            np.add.at(g_state, aids, p_flat[tok_of_aid])  # model expectation (A4)
+            np.add.at(
+                g_state.reshape(-1), aids * L + labels[tok_of_aid], -1.0
+            )  # observed (A3)
     g_emb = None
     if embs is not None and emb_w is not None:
         m = p_flat.copy()
@@ -283,6 +306,21 @@ def batch_objective(
     if adj.any():
         np.add.at(g_trans.reshape(-1), prev_l * L + next_l, -1.0)
     return loss, g_state, g_trans, g_emb
+
+
+def _merge_sparse_partials(a, b):
+    """Merge two sparse (loss, idx, val, tail) gradient partials.
+
+    Per shared index the addition order is a-then-b, the same order the
+    dense treeReduce's elementwise ``a + b`` uses — bit-identical."""
+    loss_a, ia, va, ta = a
+    loss_b, ib, vb, tb = b
+    idx = np.concatenate([ia, ib])
+    val = np.concatenate([va, vb])
+    uidx, inv = np.unique(idx, return_inverse=True)
+    sval = np.zeros(len(uidx), dtype=np.float64)
+    np.add.at(sval, inv, val)
+    return (loss_a + loss_b, uidx, sval, ta + tb)
 
 
 def train_crf(
@@ -308,6 +346,8 @@ def train_crf(
     period: int = 10,
     delta: float = 1e-5,
     max_linesearch: int = 20,
+    sparse_gradient: bool | None = None,
+    holdout_df: DataFrame | None = None,
 ) -> CRFModel:
     """Train a linear-chain CRF (method=lbfgs, the reference default).
 
@@ -329,6 +369,23 @@ def train_crf(
     labels / all label pairs), including attributes whose observed
     features were minfreq-pruned, matching the C densify loops which
     iterate the full dictionaries.
+
+    ``sparse_gradient``: ship gradient partials as (index, value) CSR
+    pairs over only the attributes each partition actually OBSERVED,
+    instead of a dense n_params vector — bit-identical results (tested),
+    but partial size scales with per-partition distinct features, not
+    with the parameter count. ``None`` (default) auto-enables above
+    4M parameters (a dense partial would be ≥32 MB; at the 10^6-attribute
+    possible_states ceiling, ~80 MB × hundreds of partitions).
+
+    ``holdout_df``: optional held-out token frame (same shape as
+    ``tokens``); when given, EVERY L-BFGS iteration decodes it with the
+    current weights and appends the per-label + overall P/R/F1 to the
+    iteration log under ``"holdout"`` — the reference's per-iteration
+    holdout report (src/crf/src/holdout.c:44-81, wired into the L-BFGS
+    progress callback at train_lbfgs.c:150-153). Costs one distributed
+    decode job per iteration, exactly like the reference costs one
+    tagging pass per iteration.
     """
     spark = tokens.sparkSession
     label_values = [
@@ -387,10 +444,13 @@ def train_crf(
     sc = spark.sparkContext
     dims_bc = sc.broadcast((A, L, D, sf_flat, tf_flat))
     n_params = K + D * L + Kt
+    if sparse_gradient is None:
+        sparse_gradient = n_params > 4_000_000
     # above tree_reduce_threshold partials, sum them in a shuffle tree
     # instead of shipping all to the driver (each partial is n_params
     # float64 — ~80 MB at the 10^6-attribute ceiling; hundreds of them
-    # OOM a driver)
+    # OOM a driver). With sparse_gradient the partials are (idx, val)
+    # pairs bounded by per-partition observed features instead.
 
     def fun_grad(w: np.ndarray) -> tuple[float, np.ndarray]:
         w_bc = sc.broadcast(w)
@@ -401,35 +461,75 @@ def train_crf(
             bounded by the partition count, never the batch count."""
             A_, L_, D_, sf, tf = dims_bc.value
             wv = w_bc.value
-            state_w = np.zeros(A_ * L_, dtype=np.float64)
-            state_w[sf] = wv[:K]
-            state_w = state_w.reshape(A_, L_)
+            if K == A_ * L_:
+                # dense grid (possible_states): identity layout, skip the
+                # scatter copy
+                state_w = wv[:K].reshape(A_, L_)
+            else:
+                state_w = np.zeros(A_ * L_, dtype=np.float64)
+                state_w[sf] = wv[:K]
+                state_w = state_w.reshape(A_, L_)
             emb_w = wv[K:K + D_ * L_].reshape(D_, L_) if D_ else None
             trans_w = np.zeros(L_ * L_, dtype=np.float64)
             trans_w[tf] = wv[K + D_ * L_:]
             trans_w = trans_w.reshape(L_, L_)
-            acc = np.zeros(n_params, dtype=np.float64)
             total = 0.0
             seen = False
+            if sparse_gradient:
+                sidx_parts: list = []
+                sval_parts: list = []
+                tail = np.zeros(D_ * L_ + Kt, dtype=np.float64)
+            else:
+                acc = np.zeros(n_params, dtype=np.float64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 seen = True
                 packed = _pack_batch(pdf, emb_dim=D_)
                 loss, g_state, g_trans, g_emb = batch_objective(
-                    *packed, state_w, trans_w, emb_w
+                    *packed, state_w, trans_w, emb_w,
+                    sparse_state=sparse_gradient,
                 )
                 total += loss
-                acc[:K] += g_state.reshape(-1)[sf]
-                if D_:
-                    acc[K:K + D_ * L_] += g_emb.reshape(-1)
-                acc[K + D_ * L_:] += g_trans.reshape(-1)[tf]
+                if sparse_gradient:
+                    uniq, g_local = g_state
+                    flat = (uniq[:, None] * L_ + np.arange(L_)).ravel()
+                    vals = g_local.ravel()
+                    if K != A_ * L_:
+                        # map dense-grid flat ids onto the observed-feature
+                        # parameter layout; drop non-feature cells exactly
+                        # like the dense path's acc[:K] += g[sf] gather
+                        pos = np.minimum(np.searchsorted(sf, flat), K - 1)
+                        valid = sf[pos] == flat
+                        flat, vals = pos[valid], vals[valid]
+                    nz = vals != 0.0  # dropping exact zeros is float-exact
+                    sidx_parts.append(flat[nz])
+                    sval_parts.append(vals[nz])
+                    if D_:
+                        tail[:D_ * L_] += g_emb.reshape(-1)
+                    tail[D_ * L_:] += g_trans.reshape(-1)[tf]
+                else:
+                    acc[:K] += g_state.reshape(-1)[sf]
+                    if D_:
+                        acc[K:K + D_ * L_] += g_emb.reshape(-1)
+                    acc[K + D_ * L_:] += g_trans.reshape(-1)[tf]
             if seen:
                 from pyspark import TaskContext
 
                 pid = TaskContext.get().partitionId()
+                if sparse_gradient:
+                    cidx = np.concatenate(sidx_parts) if sidx_parts else np.zeros(0, np.int64)
+                    cval = np.concatenate(sval_parts) if sval_parts else np.zeros(0)
+                    # per-index addition order == batch order == the dense
+                    # path's += order, so the aggregate is bit-identical
+                    uidx, inv = np.unique(cidx, return_inverse=True)
+                    sval = np.zeros(len(uidx), dtype=np.float64)
+                    np.add.at(sval, inv, cval)
+                    payload = pickle.dumps((uidx, sval, tail))
+                else:
+                    payload = pickle.dumps(acc)
                 yield pd.DataFrame(
-                    {"pid": [pid], "loss": [total], "grad": [pickle.dumps(acc)]}
+                    {"pid": [pid], "loss": [total], "grad": [payload]}
                 )
 
         partials_df = featurized.mapInPandas(
@@ -439,10 +539,18 @@ def train_crf(
         if n_part_hint > tree_reduce_threshold:
             # cluster scale: tree-sum the partials executor-side; the
             # driver receives exactly one (loss, grad)
-            loss, grad = partials_df.rdd.map(
-                lambda r: (r["loss"], pickle.loads(r["grad"]))
-            ).treeReduce(lambda a, b: (a[0] + b[0], a[1] + b[1]), depth=2)
-            grad = grad.copy()
+            if sparse_gradient:
+                loss, uidx, sval, tail = partials_df.rdd.map(
+                    lambda r: (r["loss"], *pickle.loads(r["grad"]))
+                ).treeReduce(_merge_sparse_partials, depth=2)
+                grad = np.zeros(n_params, dtype=np.float64)
+                grad[uidx] = sval
+                grad[n_params - len(tail):] += tail
+            else:
+                loss, grad = partials_df.rdd.map(
+                    lambda r: (r["loss"], pickle.loads(r["grad"]))
+                ).treeReduce(lambda a, b: (a[0] + b[0], a[1] + b[1]), depth=2)
+                grad = grad.copy()
         else:
             # small partition counts: collect and sum in partition-id
             # order — deterministic float summation, so repeated runs on
@@ -452,7 +560,12 @@ def train_crf(
             grad = np.zeros(n_params, dtype=np.float64)
             for r in parts:
                 loss += r["loss"]
-                grad += pickle.loads(r["grad"])
+                if sparse_gradient:
+                    uidx, sval, tail = pickle.loads(r["grad"])
+                    np.add.at(grad, uidx, sval)
+                    grad[n_params - len(tail):] += tail
+                else:
+                    grad += pickle.loads(r["grad"])
         w_bc.destroy()
         # L2 (train_lbfgs.c:98-106)
         if c2 > 0:
@@ -462,8 +575,37 @@ def train_crf(
 
     iter_log: list[dict] = log if log is not None else []
 
+    def _model_from(wvec: np.ndarray) -> CRFModel:
+        sw = np.zeros(A * L, dtype=np.float64)
+        sw[sf_flat] = wvec[:K]
+        tw = np.zeros(L * L, dtype=np.float64)
+        tw[tf_flat] = wvec[K + D * L:]
+        return CRFModel(
+            labels=labels, attrs=attrs,
+            state_w=sw.reshape(A, L), trans_w=tw.reshape(L, L),
+            emb_names=[f"{embeddings_col}[{j}]" for j in range(D)],
+            emb_w=wvec[K:K + D * L].reshape(D, L) if D else None,
+        )
+
     def cb(it, w, f, gnorm):
-        iter_log.append({"iter": it, "loss": f, "gnorm": gnorm})
+        entry = {"iter": it, "loss": f, "gnorm": gnorm}
+        if holdout_df is not None:
+            # the reference's per-iteration holdout report (holdout.c:44-81
+            # via the progress callback train_lbfgs.c:150-153): one
+            # distributed decode + P/R/F1 of the fold per iteration
+            from crfsuite_spark.train.options import holdout_evaluation
+
+            ev = holdout_evaluation(
+                _model_from(w), holdout_df, seq_cols, order_col,
+                label_col=label_col, attrs_col=attrs_col,
+            )
+            # JSON-able log entry (the reference writes a text table per
+            # iteration; keep the parsed equivalent serializable)
+            entry["holdout"] = {
+                "overall": ev["overall"],
+                "bylabel": ev["bylabel"].to_dict("records"),
+            }
+        iter_log.append(entry)
         if checkpoint_dir:
             np.save(f"{checkpoint_dir}/w_iter{it:04d}.npy", w)
 

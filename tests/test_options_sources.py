@@ -113,3 +113,34 @@ def test_model_summary(spark):
     assert s["c2"] == 1.0
     assert s["last_iteration"]["loss"] == 3.0
     assert len(s["iterations"]) == 2 and s["size_mb"] >= 0
+
+
+def test_read_conll_many_files_per_file_windows(spark, tmp_path):
+    """A multi-file corpus: windows are per-file (no single-partition
+    global sort in the token plan) and doc/sentence ids are globally
+    unique, deterministic in file-name order."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.train").write_text(CONLL)
+    (d / "b.train").write_text(
+        "-DOCSTART- -X- O\nGent N B-LOC\nligt V O\n\nmooi Adj O\n"
+    )
+    df = read_conll(spark, str(d))
+    pdf = df.toPandas().sort_values(["doc_id", "sentence_id", "token_id"])
+    # a.train carries docs 1-2 / sentences 1-3; b.train offsets after it
+    assert pdf["doc_id"].nunique() == 3
+    assert list(pdf[pdf["doc_id"] == 3]["token"]) == ["Gent", "ligt", "mooi"]
+    # ids don't collide across files
+    a = pdf[pdf["token"] == "Peeters"]["sentence_id"].iloc[0]
+    b = pdf[pdf["token"] == "Gent"]["sentence_id"].iloc[0]
+    assert a != b
+    # plan: the token stream has NO single-partition exchange — the
+    # cumulative-sum windows hash-partition by file
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    # determinism across runs
+    pdf2 = read_conll(spark, str(d)).toPandas().sort_values(
+        ["doc_id", "sentence_id", "token_id"]
+    )
+    assert list(pdf["token"]) == list(pdf2["token"])
+    assert list(pdf["doc_id"]) == list(pdf2["doc_id"])

@@ -522,3 +522,91 @@ def test_l2sgd_minfreq_pruned_transition_stays_zero(spark):
     ia, ib = m.labels.index("A"), m.labels.index("B")
     assert m.trans_w[ib, ia] == 0.0  # pruned pair: not a parameter
     assert m.trans_w[ia, ib] != 0.0  # surviving pair trains
+
+
+def test_sparse_gradient_bit_identical_weights(spark):
+    """CSR (idx, val) gradient partials must train to BIT-identical
+    weights vs the dense partial path, on both the observed-features
+    and the possible_states dense-grid layouts."""
+    import numpy as np
+    from crfsuite_spark.train.trainer import train_crf
+
+    seqs = [
+        [("x", "A"), ("y", "B"), ("z", "O")],
+        [("z", "O"), ("x", "A")],
+        [("y", "B"), ("z", "O"), ("y", "B")],
+    ] * 4
+    df = _mk_tokens(spark, seqs)
+    for ps in (False, True):
+        kw = dict(seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+                  max_iterations=15, num_partitions=4, possible_states=ps)
+        dense = train_crf(df, sparse_gradient=False, **kw)
+        sparse = train_crf(df, sparse_gradient=True, **kw)
+        assert np.array_equal(dense.state_w, sparse.state_w), f"ps={ps}"
+        assert np.array_equal(dense.trans_w, sparse.trans_w), f"ps={ps}"
+        # and through the treeReduce path too
+        tree = train_crf(df, sparse_gradient=True, tree_reduce_threshold=0, **kw)
+        assert np.array_equal(dense.state_w, tree.state_w), f"ps={ps} tree"
+
+
+def test_sparse_state_gradient_fd_at_100k_attrs():
+    """The sparse state gradient is FD-correct and dense-equal at a
+    100k-attribute dictionary (the scale the CSR switch exists for)."""
+    from crfsuite_spark.train.trainer import batch_objective
+
+    A, L = 100_000, 3
+    rng = np.random.default_rng(11)
+    B = 6
+    lengths = rng.integers(2, 6, size=B)
+    N = int(lengths.sum())
+    labels = rng.integers(0, L, size=N)
+    counts = rng.integers(1, 4, size=N)
+    aids = rng.integers(0, A, size=int(counts.sum())).astype(np.int64)
+    tok_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    packed = (lengths, labels, aids, tok_offsets, None)
+    state_w = np.zeros((A, L))
+    touched = np.unique(aids)
+    state_w[touched] = rng.normal(0, 0.5, size=(len(touched), L))
+    trans_w = rng.normal(0, 0.5, size=(L, L))
+
+    loss_d, gd, gt_d, _ = batch_objective(*packed, state_w, trans_w)
+    loss_s, (uniq, g_local), gt_s, _ = batch_objective(
+        *packed, state_w, trans_w, sparse_state=True
+    )
+    assert loss_s == loss_d and np.array_equal(gt_s, gt_d)
+    # sparse rows == dense rows at observed attrs; dense zero elsewhere
+    assert np.array_equal(gd[uniq], g_local)
+    mask = np.ones(A, dtype=bool); mask[uniq] = False
+    assert not gd[mask].any()
+    # FD spot-check a few observed coordinates
+    eps = 1e-6
+    for a in touched[:3]:
+        for l in range(L):
+            sp = state_w.copy(); sp[a, l] += eps
+            sm = state_w.copy(); sm[a, l] -= eps
+            fp, *_ = batch_objective(*packed, sp, trans_w, sparse_state=True)
+            fm, *_ = batch_objective(*packed, sm, trans_w, sparse_state=True)
+            assert abs((fp - fm) / (2 * eps) - gd[a, l]) < 1e-4
+
+
+def test_per_iteration_holdout_metrics(spark):
+    """holdout_df= logs the reference's per-iteration holdout P/R/F1
+    (holdout.c:44-81 via the progress callback): every iteration entry
+    carries the metrics and fit quality improves over training."""
+    from crfsuite_spark.train.trainer import train_crf
+
+    seqs = [
+        [("x", "A"), ("y", "B"), ("z", "O")],
+        [("z", "O"), ("x", "A"), ("y", "B")],
+        [("y", "B"), ("z", "O")],
+    ] * 3
+    df = _mk_tokens(spark, seqs)
+    log: list = []
+    train_crf(df, ["conv_id", "turn_idx"], "token_idx", holdout_df=df,
+              max_iterations=8, num_partitions=2, log=log)
+    assert log and all("holdout" in e for e in log)
+    f1s = [e["holdout"]["overall"]["f1_weighted"] for e in log]
+    assert f1s[-1] >= f1s[0]
+    assert f1s[-1] > 0.95  # memorizable toy -> near-perfect holdout fit
+    # per-label table present, reference finalize() shape
+    assert any(r["label"] == "A" for r in log[-1]["holdout"]["bylabel"])
