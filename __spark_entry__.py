@@ -300,12 +300,57 @@ def q_ta_text_stats(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
-        an.token_count("text").alias("n_tokens"),
+        an.token_count("text").cast("bigint").alias("n_tokens"),
         an.subword_estimate("text").cast("bigint").alias("n_subwords"),
         F.round(an.punct_ratio("text"), 6).alias("punct_ratio"),
         an.md5_fingerprint("text").alias("fingerprint"),
         an.lang_id("text").alias("lang_pred"),
     )
+
+
+def q_ta_c4_filters(spark, sf):
+    """C4-style quality filtering (Raffel et al. 2020 §2.2 doc-level
+    heuristics): word count, mean word length, sentence proxy and the
+    composite keep flag — all JVM Column exprs that push into the scan.
+    Thresholds are loosened to the synthetic corpus's scale so both
+    branches of the flag are exercised."""
+    from crfsuite_spark.functions import analysis as an
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        an.word_count("text").cast("bigint").alias("n_words"),
+        F.round(an.mean_word_length("text"), 6).alias("mean_word_len"),
+        an.sentence_count("text").cast("int").alias("n_sentences"),
+        an.c4_keep("text", min_words=20, min_sentences=0,
+                   min_mean_word_len=3.0, max_mean_word_len=10.0)
+        .alias("keep"),
+    )
+
+
+def q_ds_hash_sample(spark, sf):
+    """Deterministic stratified hash sampling (domain mixing): keep 100%
+    of lang 'en', 25% of 'de', 5% of everything else, keyed on a
+    portable md5 hash of doc_id — reproducible across engines, retries
+    and partitionings (unlike df.sample)."""
+    from crfsuite_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf, "documents")
+    out = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 1.0, "de": 0.25}, default_fraction=0.05
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_ds_pack_documents(spark, sf):
+    """Concat-then-chunk sequence packing: documents hash-sharded,
+    ordered, laid head-to-tail and cut into fixed 256-token chunks —
+    the LLM pre-training layout. One hash-partitioned window per shard,
+    no global sort."""
+    from crfsuite_spark.operators.sampling import pack_documents
+
+    d = _t(spark, sf, "documents")
+    return pack_documents(d, "doc_id", "text", token_budget=256, n_shards=8)
 
 
 def q_ta_winnow(spark, sf):
@@ -601,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ta_text_stats": q_ta_text_stats,
+        "ta_c4_filters": q_ta_c4_filters,
+        "ds_hash_sample": q_ds_hash_sample,
+        "ds_pack_documents": q_ds_pack_documents,
         "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
         "ev_sessionize": q_ev_sessionize,
@@ -953,6 +1001,57 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_de > 0 THEN 'de'
                         ELSE 'und' END AS lang_pred
             FROM hits
+        """,
+        "ta_c4_filters": """
+            WITH t AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS c,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))
+                     END AS n_words,
+                     length(regexp_replace(trim(coalesce(text, '')), '\\s+', '', 'g')) AS nchars,
+                     length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_sent
+              FROM documents)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(CASE WHEN n_words = 0 THEN 0.0
+                              ELSE nchars / CAST(n_words AS DOUBLE) END, 6) AS mean_word_len,
+                   CAST(n_sent AS INTEGER) AS n_sentences,
+                   (n_words >= 20 AND n_words <= 100000
+                    AND (CASE WHEN n_words = 0 THEN 0.0
+                              ELSE nchars / CAST(n_words AS DOUBLE) END) >= 3.0
+                    AND (CASE WHEN n_words = 0 THEN 0.0
+                              ELSE nchars / CAST(n_words AS DOUBLE) END) <= 10.0
+                    AND n_sent >= 0
+                    AND NOT contains(c, '{')
+                    AND NOT contains(lower(c), 'lorem ipsum')) AS keep
+            FROM t
+        """,
+        "ds_hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8))::BIGINT % 1000000
+                  < CASE WHEN lang = 'en' THEN 1000000
+                         WHEN lang = 'de' THEN 250000
+                         ELSE 50000 END
+        """,
+        "ds_pack_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))
+                     END AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8))::BIGINT % 8 AS INTEGER) AS shard
+              FROM documents),
+            o AS (
+              SELECT *, coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+              FROM t)
+            SELECT doc_id, n_tokens, shard,
+                   CAST(off // 256 AS BIGINT) AS chunk,
+                   CAST(shard * 4294967296 + off // 256 AS BIGINT) AS pack_id,
+                   CAST(off % 256 AS BIGINT) AS pack_offset
+            FROM o
         """,
         "ta_winnow": """
             WITH g AS (

@@ -149,3 +149,52 @@ def winnow_fingerprints(col: str, k: int = 5, w: int = 4) -> Column:
         f"i -> array_min(slice({hashes}, i + 1, {w}))) END"
     )
     return F.expr(f"array_sort(array_distinct({mins}))")
+
+
+def word_count(col) -> Column:
+    """Alias of :func:`token_count` under the C4 papers' terminology."""
+    return token_count(col)
+
+
+def mean_word_length(col) -> Column:
+    """Mean word length = non-whitespace chars / whitespace tokens
+    (0 for empty; one of the C4 corpus heuristics — Raffel et al. 2020
+    filter docs outside roughly [3, 10])."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    n_chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    wc = token_count(col)
+    return F.when(wc == 0, 0.0).otherwise(n_chars / wc)
+
+
+def sentence_count(col) -> Column:
+    """Terminal-punctuation count (. ! ?) as the sentence proxy the C4
+    'at least 3 sentences' rule uses."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return F.length(F.regexp_replace(c, r"[^.!?]", "")).cast("int")
+
+
+def c4_keep(
+    col,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_sentences: int = 3,
+) -> Column:
+    """Composite C4-style document keep flag (Raffel et al. 2020 §2.2
+    heuristics, doc-level subset): word-count band, mean-word-length
+    band, ≥ min_sentences terminal punctuation marks, no curly brace
+    (code tell), no 'lorem ipsum'. All JVM Column exprs — the filter
+    pushes into the scan."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    wc = token_count(col)
+    mwl = mean_word_length(col)
+    return (
+        (wc >= min_words)
+        & (wc <= max_words)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (sentence_count(col) >= min_sentences)
+        & (~c.contains("{"))
+        & (~F.lower(c).contains("lorem ipsum"))
+    )

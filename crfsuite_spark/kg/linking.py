@@ -76,12 +76,13 @@ def link_mentions(
     # re-runs a column-pruned pass over the mention aggregation (cheap: the
     # scan reads only the surface column) instead of persisting the full
     # exact frame — persists here leaked across calls and pinned the whole
-    # mention stream in cache. While the distinct-missed-surface set stays
-    # dictionary-scale it is collected and re-broadcast (exactly what the
-    # broadcast join would ship anyway); on an open-domain corpus where it
-    # can be ~10^8 rows, collecting would OOM the driver, so above
-    # ``fuzzy_collect_threshold`` the link table stays distributed and the
-    # attach is a plain shuffle join on the uniform __norm key.
+    # mention stream in cache. While the link table stays dictionary-scale
+    # it is collected (bounded by a limit probe, never an unbounded
+    # collect) and re-broadcast — exactly what the broadcast join would
+    # ship anyway; on an open-domain corpus where distinct missed surfaces
+    # can be ~10^8, the probe overflows ``fuzzy_collect_threshold``, the
+    # table stays distributed (persisted: the probe already computed it)
+    # and the attach is a plain shuffle join on the uniform __norm key.
     best = None
     best_distributed = False
     if fuzzy:
@@ -89,13 +90,13 @@ def link_mentions(
             exact.where(F.col("canonical_id").isNull())
             .select("__norm").where(F.length("__norm") > 0).distinct()
         )
-        n_miss = miss_norms.limit(fuzzy_collect_threshold + 1).count()
-        if n_miss <= fuzzy_collect_threshold:
-            best_rows = _fuzzy_best(miss_norms, alias_dict, jaccard_threshold).collect()
-            if best_rows:
-                best = spark.createDataFrame(best_rows, "__norm string, __fuzzy_id string")
-        elif n_miss:
-            best = _fuzzy_best(miss_norms, alias_dict, jaccard_threshold).persist()
+        best_df = _fuzzy_best(miss_norms, alias_dict, jaccard_threshold)
+        head = best_df.limit(fuzzy_collect_threshold + 1).collect()
+        if len(head) <= fuzzy_collect_threshold:
+            if head:
+                best = spark.createDataFrame(head, "__norm string, __fuzzy_id string")
+        else:
+            best = best_df.persist()
             best_distributed = True
     out = exact
     if best is not None:

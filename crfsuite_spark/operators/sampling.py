@@ -1,0 +1,113 @@
+"""Deterministic sampling + sequence packing for training-data
+pipelines.
+
+Both operators use a PORTABLE content hash (first 8 hex chars of md5 →
+int, the same trick operators/minhash.py uses) so results are
+reproducible across engines and across runs — reproducible subsampling
+is what makes a 100 TB data ablation re-runnable. Everything is JVM
+Column exprs + windows; no Python in the hot path.
+
+- **hash_sample / stratified_hash_sample**: keep a row iff
+  ``md5(id ∥ seed) mod 10^6 < fraction·10^6``. Unlike ``df.sample()``
+  this is stable under retries, partition changes, AQE re-plans and
+  engine swaps, and it composes: nested fractions give nested samples
+  (a 1% sample is a subset of the 10% sample for thresholded hashes).
+- **pack_documents**: concat-then-chunk sequence packing (the standard
+  LLM pre-training layout): shard documents by hash, order
+  deterministically within each shard, lay them head-to-tail and cut
+  fixed token-budget chunks; a document belongs to the chunk where it
+  starts. One window per shard — hash-partitioned, no global sort, so
+  parallelism scales with ``n_shards`` regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crfsuite_spark.functions.analysis import token_count
+
+_SCALE = 1_000_000
+
+
+def _portable_hash_expr(col_sql: str, mod: int, seed: int = 42) -> Column:
+    """First-8-hex-of-md5 → bigint, mod ``mod`` — reproducible in any
+    engine with md5() (DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT)."""
+    return F.expr(
+        f"pmod(CAST(conv(substr(md5(concat(CAST({col_sql} AS STRING), ':{seed}')), 1, 8), 16, 10) AS BIGINT), {mod})"
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``id_col`` (see module
+    docstring for why this beats ``df.sample`` at scale)."""
+    return df.where(
+        _portable_hash_expr(id_col, _SCALE, seed) < int(fraction * _SCALE)
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing primitive
+    (e.g. keep 100% of books, 10% of web, 1% of logs). ``fractions``
+    maps stratum value → keep fraction; unlisted strata get
+    ``default_fraction``."""
+    thresh = F.lit(int(default_fraction * _SCALE))
+    for k, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == k, F.lit(int(frac * _SCALE))
+        ).otherwise(thresh)
+    return df.where(_portable_hash_expr(id_col, _SCALE, seed) < thresh)
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 2048,
+    n_shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-then-chunk packing: returns one row per document with
+    (``*id``, n_tokens, shard, chunk, pack_id, pack_offset).
+
+    ``shard`` = portable hash of the id (uniform, deterministic);
+    within a shard documents are ordered by id, laid head-to-tail, and
+    ``chunk`` = floor(running-offset / token_budget) — the fixed-size
+    pre-training row the document STARTS in. ``pack_offset`` is its
+    position inside that chunk. ``pack_id`` = shard · 2^32 + chunk is
+    globally unique. The only shuffle is the hash partition on shard;
+    each shard's window is independent, so the plan is embarrassingly
+    parallel at any corpus size (size n_shards ≳ cluster cores)."""
+    w = Window.partitionBy("shard").orderBy(id_col)
+    out = (
+        df.select(
+            id_col,
+            token_count(text_col).cast("bigint").alias("n_tokens"),
+            _portable_hash_expr(id_col, n_shards, seed).cast("int").alias("shard"),
+        )
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("chunk", F.floor(F.col("__off") / token_budget))
+        .withColumn(
+            "pack_id",
+            (F.col("shard").cast("bigint") * F.lit(4294967296) + F.col("chunk")).cast("bigint"),
+        )
+        .withColumn("pack_offset", (F.col("__off") % token_budget).cast("bigint"))
+    )
+    return out.select(id_col, "n_tokens", "shard", "chunk", "pack_id", "pack_offset")

@@ -22,10 +22,12 @@ src/crf/src/train_lbfgs.c:217-341) re-architected for Spark:
 Scale notes: the training corpus for a tagger is a bounded sample even
 at a 10^12-turn table (you train on ~10^5-10^6 labelled sequences, then
 decode everything); the decode path (decode/tagger.py) is the
-unbounded one. A gradient partial is a dense n_params float64 vector
-(~80 MB at the ~10^6-attribute ceiling); driver memory is bounded by
-min(n_partitions, tree_reduce_threshold) partials, independent of data
-size — beyond that ceiling switch the accumulation to scipy-style CSR.
+unbounded one. A dense gradient partial is an n_params float64 vector
+(~80 MB at the ~10^6-attribute ceiling); above 4M parameters the
+trainer automatically switches to CSR (idx, val) partials bounded by
+each partition's OBSERVED features (``sparse_gradient=``, bit-identical
+to the dense path), and driver memory stays bounded by
+min(n_partitions, tree_reduce_threshold) partials either way.
 """
 
 from __future__ import annotations
@@ -409,7 +411,10 @@ def train_crf(
 
     # parameter layout: [K state feats] + [D*L embeddings] + [Kt transitions]
     if possible_states:
-        sf_flat = np.arange(A * L, dtype=np.int64)
+        # dense grid: the layout is the identity — represented as None so
+        # no A*L index array is materialized or broadcast (~80 MB at the
+        # 10^6-attribute ceiling)
+        sf_flat = None
     else:
         sf_flat = np.sort(
             state_feats["attribute"].map(attr2id).to_numpy() * L
@@ -429,7 +434,7 @@ def train_crf(
             if len(trans_feats)
             else np.zeros(0, dtype=np.int64)
         )
-    K = len(sf_flat)
+    K = A * L if sf_flat is None else len(sf_flat)
     Kt = len(tf_flat)
     D = 0
     if embeddings_col:
@@ -461,7 +466,7 @@ def train_crf(
             bounded by the partition count, never the batch count."""
             A_, L_, D_, sf, tf = dims_bc.value
             wv = w_bc.value
-            if K == A_ * L_:
+            if sf is None:
                 # dense grid (possible_states): identity layout, skip the
                 # scatter copy
                 state_w = wv[:K].reshape(A_, L_)
@@ -495,7 +500,7 @@ def train_crf(
                     uniq, g_local = g_state
                     flat = (uniq[:, None] * L_ + np.arange(L_)).ravel()
                     vals = g_local.ravel()
-                    if K != A_ * L_:
+                    if sf is not None:
                         # map dense-grid flat ids onto the observed-feature
                         # parameter layout; drop non-feature cells exactly
                         # like the dense path's acc[:K] += g[sf] gather
@@ -509,7 +514,10 @@ def train_crf(
                         tail[:D_ * L_] += g_emb.reshape(-1)
                     tail[D_ * L_:] += g_trans.reshape(-1)[tf]
                 else:
-                    acc[:K] += g_state.reshape(-1)[sf]
+                    acc[:K] += (
+                        g_state.reshape(-1) if sf is None
+                        else g_state.reshape(-1)[sf]
+                    )
                     if D_:
                         acc[K:K + D_ * L_] += g_emb.reshape(-1)
                     acc[K + D_ * L_:] += g_trans.reshape(-1)[tf]
@@ -577,7 +585,10 @@ def train_crf(
 
     def _model_from(wvec: np.ndarray) -> CRFModel:
         sw = np.zeros(A * L, dtype=np.float64)
-        sw[sf_flat] = wvec[:K]
+        if sf_flat is None:
+            sw[:] = wvec[:K]
+        else:
+            sw[sf_flat] = wvec[:K]
         tw = np.zeros(L * L, dtype=np.float64)
         tw[tf_flat] = wvec[K + D * L:]
         return CRFModel(
@@ -618,7 +629,10 @@ def train_crf(
     featurized.unpersist()
 
     state_w = np.zeros(A * L, dtype=np.float64)
-    state_w[sf_flat] = res.x[:K]
+    if sf_flat is None:
+        state_w[:] = res.x[:K]
+    else:
+        state_w[sf_flat] = res.x[:K]
     trans_w = np.zeros(L * L, dtype=np.float64)
     trans_w[tf_flat] = res.x[K + D * L:]
     return CRFModel(

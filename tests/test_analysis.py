@@ -136,3 +136,96 @@ def test_video_frame_sampling_plumbing(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         mm._decode_video_bytes(b"x", strict=True)
+
+
+def test_c4_filters(spark):
+    """C4 heuristics: word count / mean word length / sentence proxy /
+    composite keep flag on hand-computed edge cases."""
+    from crfsuite_spark.functions import analysis as an
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog today. "
+            "It runs far away. Then it sleeps well tonight."),
+        (2, None),
+        (3, ""),
+        (4, "word " * 60 + "end."),          # long enough, 1 sentence
+        (5, "code { block } " * 30),          # curly brace -> drop
+        (6, "Lorem ipsum dolor sit amet. " * 20),  # lorem -> drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            an.word_count("text").alias("wc"),
+            F.round(an.mean_word_length("text"), 6).alias("mwl"),
+            an.sentence_count("text").alias("ns"),
+            an.c4_keep("text", min_words=10, min_sentences=3).alias("keep"),
+        ).collect()
+    }
+    assert out[1]["wc"] == 19 and out[1]["ns"] == 3 and out[1]["keep"]
+    assert out[2]["wc"] == 0 and out[2]["mwl"] == 0.0 and not out[2]["keep"]
+    assert out[3]["wc"] == 0 and not out[3]["keep"]
+    assert not out[4]["keep"]      # only 1 sentence
+    assert not out[5]["keep"]      # curly brace
+    assert not out[6]["keep"]      # lorem ipsum
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    """Hash sampling: stable across runs/partitionings and NESTED —
+    the 5% sample is a strict subset of the 20% sample (thresholded
+    hash property df.sample lacks)."""
+    from crfsuite_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s20 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.20).collect()}
+    s05 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.05).collect()}
+    s20b = {r["doc_id"] for r in
+            hash_sample(df.repartition(13), "doc_id", 0.20).collect()}
+    assert s20 == s20b
+    assert s05 <= s20
+    assert 0.15 < len(s20) / 2000 < 0.25
+    assert 0.02 < len(s05) / 2000 < 0.08
+
+
+def test_stratified_hash_sample(spark):
+    from crfsuite_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(0, 900).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 1.0, "de": 0.3}, default_fraction=0.0
+    ).groupBy("lang").count().toPandas().set_index("lang")["count"]
+    assert out.get("en", 0) == 300          # keep all
+    assert 50 < out.get("de", 0) < 130      # ~30%
+    assert "fr" not in out.index            # default 0
+
+
+def test_pack_documents_invariants(spark):
+    """Packing: offsets are a per-shard prefix sum, chunks cut at the
+    budget, pack ids globally unique per (shard, chunk), deterministic
+    under repartitioning."""
+    from crfsuite_spark.operators.sampling import pack_documents
+
+    rows = [(i, "tok " * (5 + (i * 37) % 90)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_documents(df, "doc_id", "text", token_budget=100, n_shards=4).toPandas()
+    assert len(out) == 300
+    for shard, grp in out.sort_values("doc_id").groupby("shard"):
+        off = 0
+        for r in grp.itertuples():
+            assert r.pack_offset == off % 100
+            assert r.chunk == off // 100
+            assert r.pack_id == shard * 4294967296 + r.chunk
+            off += r.n_tokens
+    out2 = pack_documents(
+        df.repartition(7), "doc_id", "text", token_budget=100, n_shards=4
+    ).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
