@@ -49,6 +49,10 @@ class PipelineConfig:
     # (MinHash edges -> connected components); dictionary ids untouched
     canonicalize: bool = True
     canon_threshold: float = 0.85
+    # above this many fuzzy-linked surfaces the link table stays
+    # distributed (shuffle join) instead of collect+broadcast — the
+    # open-domain-corpus driver-OOM guard (kg/linking.py)
+    fuzzy_collect_threshold: int = 100_000
     # assemble spans in a narrow pass over decode's sequence-contiguous
     # output (no second full-token shuffle). Only safe when the decoded
     # frame comes straight from decode() — extract_triples callers with
@@ -118,7 +122,8 @@ def extract_triples(
     ).persist()
     surfaces.count()
     linked = link_mentions(
-        surfaces, alias_dict, surface_col="surface", fuzzy=cfg.fuzzy_linking
+        surfaces, alias_dict, surface_col="surface", fuzzy=cfg.fuzzy_linking,
+        fuzzy_collect_threshold=cfg.fuzzy_collect_threshold,
     ).select("surface", "canonical_id", "link_method").persist()
     linked.count()  # materialize: exactly one decode pass through the cache
     surfaces.unpersist()

@@ -109,14 +109,43 @@ def read_conll(
 
 def read_wikiner(spark, path: str) -> DataFrame:
     """WikiNER format: one sentence per line, tokens separated by
-    spaces, each token ``word|pos|label`` (R/data.R:140-145)."""
-    lines = spark.read.text(path)
-    df = lines.select(
-        F.monotonically_increasing_id().alias("sentence_id"),
-        F.col("value").alias("line"),
-    ).where(F.trim("line") != "")
+    spaces, each token ``word|pos|label`` (R/data.R:140-145).
+
+    Same per-file id scheme as :func:`read_conll`: sentence_id = exact
+    per-file line number + a per-file offset cumulated in file-name
+    order — deterministic, no reliance on split ordering, parallel
+    across files."""
+    lines = (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("file"),
+            F.posexplode(F.split(F.col("value"), r"\r?\n")).alias(
+                "line_no", "line"
+            ),
+        )
+        .where(F.trim("line") != "")
+    )
+    per_file = sorted(
+        (r["file"], int(r["n"]))
+        for r in lines.groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offs, acc = [], 0
+    for fname, n_lines in per_file:
+        offs.append((fname, acc))
+        acc += n_lines
+    w = Window.partitionBy("file").orderBy("line_no")
+    df = lines.withColumn("sent_seq", F.row_number().over(w) - 1)
+    if len(per_file) > 1:
+        off_df = F.broadcast(
+            spark.createDataFrame(offs, "file string, sent_off long")
+        )
+        df = df.join(off_df, "file")
+    else:
+        df = df.withColumn("sent_off", F.lit(0))
     tok = df.select(
-        "sentence_id",
+        (F.col("sent_seq") + F.col("sent_off")).alias("sentence_id"),
         F.posexplode(F.split("line", " ")).alias("pos_idx", "tok"),
     )
     parts = F.split(F.col("tok"), r"\|")

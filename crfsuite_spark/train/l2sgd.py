@@ -132,8 +132,13 @@ def train_l2sgd(
     num_partitions: int | None = None,
     log: list | None = None,
     possible_transitions: bool = False,
+    holdout_df: DataFrame | None = None,
 ) -> CRFModel:
-    """Distributed l2sgd via iterative parameter mixing."""
+    """Distributed l2sgd via iterative parameter mixing.
+
+    ``holdout_df``: when given, every epoch decodes the fold with the
+    mixed weights and logs per-label P/R/F1 (reference per-iteration
+    holdout report, holdout.c:44-81)."""
     from crfsuite_spark.train.trainer import transition_mask
 
     spark = tokens.sparkSession
@@ -211,8 +216,16 @@ def train_l2sgd(
             (pf[-period] - sum_loss) / abs(sum_loss) if len(pf) >= period else epsilon
         )
         pf.append(sum_loss)
-        iter_log.append({"epoch": epoch, "loss": float(sum_loss),
-                         "eta0": eta0, "improvement": float(improvement)})
+        entry = {"epoch": epoch, "loss": float(sum_loss),
+                 "eta0": eta0, "improvement": float(improvement)}
+        if holdout_df is not None:
+            from crfsuite_spark.train.options import holdout_log_entry
+
+            entry["holdout"] = holdout_log_entry(
+                labels, attrs, w_state, w_trans, holdout_df,
+                seq_cols, order_col, label_col, attrs_col,
+            )
+        iter_log.append(entry)
         w_bc.destroy()
         if improvement < epsilon:
             break

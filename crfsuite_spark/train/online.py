@@ -152,8 +152,13 @@ def train_online(
     num_partitions: int | None = None,
     log: list | None = None,
     possible_transitions: bool = False,
+    holdout_df: DataFrame | None = None,
 ) -> CRFModel:
-    """Distributed PA / AROW via iterative parameter mixing."""
+    """Distributed PA / AROW via iterative parameter mixing.
+
+    ``holdout_df``: when given, every epoch decodes the fold with the
+    mixed weights and logs per-label P/R/F1 (reference per-iteration
+    holdout report, holdout.c:44-81)."""
     from crfsuite_spark.train.trainer import transition_mask
 
     assert method in ("pa", "pa1", "pa2", "arow"), method
@@ -227,7 +232,15 @@ def train_online(
                 cov_state += frac * cs
                 cov_trans += frac * ct
         ratio = loss / total if total else 0.0
-        iter_log.append({"iter": it, "loss": float(loss), "mean_cost": ratio})
+        entry = {"iter": it, "loss": float(loss), "mean_cost": ratio}
+        if holdout_df is not None:
+            from crfsuite_spark.train.options import holdout_log_entry
+
+            entry["holdout"] = holdout_log_entry(
+                labels, attrs, w_state, w_trans, holdout_df,
+                seq_cols, order_col, label_col, attrs_col,
+            )
+        iter_log.append(entry)
         w_bc.destroy()
         if ratio <= epsilon:
             break

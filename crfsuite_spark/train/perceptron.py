@@ -98,8 +98,13 @@ def train_perceptron(
     num_partitions: int | None = None,
     log: list | None = None,
     possible_transitions: bool = False,
+    holdout_df: DataFrame | None = None,
 ) -> CRFModel:
-    """Distributed averaged perceptron via iterative parameter mixing."""
+    """Distributed averaged perceptron via iterative parameter mixing.
+
+    ``holdout_df``: when given, every epoch decodes the fold with the
+    AVERAGED weights and logs per-label P/R/F1 (reference per-iteration
+    holdout report, holdout.c:44-81)."""
     from crfsuite_spark.train.trainer import transition_mask
 
     spark = tokens.sparkSession
@@ -182,7 +187,15 @@ def train_perceptron(
             aw_trans += frac * aw_t
         # convergence: loss/N < epsilon (train_averaged_perceptron.c:221)
         ratio = loss / total if total else 0.0
-        iter_log.append({"iter": it, "loss": float(loss), "error_ratio": ratio})
+        entry = {"iter": it, "loss": float(loss), "error_ratio": ratio}
+        if holdout_df is not None:
+            from crfsuite_spark.train.options import holdout_log_entry
+
+            entry["holdout"] = holdout_log_entry(
+                labels, attrs, aw_state, aw_trans, holdout_df,
+                seq_cols, order_col, label_col, attrs_col,
+            )
+        iter_log.append(entry)
         w_bc.destroy()
         if ratio <= epsilon:
             w_state, w_trans = aw_state, aw_trans

@@ -144,3 +144,19 @@ def test_read_conll_many_files_per_file_windows(spark, tmp_path):
     )
     assert list(pdf["token"]) == list(pdf2["token"])
     assert list(pdf["doc_id"]) == list(pdf2["doc_id"])
+
+
+def test_read_wikiner_many_files(spark, tmp_path):
+    """Multi-file WikiNER: per-file windows, globally unique sentence
+    ids in file-name order, deterministic."""
+    d = tmp_path / "wk"
+    d.mkdir()
+    (d / "a.txt").write_text("Jan|NNP|B-PER gaat|V|O\nnaar|Prep|O Gent|N|B-LOC\n")
+    (d / "b.txt").write_text("Marie|NNP|B-PER slaapt|V|O\n")
+    df = read_wikiner(spark, str(d)).toPandas().sort_values(
+        ["sentence_id", "token_id"]
+    )
+    assert list(df["token"]) == ["Jan", "gaat", "naar", "Gent", "Marie", "slaapt"]
+    assert df["sentence_id"].nunique() == 3
+    # b.txt's sentence comes after both of a.txt's
+    assert df[df["token"] == "Marie"]["sentence_id"].iloc[0] == 2

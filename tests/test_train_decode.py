@@ -610,3 +610,30 @@ def test_per_iteration_holdout_metrics(spark):
     assert f1s[-1] > 0.95  # memorizable toy -> near-perfect holdout fit
     # per-label table present, reference finalize() shape
     assert any(r["label"] == "A" for r in log[-1]["holdout"]["bylabel"])
+
+
+@pytest.mark.parametrize("which", ["perceptron", "l2sgd", "pa1"])
+def test_online_trainers_per_iteration_holdout(spark, which):
+    """All trainers log the reference's per-iteration holdout P/R/F1
+    when given a fold (holdout.c:44-81 applies to every method)."""
+    seqs = [
+        [("x", "A"), ("y", "B"), ("z", "O")],
+        [("z", "O"), ("x", "A"), ("y", "B")],
+    ] * 3
+    df = _mk_tokens(spark, seqs)
+    log: list = []
+    kw = dict(seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+              max_iterations=3, num_partitions=2, log=log, holdout_df=df)
+    if which == "perceptron":
+        from crfsuite_spark.train.perceptron import train_perceptron
+        train_perceptron(df, **kw)
+    elif which == "l2sgd":
+        from crfsuite_spark.train.l2sgd import train_l2sgd
+        train_l2sgd(df, **kw)
+    else:
+        from crfsuite_spark.train.online import train_online
+        train_online(df, method="pa1", **kw)
+    assert log and all("holdout" in e for e in log)
+    last = log[-1]["holdout"]
+    assert 0.0 <= last["overall"]["f1_weighted"] <= 1.0
+    assert any(r["label"] == "A" for r in last["bylabel"])
