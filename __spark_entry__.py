@@ -328,6 +328,38 @@ def q_ta_c4_filters(spark, sf):
     )
 
 
+def q_ta_gopher_repetition(spark, sf):
+    """Gopher repetition signals (Rae et al. 2021 Table A1): duplicate
+    sentence fraction + most-frequent-2-gram fraction. The 2-gram mode
+    is computed with ZERO shuffle: sort the gram array and take the
+    longest equal run in one aggregate HOF (the oracle cross-checks via
+    unnest+groupBy — different algorithm, same number)."""
+    from crfsuite_spark.functions import analysis as an
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(an.dup_sentence_fraction("text"), 6).alias("dup_sent_frac"),
+        F.round(an.top_bigram_fraction("text"), 6).alias("top_bigram_frac"),
+    )
+
+
+def q_ta_pii_redact(spark, sf):
+    """PII scrub pass: emails / IPv4s / phone-shaped numbers →  typed
+    placeholders, RE2-safe regexp_replace chain. Deterministic PII is
+    injected per row so the redaction path actually fires."""
+    from crfsuite_spark.functions import analysis as an
+
+    d = _t(spark, sf, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact a"), F.col("doc_id").cast("string"),
+        F.lit("@ex.com ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel +1 555-123-4567"),
+    )
+    return d.select("doc_id", an.redact_pii(txt).alias("redacted"))
+
+
 def q_ds_hash_sample(spark, sf):
     """Deterministic stratified hash sampling (domain mixing): keep 100%
     of lang 'en', 25% of 'de', 5% of everything else, keyed on a
@@ -647,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ta_text_stats": q_ta_text_stats,
         "ta_c4_filters": q_ta_c4_filters,
+        "ta_gopher_repetition": q_ta_gopher_repetition,
+        "ta_pii_redact": q_ta_pii_redact,
         "ds_hash_sample": q_ds_hash_sample,
         "ds_pack_documents": q_ds_pack_documents,
         "ta_winnow": q_ta_winnow,
@@ -1026,6 +1060,46 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(c, '{')
                     AND NOT contains(lower(c), 'lorem ipsum')) AS keep
             FROM t
+        """,
+        "ta_gopher_repetition": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') END AS words,
+                     string_split(coalesce(text, ''), '. ') AS sents
+              FROM documents),
+            g AS (
+              SELECT doc_id, sents,
+                     CASE WHEN len(words) < 2 THEN []::VARCHAR[]
+                          ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])
+                     END AS grams
+              FROM w),
+            cnt AS (
+              SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM (
+                SELECT doc_id, gram, count(*) AS n
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id)
+            SELECT g.doc_id,
+                   round(CASE WHEN len(sents) <= 0 THEN 0.0
+                              ELSE 1.0 - len(list_distinct(sents)) / CAST(len(sents) AS DOUBLE)
+                         END, 6) AS dup_sent_frac,
+                   round(CASE WHEN len(grams) = 0 THEN 0.0
+                              ELSE cnt.mx / CAST(cnt.tot AS DOUBLE) END, 6) AS top_bigram_frac
+            FROM g LEFT JOIN cnt USING (doc_id)
+        """,
+        "ta_pii_redact": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         text || ' contact a' || CAST(doc_id AS VARCHAR)
+                              || '@ex.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                              || ' tel +1 555-123-4567',
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}([ -]?\d{3,4})?', '<PHONE>', 'g') AS redacted
+            FROM documents
         """,
         "ds_hash_sample": """
             SELECT doc_id, lang FROM documents

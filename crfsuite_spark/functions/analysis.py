@@ -198,3 +198,66 @@ def c4_keep(
         & (~c.contains("{"))
         & (~F.lower(c).contains("lorem ipsum"))
     )
+
+
+def dup_sentence_fraction(col) -> Column:
+    """Fraction of duplicated sentences (Gopher repetition signal,
+    Rae et al. 2021 Table A1): 1 − distinct/total over '. '-split
+    segments. 0 for empty text."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    sents = F.split(c, r"\. ")
+    return F.when(F.size(sents) <= 0, 0.0).otherwise(
+        1.0 - F.size(F.array_distinct(sents)) / F.size(sents)
+    )
+
+
+def top_bigram_fraction(col) -> Column:
+    """Fraction of word 2-grams taken by the MOST FREQUENT 2-gram
+    (Gopher repetition signal). Computed with zero shuffle: sort the
+    2-gram array and take the longest equal-run via a single
+    ``aggregate`` HOF — no explode, no groupBy, stays inside
+    whole-stage codegen. 0 for NULL/empty texts or < 2 words."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    w = _tokens(c)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    sorted_g = F.array_sort(grams)
+    best = F.aggregate(
+        sorted_g,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a.best, F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda a: a.best,
+    )
+    return F.when(F.size(w) < 2, 0.0).otherwise(best / F.size(grams))
+
+
+# RE2-safe patterns (no lookaround/backrefs) so the same regex runs in
+# Spark (Java) and DuckDB (RE2) byte-for-byte
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}([ -]?\d{3,4})?", "<PHONE>"),
+]
+
+
+def redact_pii(col) -> Column:
+    """Redact emails / IPv4s / phone-shaped numbers with typed
+    placeholders — the standard pre-training scrub pass. Pure
+    ``regexp_replace`` chain (JVM, pushed into the projection);
+    patterns are RE2-safe so any engine reproduces them. Order
+    matters: emails first (their local part can look phone-like),
+    then IPs (dotted quads would half-match the phone pattern)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    for pat, repl in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

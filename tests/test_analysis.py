@@ -229,3 +229,50 @@ def test_pack_documents_invariants(spark):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_gopher_repetition_signals(spark):
+    """Hand-computed duplicate-sentence and top-2-gram fractions,
+    including the zero-shuffle sorted-run mode computation."""
+    from crfsuite_spark.functions import analysis as an
+
+    rows = [
+        (1, "the cat sat. the cat sat. the dog ran."),
+        (2, "a b a b a b a b"),   # "a b" 4 of 7 grams
+        (3, "x"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        F.round(an.dup_sentence_fraction("text"), 4).alias("ds"),
+        F.round(an.top_bigram_fraction("text"), 4).alias("tg"),
+    ).collect()}
+    assert abs(out[1]["ds"] - 1 / 3) < 1e-3
+    assert abs(out[2]["tg"] - 4 / 7) < 1e-3
+    assert out[3]["tg"] == 0.0 and out[3]["ds"] == 0.0
+    assert out[4]["tg"] == 0.0 and out[4]["ds"] == 0.0
+    # plan stays shuffle-free (no Exchange): pure project over the scan
+    plan = df.select(an.top_bigram_fraction("text"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_redact_pii(spark):
+    from crfsuite_spark.functions import analysis as an
+
+    rows = [
+        (1, "mail john.doe+x@sub.example.co.uk now"),
+        (2, "server at 192.168.1.254 up"),
+        (3, "call +44 (020) 7946 0958 or 555-123-4567"),
+        (4, None),
+        (5, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", an.redact_pii("text").alias("red")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> up"
+    assert "<PHONE>" in out[3] and "7946" not in out[3] and "555" not in out[3]
+    assert out[4] == ""
+    assert out[5] == "no pii here at all"
