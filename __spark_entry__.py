@@ -352,7 +352,7 @@ def q_ta_pii_redact(spark, sf):
 
     d = _t(spark, sf, "documents")
     txt = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit(" contact a"), F.col("doc_id").cast("string"),
         F.lit("@ex.com ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
         F.lit(" tel +1 555-123-4567"),
@@ -556,11 +556,15 @@ def q_sim_emb_dup_pairs(spark, sf):
     self-join (cosine ≥ 0.4 within a shared bucket, id_a < id_b; the
     synthetic embeddings are near-orthogonal so 0.4 is the "near-dup"
     regime here) — the oracle reproduces the buckets from the same
-    seeded planes."""
+    seeded planes. The bucket-population guard is pinned OFF here: the
+    oracle mirrors the unguarded join, and at sf scales no bucket nears
+    the production default cap anyway (the guard's behavior is
+    pytest-gated in test_embedding_dup_pairs_bucket_guard)."""
     from crfsuite_spark.operators import similarity as sim
 
     e = _t(spark, sf, "embeddings")
-    out = sim.embedding_dup_pairs(e, dim=64, threshold=0.4, n_planes=6)
+    out = sim.embedding_dup_pairs(e, dim=64, threshold=0.4, n_planes=6,
+                                  max_bucket_size=None)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1093,7 +1097,7 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(
-                         text || ' contact a' || CAST(doc_id AS VARCHAR)
+                         coalesce(text, '') || ' contact a' || CAST(doc_id AS VARCHAR)
                               || '@ex.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
                               || ' tel +1 555-123-4567',
                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),

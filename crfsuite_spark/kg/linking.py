@@ -81,8 +81,11 @@ def link_mentions(
     # collect) and re-broadcast — exactly what the broadcast join would
     # ship anyway; on an open-domain corpus where distinct missed surfaces
     # can be ~10^8, the probe overflows ``fuzzy_collect_threshold``, the
-    # table stays distributed (persisted: the probe already computed it)
-    # and the attach is a plain shuffle join on the uniform __norm key.
+    # table stays distributed and the attach is a plain shuffle join on
+    # the uniform __norm key. NOT persisted: the lazy join evaluates the
+    # fuzzy chain exactly once per downstream action, and callers that
+    # consume the linked frame repeatedly (kg/pipeline.py) persist THAT
+    # result — persisting here leaked a large cache per call.
     best = None
     best_distributed = False
     if fuzzy:
@@ -96,7 +99,7 @@ def link_mentions(
             if head:
                 best = spark.createDataFrame(head, "__norm string, __fuzzy_id string")
         else:
-            best = best_df.persist()
+            best = best_df
             best_distributed = True
     out = exact
     if best is not None:

@@ -22,7 +22,7 @@ Column exprs + windows; no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from crfsuite_spark.functions.analysis import token_count

@@ -116,31 +116,41 @@ def refined_hyperplane_buckets(
         return b
     b = b.withColumn("bucket", F.col("bucket").cast("long"))
     v = F.col(vec_col).cast("array<double>")
+    # cache across the count rounds so the scan + n_planes dot products
+    # run once, not once per round; released before return (the consumer
+    # replays the lineage exactly once — two total passes worst case)
+    b = b.persist()
+    cached = [b]
     shift = n_planes
-    for round_ in range(max_rounds):
-        over = [
-            r["bucket"]
-            for r in b.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_bucket_size)
-            .collect()
-        ]
-        if not over:
-            break
-        rng = np.random.default_rng(seed + 7919 * (round_ + 1))
-        planes = rng.normal(size=(refine_planes, dim))
-        sub = _bucket_bits(v, planes).cast("long")
-        # refined id = coarse id + (sub+1) << shift: the +1 keeps refined
-        # ids disjoint from unrefined ones, the growing shift keeps
-        # rounds disjoint from each other
-        b = b.withColumn(
-            "bucket",
-            F.when(
-                F.col("bucket").isin(over),
-                F.col("bucket") + F.shiftleft(sub + 1, shift),
-            ).otherwise(F.col("bucket")),
-        )
-        shift += refine_planes + 1
+    try:
+        for round_ in range(max_rounds):
+            over = [
+                r["bucket"]
+                for r in b.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > max_bucket_size)
+                .collect()
+            ]
+            if not over:
+                break
+            rng = np.random.default_rng(seed + 7919 * (round_ + 1))
+            planes = rng.normal(size=(refine_planes, dim))
+            sub = _bucket_bits(v, planes).cast("long")
+            # refined id = coarse id + (sub+1) << shift: the +1 keeps
+            # refined ids disjoint from unrefined ones, the growing
+            # shift keeps rounds disjoint from each other
+            b = b.withColumn(
+                "bucket",
+                F.when(
+                    F.col("bucket").isin(over),
+                    F.col("bucket") + F.shiftleft(sub + 1, shift),
+                ).otherwise(F.col("bucket")),
+            ).persist()
+            cached.append(b)
+            shift += refine_planes + 1
+    finally:
+        for df_ in cached:
+            df_.unpersist()
     return b
 
 

@@ -46,7 +46,13 @@ def read_conll(
     Windows are PER FILE (partitioned by ``input_file_name``): a corpus
     of many files never funnels through a single sort partition. Ids
     stay globally unique via per-file offsets cumulated in file-name
-    order (one tiny driver-side pass over the file list).
+    order (one tiny driver-side aggregation over the file list).
+
+    Cost note: the offsets make the reader EAGER — constructing the
+    frame runs one corpus pass (the per-file max/min aggregation), and
+    consuming it runs another. Two bounded passes is the deliberate
+    trade for deterministic global ids without a single-partition sort;
+    training corpora are bounded (train/trainer.py scale note).
     """
     lines = (
         spark.read.text(path, wholetext=True)
@@ -73,19 +79,33 @@ def read_conll(
     toks = df.where((F.col("is_doc") == 0) & (F.col("is_blank") == 0))
     # per-file id offsets: one row per file, cumulated in deterministic
     # file-name order on the driver (file count is bounded; the token
-    # stream itself never leaves its per-file partitions)
+    # stream itself never leaves its per-file partitions). Ranges are
+    # computed over TOKEN rows: a file whose content precedes its first
+    # boundary line has ids starting at 0, one starting with a boundary
+    # at 1 — so each file's offset aligns ITS min id just past the
+    # previous file's max id (offsetting by the previous max alone
+    # collides whenever a file does not open with a boundary line).
     per_file = sorted(
-        (r["file"], int(r["nd"] or 0), int(r["ns"] or 0))
-        for r in df.groupBy("file")
-        .agg(F.max("doc_seq").alias("nd"), F.max("sent_seq").alias("ns"))
+        (r["file"], int(r["nd"] or 0), int(r["mnd"] or 0),
+         int(r["ns"] or 0), int(r["mns"] or 0))
+        for r in toks.groupBy("file")
+        .agg(
+            F.max("doc_seq").alias("nd"), F.min("doc_seq").alias("mnd"),
+            F.max("sent_seq").alias("ns"), F.min("sent_seq").alias("mns"),
+        )
         .collect()
     )
     if len(per_file) > 1:
-        offs, d_off, s_off = [], 0, 0
-        for fname, nd, ns in per_file:
+        offs = []
+        next_d = next_s = None
+        for fname, nd, mnd, ns, mns in per_file:
+            if next_d is None:
+                d_off, s_off = 0, 0  # first file keeps its native ids
+            else:
+                d_off, s_off = next_d - mnd, next_s - mns
             offs.append((fname, d_off, s_off))
-            d_off += nd
-            s_off += ns
+            next_d = d_off + nd + 1
+            next_s = s_off + ns + 1
         off_df = F.broadcast(
             spark.createDataFrame(
                 offs, "file string, doc_off long, sent_off long"

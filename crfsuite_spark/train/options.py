@@ -144,6 +144,26 @@ def holdout_evaluation(
     return crf_evaluation(pred, gold_col="label_gold", pred_col="label")
 
 
+def holdout_log_entry_from_model(
+    model,
+    holdout_df: DataFrame,
+    seq_cols: list[str],
+    order_col: str,
+    label_col: str = "label",
+    attrs_col: str = "attrs",
+) -> dict:
+    """JSON-able per-iteration holdout record (the reference evaluates
+    the holdout fold after EVERY iteration for every trainer —
+    holdout.c:44-81 via each trainer's progress hook): decode the fold
+    with the interim model, return parsed per-label + overall P/R/F1.
+    The single source of the log-record shape for all four trainers."""
+    ev = holdout_evaluation(
+        model, holdout_df, seq_cols, order_col,
+        label_col=label_col, attrs_col=attrs_col,
+    )
+    return {"overall": ev["overall"], "bylabel": ev["bylabel"].to_dict("records")}
+
+
 def holdout_log_entry(
     labels,
     attrs,
@@ -155,19 +175,16 @@ def holdout_log_entry(
     label_col: str = "label",
     attrs_col: str = "attrs",
 ) -> dict:
-    """JSON-able per-iteration holdout record (the reference evaluates
-    the holdout fold after EVERY iteration for every trainer —
-    holdout.c:44-81 via each trainer's progress hook): decode the fold
-    with the interim weights, return parsed per-label + overall
-    P/R/F1."""
+    """Weight-matrix convenience wrapper over
+    :func:`holdout_log_entry_from_model` (used by the online trainers,
+    which carry raw state/transition matrices mid-epoch)."""
     from crfsuite_spark.train.model import CRFModel
 
-    ev = holdout_evaluation(
+    return holdout_log_entry_from_model(
         CRFModel(labels=labels, attrs=attrs, state_w=state_w, trans_w=trans_w),
         holdout_df, seq_cols, order_col,
         label_col=label_col, attrs_col=attrs_col,
     )
-    return {"overall": ev["overall"], "bylabel": ev["bylabel"].to_dict("records")}
 
 
 def tune_crf(

@@ -604,18 +604,12 @@ def train_crf(
             # the reference's per-iteration holdout report (holdout.c:44-81
             # via the progress callback train_lbfgs.c:150-153): one
             # distributed decode + P/R/F1 of the fold per iteration
-            from crfsuite_spark.train.options import holdout_evaluation
+            from crfsuite_spark.train.options import holdout_log_entry_from_model
 
-            ev = holdout_evaluation(
+            entry["holdout"] = holdout_log_entry_from_model(
                 _model_from(w), holdout_df, seq_cols, order_col,
                 label_col=label_col, attrs_col=attrs_col,
             )
-            # JSON-able log entry (the reference writes a text table per
-            # iteration; keep the parsed equivalent serializable)
-            entry["holdout"] = {
-                "overall": ev["overall"],
-                "bylabel": ev["bylabel"].to_dict("records"),
-            }
         iter_log.append(entry)
         if checkpoint_dir:
             np.save(f"{checkpoint_dir}/w_iter{it:04d}.npy", w)

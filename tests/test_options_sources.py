@@ -160,3 +160,25 @@ def test_read_wikiner_many_files(spark, tmp_path):
     assert df["sentence_id"].nunique() == 3
     # b.txt's sentence comes after both of a.txt's
     assert df[df["token"] == "Marie"]["sentence_id"].iloc[0] == 2
+
+
+def test_read_conll_boundary_less_files_no_collision(spark, tmp_path):
+    """Files WITHOUT a leading -DOCSTART-/blank line start their ids at
+    0; per-file offsets must still keep ids globally disjoint
+    (regression: offset-by-max merged unrelated files into one doc)."""
+    d = tmp_path / "bl"
+    d.mkdir()
+    (d / "a.train").write_text("tok1 X O\ntok2 X O")
+    (d / "b.train").write_text("tok3 X O")
+    (d / "c.train").write_text("-DOCSTART- -X- O\ntok4 X O")
+    df = read_conll(spark, str(d)).toPandas()
+    by_tok = df.set_index("token")
+    # three files -> three distinct (doc_id, sentence_id) groups
+    groups = df.groupby(["doc_id", "sentence_id"])["token"].apply(list).to_dict()
+    assert sorted(map(sorted, groups.values())) == [
+        ["tok1", "tok2"], ["tok3"], ["tok4"]]
+    # ids strictly ordered by file name
+    assert by_tok.loc["tok1", "doc_id"] < by_tok.loc["tok3", "doc_id"] \
+        < by_tok.loc["tok4", "doc_id"]
+    # no duplicated order keys within any group
+    assert not df.duplicated(["doc_id", "sentence_id", "token_id"]).any()
