@@ -637,3 +637,29 @@ def test_online_trainers_per_iteration_holdout(spark, which):
     last = log[-1]["holdout"]
     assert 0.0 <= last["overall"]["f1_weighted"] <= 1.0
     assert any(r["label"] == "A" for r in last["bylabel"])
+
+
+def test_sparse_state_gradient_matches_dense_random():
+    """Property: sparse and dense state gradients are bit-identical on
+    random problems, including empty-attribute and repeated-aid cases."""
+    from hypothesis import given, settings, strategies as st
+    from crfsuite_spark.train.trainer import batch_objective as bo
+
+    @settings(max_examples=25, deadline=None)
+    @given(seed=st.integers(0, 100_000))
+    def check(seed):
+        packed = _rand_problem(seed=seed, B=4, L=3, A=12)
+        rng = np.random.default_rng(seed + 1)
+        state_w = rng.normal(size=(12, 3))
+        trans_w = rng.normal(size=(3, 3))
+        ld, gd, gtd, _ = bo(*packed, None, state_w, trans_w)
+        ls, (uniq, gl), gts, _ = bo(*packed, None, state_w, trans_w,
+                                    sparse_state=True)
+        assert ls == ld
+        assert np.array_equal(gts, gtd)
+        dense_from_sparse = np.zeros_like(gd)
+        if len(uniq):
+            dense_from_sparse[uniq] = gl
+        assert np.array_equal(dense_from_sparse, gd)
+
+    check()
