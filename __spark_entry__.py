@@ -328,6 +328,27 @@ def q_ta_c4_filters(spark, sf):
     )
 
 
+def q_ta_corpus_stats(spark, sf):
+    """Per-language corpus statistics: doc counts, mean / EXACT median /
+    max token counts — the routine corpus-profiling aggregation run
+    before a training-data ablation. One partial-aggregated groupBy on
+    the low-cardinality lang key; percentile() is Spark's exact
+    interpolated quantile, bit-matched against DuckDB quantile_cont."""
+    from crfsuite_spark.functions.analysis import token_count
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", token_count("text").cast("bigint").alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nt"), 6).alias("mean_tokens"),
+            F.expr("percentile(nt, 0.5)").alias("median_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )
+
+
 def q_ta_gopher_repetition(spark, sf):
     """Gopher repetition signals (Rae et al. 2021 Table A1): duplicate
     sentence fraction + most-frequent-2-gram fraction. The 2-gram mode
@@ -683,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ta_text_stats": q_ta_text_stats,
         "ta_c4_filters": q_ta_c4_filters,
+        "ta_corpus_stats": q_ta_corpus_stats,
         "ta_gopher_repetition": q_ta_gopher_repetition,
         "ta_pii_redact": q_ta_pii_redact,
         "ds_hash_sample": q_ds_hash_sample,
@@ -1064,6 +1086,19 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(c, '{')
                     AND NOT contains(lower(c), 'lorem ipsum')) AS keep
             FROM t
+        """,
+        "ta_corpus_stats": r"""
+            WITH t AS (
+              SELECT lang,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'))
+                     END AS nt
+              FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(nt), 6) AS mean_tokens,
+                   quantile_cont(nt, 0.5) AS median_tokens,
+                   CAST(max(nt) AS BIGINT) AS max_tokens
+            FROM t GROUP BY lang
         """,
         "ta_gopher_repetition": r"""
             WITH w AS (
