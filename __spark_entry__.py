@@ -395,6 +395,16 @@ def q_ds_hash_sample(spark, sf):
     return out.select("doc_id", "lang")
 
 
+def q_ds_chunk_documents(spark, sf):
+    """Context-window chunking: overlapping token windows (40 tokens,
+    8 overlap — sized to the synthetic docs so most yield 2-3 chunks).
+    Map-side explode, no shuffle."""
+    from crfsuite_spark.operators.sampling import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, "doc_id", "text", window=40, overlap=8)
+
+
 def q_ds_pack_documents(spark, sf):
     """Concat-then-chunk sequence packing: documents hash-sharded,
     ordered, laid head-to-tail and cut into fixed 256-token chunks —
@@ -708,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_gopher_repetition": q_ta_gopher_repetition,
         "ta_pii_redact": q_ta_pii_redact,
         "ds_hash_sample": q_ds_hash_sample,
+        "ds_chunk_documents": q_ds_chunk_documents,
         "ds_pack_documents": q_ds_pack_documents,
         "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1146,6 +1157,28 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 1000000
                          WHEN lang = 'de' THEN 250000
                          ELSE 50000 END
+        """,
+        "ds_chunk_documents": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+                     END AS words
+              FROM documents),
+            c AS (
+              SELECT doc_id, words, len(words) AS n,
+                     CASE WHEN len(words) <= 0 THEN 0
+                          WHEN len(words) <= 40 THEN 1
+                          ELSE CAST(ceil((len(words) - 8) / 32.0) AS INTEGER)
+                     END AS n_chunks
+              FROM w),
+            e AS (
+              SELECT doc_id, words, unnest(range(0, n_chunks)) AS ci FROM c)
+            SELECT doc_id,
+                   CAST(ci AS INTEGER) AS chunk_idx,
+                   CAST(len(list_slice(words, ci * 32 + 1, ci * 32 + 40)) AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(words, ci * 32 + 1, ci * 32 + 40), ' ') AS chunk_text
+            FROM e
         """,
         "ds_pack_documents": """
             WITH t AS (

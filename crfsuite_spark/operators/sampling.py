@@ -111,3 +111,47 @@ def pack_documents(
         .withColumn("pack_offset", (F.col("__off") % token_budget).cast("bigint"))
     )
     return out.select(id_col, "n_tokens", "shard", "chunk", "pack_id", "pack_offset")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    context-window chunking for pre-training / RAG indexing. Returns
+    one row per chunk: (*id, chunk_idx, n_tokens, chunk_text).
+
+    Chunk i covers tokens [i·step, i·step + window) with
+    step = window − overlap; the last chunk may be shorter; a document
+    of ≤ window tokens yields exactly one chunk; empty/NULL text yields
+    none. Pure JVM: split → sequence/transform/slice → posexplode — a
+    map-side explode with no shuffle, so it scales as a plain
+    projection at any corpus size."""
+    if overlap >= window:
+        raise ValueError("overlap must be smaller than window")
+    step = window - overlap
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    w = F.split(F.trim(c), r"\s+")
+    n = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(w))
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.when(n <= window, F.lit(1)).otherwise(
+            F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+        )
+    )
+    chunks = F.when(n_chunks <= 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.size(F.slice(w, i * step + 1, window)).cast("bigint").alias("n_tokens"),
+                F.array_join(F.slice(w, i * step + 1, window), " ").alias("chunk_text"),
+            ),
+        )
+    )
+    return (
+        df.select(id_col, F.explode(chunks).alias("__c"))
+        .select(id_col, "__c.chunk_idx", "__c.n_tokens", "__c.chunk_text")
+    )

@@ -276,3 +276,30 @@ def test_redact_pii(spark):
     assert "<PHONE>" in out[3] and "7946" not in out[3] and "555" not in out[3]
     assert out[4] == ""
     assert out[5] == "no pii here at all"
+
+
+def test_chunk_documents(spark):
+    """Overlapping token windows: coverage, overlap stitching, short/
+    empty/NULL docs, and shuffle-free plan."""
+    from crfsuite_spark.operators.sampling import chunk_documents
+
+    rows = [(1, " ".join(f"t{i}" for i in range(25))),
+            (2, "a b c"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, window=10, overlap=2).toPandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_idx")
+    assert list(d1["n_tokens"]) == [10, 10, 9]
+    # overlap: each chunk starts 8 tokens after the previous
+    assert d1.iloc[1]["chunk_text"].startswith("t8 t9 t10")
+    # concatenating with overlap dropped reconstructs the doc
+    rebuilt = d1.iloc[0]["chunk_text"].split()
+    for _, r in d1.iloc[1:].iterrows():
+        rebuilt += r["chunk_text"].split()[2:]
+    assert rebuilt == [f"t{i}" for i in range(25)]
+    assert len(out[out["doc_id"] == 2]) == 1
+    assert not set(out["doc_id"]) & {3, 4}
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, window=8, overlap=8)
