@@ -117,10 +117,11 @@ def minhash_signature(
         # broadcast + column-min per row, bit-identical to the HOF path
         # (same params, same modulus — parity-tested). Spark HOF lambdas
         # are interpreted per element, so this trades an Arrow hop for
-        # vectorized math; measured at sf0.1/32 hashes the end-to-end
-        # difference is small (~5%) because the upstream JVM shingle
-        # hashing dominates — pick whichever side of the JVM/Python
-        # boundary the surrounding pipeline already lives on.
+        # vectorized math; measured at sf0.1/32 hashes the SIGNATURE
+        # stage is ~25% faster here (3.9 s vs 5.1 s warm), but the full
+        # self-pairs path is a wash because the downstream band join
+        # then pays the Arrow hop back — pick whichever side of the
+        # JVM/Python boundary the surrounding pipeline already lives on.
         import numpy as np
         import pandas as pd
 

@@ -130,8 +130,11 @@ def chunk_documents(
     none. Pure JVM: split → sequence/transform/slice → posexplode — a
     map-side explode with no shuffle, so it scales as a plain
     projection at any corpus size."""
-    if overlap >= window:
-        raise ValueError("overlap must be smaller than window")
+    if window <= 0 or overlap < 0 or overlap >= window:
+        raise ValueError(
+            "need window > 0 and 0 <= overlap < window "
+            f"(got window={window}, overlap={overlap})"
+        )
     step = window - overlap
     c = F.coalesce(F.col(text_col), F.lit(""))
     w = F.split(F.trim(c), r"\s+")

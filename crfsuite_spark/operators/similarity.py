@@ -117,40 +117,51 @@ def refined_hyperplane_buckets(
     b = b.withColumn("bucket", F.col("bucket").cast("long"))
     v = F.col(vec_col).cast("array<double>")
     # cache across the count rounds so the scan + n_planes dot products
-    # run once, not once per round; released before return (the consumer
-    # replays the lineage exactly once — two total passes worst case)
+    # run once, not once per round. Each round's count materializes the
+    # CURRENT frame's cache, at which point the predecessor is dead and
+    # unpersisted — at most 2 copies pinned at any moment. If no bucket
+    # ever overflows (the common case), the cache is dropped before
+    # return; when refinement happened, the FINAL frame stays cached —
+    # the self-join consumer (embedding_dup_pairs) reads it twice, and
+    # replaying several rounds of dot-product lineage twice would cost
+    # more than the pinned copy. Callers may .unpersist() when done.
     b = b.persist()
-    cached = [b]
+    prev = None
+    refined = False
     shift = n_planes
-    try:
-        for round_ in range(max_rounds):
-            over = [
-                r["bucket"]
-                for r in b.groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .where(F.col("n") > max_bucket_size)
-                .collect()
-            ]
-            if not over:
-                break
-            rng = np.random.default_rng(seed + 7919 * (round_ + 1))
-            planes = rng.normal(size=(refine_planes, dim))
-            sub = _bucket_bits(v, planes).cast("long")
-            # refined id = coarse id + (sub+1) << shift: the +1 keeps
-            # refined ids disjoint from unrefined ones, the growing
-            # shift keeps rounds disjoint from each other
-            b = b.withColumn(
-                "bucket",
-                F.when(
-                    F.col("bucket").isin(over),
-                    F.col("bucket") + F.shiftleft(sub + 1, shift),
-                ).otherwise(F.col("bucket")),
-            ).persist()
-            cached.append(b)
-            shift += refine_planes + 1
-    finally:
-        for df_ in cached:
-            df_.unpersist()
+    for round_ in range(max_rounds):
+        over = [
+            r["bucket"]
+            for r in b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .collect()
+        ]
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        if not over:
+            break
+        refined = True
+        rng = np.random.default_rng(seed + 7919 * (round_ + 1))
+        planes = rng.normal(size=(refine_planes, dim))
+        sub = _bucket_bits(v, planes).cast("long")
+        # refined id = coarse id + (sub+1) << shift: the +1 keeps
+        # refined ids disjoint from unrefined ones, the growing
+        # shift keeps rounds disjoint from each other
+        nb = b.withColumn(
+            "bucket",
+            F.when(
+                F.col("bucket").isin(over),
+                F.col("bucket") + F.shiftleft(sub + 1, shift),
+            ).otherwise(F.col("bucket")),
+        ).persist()
+        prev, b = b, nb
+        shift += refine_planes + 1
+    if prev is not None:
+        prev.unpersist()
+    if not refined:
+        b.unpersist()
     return b
 
 

@@ -301,5 +301,6 @@ def test_chunk_documents(spark):
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     import pytest as _pt
-    with _pt.raises(ValueError):
-        chunk_documents(df, window=8, overlap=8)
+    for w_, o_ in [(8, 8), (5, -3), (0, 0)]:
+        with _pt.raises(ValueError):
+            chunk_documents(df, window=w_, overlap=o_)
