@@ -308,6 +308,17 @@ def q_ta_text_stats(spark, sf):
     )
 
 
+def q_dedup_exact_keep_best(spark, sf):
+    """Keep-best exact dedup: per duplicate group keep the longest
+    (n_chars) copy, ties to min doc_id — one map-side-combined groupBy
+    on the digest, no window sort."""
+    from crfsuite_spark.operators.dedup import exact_dedup_keep_best
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang", "n_chars")
+    out = exact_dedup_keep_best(d, "doc_id", "text", "n_chars")
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_ta_c4_filters(spark, sf):
     """C4-style quality filtering (Raffel et al. 2020 §2.2 doc-level
     heuristics): word count, mean word length, sentence proxy and the
@@ -713,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ta_text_stats": q_ta_text_stats,
+        "dedup_exact_keep_best": q_dedup_exact_keep_best,
         "ta_c4_filters": q_ta_c4_filters,
         "ta_corpus_stats": q_ta_corpus_stats,
         "ta_gopher_repetition": q_ta_gopher_repetition,
@@ -1072,6 +1084,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_de > 0 THEN 'de'
                         ELSE 'und' END AS lang_pred
             FROM hits
+        """,
+        "dedup_exact_keep_best": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY md5(text)
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn = 1
         """,
         "ta_c4_filters": """
             WITH t AS (

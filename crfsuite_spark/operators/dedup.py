@@ -34,6 +34,27 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame, id_col: str, text_col: str, score_col: str
+) -> DataFrame:
+    """Exact dedup keeping the BEST-scoring row per duplicate group
+    (ties: min id) — the keep-best policy production corpus dedup uses
+    (drop the low-quality mirror, keep the canonical copy) instead of
+    :func:`exact_dedup`'s keep-min-id.
+
+    One partial-aggregated groupBy on the md5 digest (map-side combine,
+    uniform key — no window sort), min_by over the whole row keyed by
+    (-score, id)."""
+    row = F.struct(*[F.col(c) for c in df.columns])
+    key = F.struct((-F.col(score_col)).alias("ns"), F.col(id_col).alias("id"))
+    best = (
+        df.withColumn("__digest", F.md5(F.col(text_col)))
+        .groupBy("__digest")
+        .agg(F.min_by(row, key).alias("__best"))
+    )
+    return best.select("__best.*")
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(digest, n_dups, keep_id, dup_ids) for exact duplicate groups."""
     return (

@@ -297,3 +297,22 @@ def test_embedding_dup_pairs_bucket_guard(spark):
     ).toPandas()
     key = lambda p: sorted(map(tuple, p[["id_a", "id_b", "cosine"]].values))
     assert key(loose) == key(off)
+
+
+def test_exact_dedup_keep_best(spark):
+    """Keep-best policy: the highest-scoring duplicate survives (ties ->
+    min id); uniques pass through; plan has no window sort."""
+    from crfsuite_spark.operators.dedup import exact_dedup_keep_best
+
+    rows = [
+        (1, "same text", 10), (2, "same text", 50), (3, "same text", 50),
+        (4, "unique", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, score int")
+    out = exact_dedup_keep_best(df, "doc_id", "text", "score").toPandas()
+    kept = set(out["doc_id"])
+    assert kept == {2, 4}  # score 50 beats 10; tie 2 vs 3 -> min id
+    assert sorted(out.columns) == ["doc_id", "score", "text"]
+    plan = exact_dedup_keep_best(df, "doc_id", "text", "score") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
