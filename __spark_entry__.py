@@ -419,12 +419,41 @@ def q_ds_chunk_documents(spark, sf):
 def q_ds_pack_documents(spark, sf):
     """Concat-then-chunk sequence packing: documents hash-sharded,
     ordered, laid head-to-tail and cut into fixed 256-token chunks —
-    the LLM pre-training layout. One hash-partitioned window per shard,
-    no global sort."""
+    the LLM pre-training layout, with documents SPLIT across chunk
+    boundaries (one row per document × chunk spanned; pieces tile each
+    pack exactly). One hash-partitioned window per shard plus one
+    exchange on the finer (shard, chunk) key for slot ordinals — no
+    global sort."""
     from crfsuite_spark.operators.sampling import pack_documents
 
     d = _t(spark, sf, "documents")
     return pack_documents(d, "doc_id", "text", token_budget=256, n_shards=8)
+
+
+def q_kg_link_dup_mentions(spark, sf):
+    """J5 entity linking with DUPLICATE mention rows: identical mention
+    rows must survive 1:1 (disambiguation happens on the broadcast
+    dictionary side, so the mention stream never shuffles or groups).
+    Exercises multi-entity alias disambiguation (max weight, then
+    lexicographic id), NULL-weight aliases, alias normalization, and
+    surrogate ids for dictionary misses."""
+    from crfsuite_spark.kg.linking import link_mentions
+
+    ev = _t(spark, sf, "events")
+    mentions = ev.select(F.col("event_type").alias("surface"), "user_id")
+    alias = spark.createDataFrame(
+        [
+            ("Click!", "ev:click", "Click", "EVENT", 1.0),
+            ("click", "ev:click_alt", "ClickAlt", "EVENT", 0.5),
+            ("purchase", "ev:purchase", "Purchase", "EVENT", None),
+            ("signup", "ev:signup", "Signup", "EVENT", 2.0),
+            ("signup", "ev:signup_b", "SignupB", "EVENT", 2.0),
+        ],
+        "alias string, canonical_id string, canonical_name string, "
+        "entity_type string, weight double",
+    )
+    out = link_mentions(mentions, alias, fuzzy=False)
+    return out.select("surface", "user_id", "canonical_id", "link_method")
 
 
 def q_ta_winnow(spark, sf):
@@ -732,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_hash_sample": q_ds_hash_sample,
         "ds_chunk_documents": q_ds_chunk_documents,
         "ds_pack_documents": q_ds_pack_documents,
+        "kg_link_dup_mentions": q_kg_link_dup_mentions,
         "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
         "ev_sessionize": q_ev_sessionize,
@@ -1210,15 +1240,57 @@ def oracle_sql() -> dict[str, str]:
                      CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8))::BIGINT % 8 AS INTEGER) AS shard
               FROM documents),
             o AS (
-              SELECT *, coalesce(sum(n_tokens) OVER (
+              SELECT *, CAST(coalesce(sum(n_tokens) OVER (
                        PARTITION BY shard ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-              FROM t)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+              FROM t),
+            b AS (
+              SELECT *, CAST(off // 256 AS BIGINT) AS c0,
+                     CAST(CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // 256
+                          ELSE off // 256 END AS BIGINT) AS c1
+              FROM o),
+            p AS (
+              SELECT doc_id, n_tokens, shard, off,
+                     unnest(range(c0, c1 + 1)) AS chunk
+              FROM b)
             SELECT doc_id, n_tokens, shard,
-                   CAST(off // 256 AS BIGINT) AS chunk,
-                   CAST(shard * 4294967296 + off // 256 AS BIGINT) AS pack_id,
-                   CAST(off % 256 AS BIGINT) AS pack_offset
-            FROM o
+                   CAST(chunk AS BIGINT) AS chunk,
+                   CAST(shard * 4294967296 + chunk AS BIGINT) AS pack_id,
+                   CAST(row_number() OVER (PARTITION BY shard, chunk ORDER BY doc_id) - 1 AS BIGINT) AS slot,
+                   CAST(greatest(off - chunk * 256, 0) AS BIGINT) AS pack_offset,
+                   CAST(greatest(chunk * 256 - off, 0) AS BIGINT) AS token_start,
+                   CAST(least(n_tokens, (chunk + 1) * 256 - off) AS BIGINT) AS token_end
+            FROM p
+        """,
+        "kg_link_dup_mentions": """
+            WITH m AS (
+              SELECT event_type AS surface, user_id,
+                     trim(regexp_replace(lower(event_type), '[^a-z0-9 ]', '', 'g')) AS norm
+              FROM events),
+            d AS (
+              SELECT * FROM (VALUES
+                ('Click!', 'ev:click', 1.0),
+                ('click', 'ev:click_alt', 0.5),
+                ('purchase', 'ev:purchase', NULL),
+                ('signup', 'ev:signup', 2.0),
+                ('signup', 'ev:signup_b', 2.0)
+              ) AS t(alias, canonical_id, weight)),
+            db AS (
+              SELECT norm, canonical_id FROM (
+                SELECT trim(regexp_replace(lower(alias), '[^a-z0-9 ]', '', 'g')) AS norm,
+                       canonical_id,
+                       row_number() OVER (
+                         PARTITION BY trim(regexp_replace(lower(alias), '[^a-z0-9 ]', '', 'g'))
+                         ORDER BY coalesce(CAST(weight AS DOUBLE), CAST('-infinity' AS DOUBLE)) DESC,
+                                  canonical_id
+                       ) AS rn
+                FROM d)
+              WHERE rn = 1)
+            SELECT m.surface, m.user_id,
+                   coalesce(db.canonical_id, 'unk:' || m.norm) AS canonical_id,
+                   CASE WHEN db.canonical_id IS NOT NULL THEN 'exact'
+                        ELSE 'surrogate' END AS link_method
+            FROM m LEFT JOIN db USING (norm)
         """,
         "ta_winnow": """
             WITH g AS (

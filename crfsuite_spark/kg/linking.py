@@ -48,34 +48,37 @@ def link_mentions(
     # normalize the dictionary side with the SAME normalizer as mentions
     # (aliases may carry punctuation, e.g. "ms. johnson"); NULL weights are
     # coerced to -inf so they lose every tie-break instead of winning the
-    # ascending struct comparison
-    d = alias_dict.select(
-        normalize_surface("alias").alias("__norm"),
-        "canonical_id",
-        F.coalesce(F.col("weight").cast("double"), F.lit(float("-inf"))).alias("__w"),
-    )
-    joined = m.join(F.broadcast(d), "__norm", "left")
-    # disambiguate multi-entity aliases: max weight, then lexicographic id.
-    # min_by over (-weight, id) in one partial-aggregated groupBy — cheaper
-    # than a row_number window (no sort, map-side combine); rows the
-    # dictionary missed have a NULL key and are skipped, so an all-miss
-    # group aggregates to NULL canonical_id exactly like the left join.
-    exact = (
-        joined.groupBy(*mentions.columns, "__norm")
+    # ascending struct comparison.
+    #
+    # Disambiguation of multi-entity aliases (max weight, then
+    # lexicographic id) happens on the DICTIONARY side, collapsing it to
+    # ONE row per normalized alias BEFORE the broadcast join: min_by over
+    # (-weight, id) in a partial-aggregated groupBy over dictionary-scale
+    # data. The join is then 1:1, so every mention row — including exact
+    # duplicate rows, a legitimate input for a public API — survives with
+    # its own identity, and the 10^12-row mention stream never shuffles
+    # at all. (An earlier revision grouped the JOINED frame by
+    # mentions.columns, which both shuffled the full stream and silently
+    # collapsed duplicate mention rows.)
+    d_best = (
+        alias_dict.select(
+            normalize_surface("alias").alias("__norm"),
+            "canonical_id",
+            F.coalesce(F.col("weight").cast("double"), F.lit(float("-inf"))).alias("__w"),
+        )
+        .groupBy("__norm")
         .agg(
             F.min_by(
                 "canonical_id",
-                F.when(
-                    F.col("canonical_id").isNotNull(),
-                    F.struct((-F.col("__w")).alias("nw"), F.col("canonical_id").alias("id")),
-                ),
+                F.struct((-F.col("__w")).alias("nw"), F.col("canonical_id").alias("id")),
             ).alias("canonical_id")
         )
     )
+    exact = m.join(F.broadcast(d_best), "__norm", "left")
     # fuzzy link table: one row per distinct missed surface. Deriving it
-    # re-runs a column-pruned pass over the mention aggregation (cheap: the
-    # scan reads only the surface column) instead of persisting the full
-    # exact frame — persists here leaked across calls and pinned the whole
+    # re-runs a column-pruned pass over the mention scan + broadcast join
+    # (cheap: the scan reads only the surface column) instead of persisting
+    # the full exact frame — persists here leaked across calls and pinned the whole
     # mention stream in cache. While the link table stays dictionary-scale
     # it is collected (bounded by a limit probe, never an unbounded
     # collect) and re-broadcast — exactly what the broadcast join would

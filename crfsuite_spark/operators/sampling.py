@@ -15,9 +15,10 @@ Column exprs + windows; no Python in the hot path.
 - **pack_documents**: concat-then-chunk sequence packing (the standard
   LLM pre-training layout): shard documents by hash, order
   deterministically within each shard, lay them head-to-tail and cut
-  fixed token-budget chunks; a document belongs to the chunk where it
-  starts. One window per shard — hash-partitioned, no global sort, so
-  parallelism scales with ``n_shards`` regardless of corpus size.
+  fixed token-budget chunks; documents SPLIT across chunk boundaries,
+  one output row per (document × chunk spanned). One window per shard —
+  hash-partitioned, no global sort, so parallelism scales with
+  ``n_shards`` regardless of corpus size.
 """
 
 from __future__ import annotations
@@ -32,9 +33,12 @@ _SCALE = 1_000_000
 
 def _portable_hash_expr(col_sql: str, mod: int, seed: int = 42) -> Column:
     """First-8-hex-of-md5 → bigint, mod ``mod`` — reproducible in any
-    engine with md5() (DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT)."""
+    engine with md5() (DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT).
+    ``col_sql`` is a COLUMN NAME; it is backtick-quoted so names that
+    need quoting (dots, spaces, hyphens) parse as one identifier."""
+    ident = "`" + col_sql.replace("`", "``") + "`"
     return F.expr(
-        f"pmod(CAST(conv(substr(md5(concat(CAST({col_sql} AS STRING), ':{seed}')), 1, 8), 16, 10) AS BIGINT), {mod})"
+        f"pmod(CAST(conv(substr(md5(concat(CAST({ident} AS STRING), ':{seed}')), 1, 8), 16, 10) AS BIGINT), {mod})"
     )
 
 
@@ -76,19 +80,34 @@ def pack_documents(
     n_shards: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Concat-then-chunk packing: returns one row per document with
-    (``*id``, n_tokens, shard, chunk, pack_id, pack_offset).
+    """Concat-then-chunk packing (the standard LLM pre-training layout):
+    returns the ACTUAL packed layout — one row per (document × chunk it
+    spans), with documents SPLIT across chunk boundaries.
+
+    Columns: (``*id``, n_tokens, shard, chunk, pack_id, slot,
+    pack_offset, token_start, token_end). Document tokens
+    [token_start, token_end) fill pack ``pack_id`` starting at position
+    ``pack_offset``; ``slot`` is the piece's 0-based ordinal within its
+    pack. Within every pack the pieces tile [0, token_budget) exactly —
+    Σ(token_end − token_start) == token_budget — except the final pack
+    of each shard, which may be short. A document longer than the
+    budget spans several consecutive packs. Zero-token documents emit
+    one empty piece (token_start == token_end) for auditability.
 
     ``shard`` = portable hash of the id (uniform, deterministic);
-    within a shard documents are ordered by id, laid head-to-tail, and
-    ``chunk`` = floor(running-offset / token_budget) — the fixed-size
-    pre-training row the document STARTS in. ``pack_offset`` is its
-    position inside that chunk. ``pack_id`` = shard · 2^32 + chunk is
-    globally unique. The only shuffle is the hash partition on shard;
-    each shard's window is independent, so the plan is embarrassingly
-    parallel at any corpus size (size n_shards ≳ cluster cores)."""
+    within a shard documents are ordered by id, laid head-to-tail at
+    running offset ``off``, and chunk boundaries fall every
+    ``token_budget`` tokens. ``pack_id`` = shard · 2^32 + chunk is
+    globally unique. Shuffle shape: one hash partition on ``shard``
+    for the running-offset window (independent per shard — parallelism
+    scales with ``n_shards`` regardless of corpus size; size
+    n_shards ≳ cluster cores), then one exchange on the FINER uniform
+    key (shard, chunk) for the ``slot`` ordinal — each (shard, chunk)
+    group holds at most token_budget tokens' worth of pieces, so no
+    group can be hot."""
+    B = int(token_budget)
     w = Window.partitionBy("shard").orderBy(id_col)
-    out = (
+    base = (
         df.select(
             id_col,
             token_count(text_col).cast("bigint").alias("n_tokens"),
@@ -101,16 +120,40 @@ def pack_documents(
                     w.rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
-            ),
+            ).cast("bigint"),
         )
-        .withColumn("chunk", F.floor(F.col("__off") / token_budget))
+    )
+    off = F.col("__off")
+    n = F.col("n_tokens")
+    c0 = F.floor(off / B)
+    c_last = F.when(n > 0, F.floor((off + n - 1) / B)).otherwise(c0)
+    pieces = (
+        base.withColumn("chunk", F.explode(F.sequence(c0, c_last)))
         .withColumn(
             "pack_id",
             (F.col("shard").cast("bigint") * F.lit(4294967296) + F.col("chunk")).cast("bigint"),
         )
-        .withColumn("pack_offset", (F.col("__off") % token_budget).cast("bigint"))
+        .withColumn(
+            "pack_offset",
+            F.greatest(off - F.col("chunk") * B, F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "token_start",
+            F.greatest(F.col("chunk") * B - off, F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "token_end",
+            F.least(n, (F.col("chunk") + 1) * B - off).cast("bigint"),
+        )
     )
-    return out.select(id_col, "n_tokens", "shard", "chunk", "pack_id", "pack_offset")
+    slot_w = Window.partitionBy("shard", "chunk").orderBy(id_col)
+    out = pieces.withColumn(
+        "slot", (F.row_number().over(slot_w) - 1).cast("bigint")
+    )
+    return out.select(
+        id_col, "n_tokens", "shard", "chunk", "pack_id", "slot",
+        "pack_offset", "token_start", "token_end",
+    )
 
 
 def chunk_documents(

@@ -202,7 +202,7 @@ def ann_join(
     emb_bucketed: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 6,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     id_col: str = "vec_id",
@@ -220,6 +220,11 @@ def ann_join(
     multiprobe 2 clears recall@3 ≥ 0.9; 8+ planes with multiprobe 1
     drops below 0.5. On clustered real embeddings the same settings cost
     far less (candidates concentrate in the query's own bucket).
+    NOTE: ``multiprobe_hamming=2`` only pays off at LOW plane counts —
+    with 8+ planes it multiplies probe cost several-fold yet recall@3
+    stays below 0.8 (the bench table); hence the matching default
+    ``n_planes=6``. For the cheapest path at equal recall see
+    :func:`ann_join_multitable`.
 
     Both sides get the same hyperplane sign buckets (JVM-side literal
     planes, no Python); each query is exploded to its multiprobe bucket
@@ -256,6 +261,109 @@ def ann_join(
         query_id_col,
         id_col,
         cosine_sim(F.col("__qv"), F.col(vec_col).cast("array<double>")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ann_join_multitable(
+    queries: DataFrame,
+    emb: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe_hamming: int = 0,
+) -> DataFrame:
+    """Multi-table LSH batch ANN: ``n_tables`` INDEPENDENT hyperplane
+    sets, candidates = union of same-bucket matches over all tables —
+    (query_id, vec_id, cosine, rank).
+
+    The classic LSH amplification (Indyk-Motwani OR-construction): a
+    true neighbour is missed only if it disagrees with the query in
+    EVERY table, so recall ≈ 1 − (1 − p^b)^L rises with L while the
+    candidate set stays the UNION of L small buckets — much cheaper
+    than one table with deep multiprobe at equal recall
+    (BENCH/BASELINE.md §ANN: 4×6 tables reach the same recall@3 ≥ 0.9
+    as 4-planes/probe-2 at under half the probed fraction).
+
+    Plan shape: the corpus is exploded to (table, bucket) — L rows per
+    vector, the L hash tables of classic LSH, written/bucketed once at
+    cluster scale — and each query probes one bucket per table (plus
+    optional Hamming-``multiprobe_hamming`` neighbours within each
+    table). The join key (table, bucket) is uniform; duplicate
+    candidates surviving in several tables are merged by a map-side
+    combined groupBy BEFORE the top-k window, so a vector never counts
+    twice in the ranking. Takes the RAW embedding frame (it needs all
+    L bucket sets), unlike :func:`ann_join` which reuses a pre-bucketed
+    corpus."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+
+    def bits_expr(v, tbl):
+        bucket = None
+        for j in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[tbl][j]])
+            bit = F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        return bucket
+
+    cv = F.col(vec_col).cast("array<double>")
+    corpus = emb.select(
+        id_col,
+        cv.alias("__cv"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), bits_expr(cv, t).alias("bucket"))
+                for t in range(n_tables)
+            ])
+        ).alias("__tb"),
+    ).select(id_col, "__cv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"))
+
+    probe_deltas = [0]
+    if multiprobe_hamming >= 1:
+        probe_deltas += [1 << j for j in range(n_planes)]
+    if multiprobe_hamming >= 2:
+        probe_deltas += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    qv = F.col(query_vec_col).cast("array<double>")
+    probes = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            bits_expr(qv, t).bitwiseXOR(F.lit(d)).alias("bucket"),
+        )
+        for t in range(n_tables)
+        for d in probe_deltas
+    ])
+    q = queries.select(
+        query_id_col,
+        qv.alias("__qv"),
+        F.explode(probes).alias("__tb"),
+    ).select(query_id_col, "__qv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"))
+
+    cand = (
+        q.join(corpus, ["tbl", "bucket"])
+        .select(
+            query_id_col,
+            id_col,
+            cosine_sim(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+        # a pair found in several tables collapses to one row (cosine is
+        # identical across occurrences; max is a pure dedup with partial agg)
+        .groupBy(query_id_col, id_col)
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -362,7 +470,7 @@ def embedding_dup_pairs(
     )
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
-    return (
+    out = (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
@@ -372,3 +480,11 @@ def embedding_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    # expose the (possibly cached) bucketed frame so long-lived drivers
+    # can release it once the pair join is materialized: repeated guarded
+    # calls otherwise accumulate one pinned cache per refinement
+    # (evictable, but never explicitly freed). Usage:
+    #   pairs = embedding_dup_pairs(...); pairs.count()
+    #   pairs.bucketed_frame.unpersist()
+    out.bucketed_frame = b
+    return out

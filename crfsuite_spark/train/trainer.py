@@ -504,9 +504,16 @@ def train_crf(
                         # map dense-grid flat ids onto the observed-feature
                         # parameter layout; drop non-feature cells exactly
                         # like the dense path's acc[:K] += g[sf] gather
-                        pos = np.minimum(np.searchsorted(sf, flat), K - 1)
-                        valid = sf[pos] == flat
-                        flat, vals = pos[valid], vals[valid]
+                        if K:
+                            pos = np.minimum(np.searchsorted(sf, flat), K - 1)
+                            valid = sf[pos] == flat
+                            flat, vals = pos[valid], vals[valid]
+                        else:
+                            # degenerate K=0 (every observed state feature
+                            # minfreq-pruned): no state parameters exist, so
+                            # every entry drops — mirrors the dense path's
+                            # empty acc[:K] gather
+                            flat, vals = flat[:0], vals[:0]
                     nz = vals != 0.0  # dropping exact zeros is float-exact
                     sidx_parts.append(flat[nz])
                     sval_parts.append(vals[nz])

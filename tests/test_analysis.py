@@ -207,28 +207,62 @@ def test_stratified_hash_sample(spark):
 
 
 def test_pack_documents_invariants(spark):
-    """Packing: offsets are a per-shard prefix sum, chunks cut at the
-    budget, pack ids globally unique per (shard, chunk), deterministic
-    under repartitioning."""
+    """Packing v2 (real packed layout): documents split across chunk
+    boundaries; per document the pieces tile [0, n_tokens) gap-free in
+    chunk order; per pack the pieces tile [0, budget) exactly (final
+    pack of each shard may be short); slots are contiguous ordinals;
+    deterministic under repartitioning."""
     from crfsuite_spark.operators.sampling import pack_documents
 
-    rows = [(i, "tok " * (5 + (i * 37) % 90)) for i in range(300)]
+    # 5..294 tokens per doc against budget 100 → many docs span 2+ packs
+    rows = [(i, "tok " * (5 + (i * 37) % 290)) for i in range(300)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = pack_documents(df, "doc_id", "text", token_budget=100, n_shards=4).toPandas()
-    assert len(out) == 300
-    for shard, grp in out.sort_values("doc_id").groupby("shard"):
-        off = 0
-        for r in grp.itertuples():
-            assert r.pack_offset == off % 100
-            assert r.chunk == off // 100
-            assert r.pack_id == shard * 4294967296 + r.chunk
-            off += r.n_tokens
+    assert len(out) > 300  # boundary-spanning docs emit multiple pieces
+    # per-document reconstruction: pieces in chunk order cover [0, n)
+    for doc_id, g in out.sort_values("chunk").groupby("doc_id"):
+        n = g["n_tokens"].iloc[0]
+        spans = list(zip(g["token_start"], g["token_end"]))
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        assert all(e0 == s1 for (_, e0), (s1, _) in zip(spans, spans[1:]))
+        # consecutive chunks
+        assert list(g["chunk"]) == list(range(g["chunk"].iloc[0], g["chunk"].iloc[-1] + 1))
+    # per-pack tiling: Σ spans == budget except the last pack per shard
+    for shard, g in out.groupby("shard"):
+        last_chunk = g["chunk"].max()
+        for chunk, p in g.groupby("chunk"):
+            p = p.sort_values("slot")
+            assert list(p["slot"]) == list(range(len(p)))
+            assert p["pack_id"].iloc[0] == shard * 4294967296 + chunk
+            cum = 0
+            for r in p.itertuples():
+                assert r.pack_offset == cum
+                cum += r.token_end - r.token_start
+            if chunk < last_chunk:
+                assert cum == 100
     out2 = pack_documents(
         df.repartition(7), "doc_id", "text", token_budget=100, n_shards=4
     ).toPandas()
-    a = out.sort_values("doc_id").reset_index(drop=True)
-    b = out2.sort_values("doc_id").reset_index(drop=True)
+    key = ["doc_id", "chunk"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = out2.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_pack_documents_zero_token_doc(spark):
+    """A zero-token document emits exactly one empty audit piece."""
+    from crfsuite_spark.operators.sampling import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None), (4, "d e")],
+        "doc_id long, text string",
+    )
+    out = pack_documents(df, "doc_id", "text", token_budget=4, n_shards=1).toPandas()
+    empty = out[out["n_tokens"] == 0]
+    assert len(empty) == 2
+    assert (empty["token_start"] == empty["token_end"]).all()
+    nonempty = out[out["n_tokens"] > 0]
+    assert (nonempty["token_end"] > nonempty["token_start"]).all()
 
 
 def test_gopher_repetition_signals(spark):

@@ -379,3 +379,31 @@ def test_link_mentions_distributed_fuzzy_path(spark, synth):
         fuzzy_collect_threshold=0).collect())
     assert distributed == collected
     assert any(m == "fuzzy" for _, _, m in distributed)
+
+
+def test_link_mentions_preserves_duplicate_rows(spark):
+    """Identical mention rows (same surface, same metadata, no span id)
+    are a legitimate public-API input and must survive linking 1:1 —
+    disambiguation happens on the broadcast dictionary side, never by
+    grouping the mention stream."""
+    mentions = spark.createDataFrame(
+        [("Acme Corp", 1), ("Acme Corp", 1), ("Acme Corp", 1),
+         ("zzz nowhere qq", 2), ("zzz nowhere qq", 2)],
+        "surface string, turn_idx int",
+    )
+    alias = spark.createDataFrame(
+        [("acme corp", "E1", "Acme", "ORG", 2.0),
+         ("acme corp", "E2", "Acme2", "ORG", 1.0)],
+        "alias string, canonical_id string, canonical_name string, "
+        "entity_type string, weight double",
+    )
+    out = link_mentions(mentions, alias, fuzzy=True,
+                        jaccard_threshold=0.9).toPandas()
+    assert len(out) == 5  # duplicates preserved, incl. on the fuzzy path
+    acme = out[out["surface"] == "Acme Corp"]
+    assert len(acme) == 3 and set(acme["canonical_id"]) == {"E1"}
+    unk = out[out["surface"] == "zzz nowhere qq"]
+    assert len(unk) == 2 and set(unk["link_method"]) == {"surrogate"}
+    # exact-only path preserves duplicates too
+    out2 = link_mentions(mentions, alias, fuzzy=False).toPandas()
+    assert len(out2) == 5
