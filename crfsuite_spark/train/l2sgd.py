@@ -34,10 +34,12 @@ from pyspark.sql import DataFrame
 from crfsuite_spark.kernel import crf
 from crfsuite_spark.train.model import CRFModel
 from crfsuite_spark.train.trainer import (
+    EPOCH_PARTIAL_SCHEMA,
     _pack_batch,
     build_dicts,
     featurize_sequences,
     generate_state_features,
+    reduce_epoch_partials,
 )
 
 
@@ -133,12 +135,19 @@ def train_l2sgd(
     log: list | None = None,
     possible_transitions: bool = False,
     holdout_df: DataFrame | None = None,
+    tree_reduce_threshold: int = 64,
 ) -> CRFModel:
     """Distributed l2sgd via iterative parameter mixing.
 
     ``holdout_df``: when given, every epoch decodes the fold with the
     mixed weights and logs per-label P/R/F1 (reference per-iteration
-    holdout report, holdout.c:44-81)."""
+    holdout report, holdout.c:44-81).
+
+    Epoch mixing rides :func:`reduce_epoch_partials`: frac-scaled
+    partials, partition-id-ordered sum below ``tree_reduce_threshold``
+    partitions (bit-identical to driver-side mixing), executor-side
+    treeReduce above it — ONE payload to the driver per epoch
+    regardless of cluster width."""
     from crfsuite_spark.train.trainer import transition_mask
 
     spark = tokens.sparkSession
@@ -192,20 +201,22 @@ def train_l2sgd(
             n, loss, t_end = _epoch_pass(batches, ws, wt, lam, t0, t_start, tm)
             if n == 0:
                 return
-            yield pd.DataFrame({"n": [n], "loss": [loss],
-                                "w": [pickle.dumps((ws, wt))]})
+            from pyspark import TaskContext
 
-        parts = featurized.mapInPandas(run, "n long, loss double, w binary").collect()
-        if not parts:
+            frac = n / n_seq  # epoch total is always n_seq
+            yield pd.DataFrame({
+                "pid": [TaskContext.get().partitionId()],
+                "n": [n], "loss": [loss],
+                "w": [pickle.dumps((frac * ws, frac * wt))],
+            })
+
+        red = reduce_epoch_partials(
+            featurized.mapInPandas(run, EPOCH_PARTIAL_SCHEMA),
+            featurized.rdd.getNumPartitions(), tree_reduce_threshold,
+        )
+        if red is None:
             break
-        total = sum(r["n"] for r in parts)
-        sum_loss = sum(r["loss"] for r in parts)
-        w_state = np.zeros((A, L)); w_trans = np.zeros((L, L))
-        for r in parts:
-            ws, wt = pickle.loads(r["w"])
-            frac = r["n"] / total
-            w_state += frac * ws
-            w_trans += frac * wt
+        total, sum_loss, (w_state, w_trans) = red
         t_global += total
         # objective incl. L2 term (train_l2sgd.c:215-218)
         norm2 = float((w_state * w_state).sum() + (w_trans * w_trans).sum())

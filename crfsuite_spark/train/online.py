@@ -34,10 +34,12 @@ from pyspark.sql import DataFrame
 from crfsuite_spark.kernel import crf
 from crfsuite_spark.train.model import CRFModel
 from crfsuite_spark.train.trainer import (
+    EPOCH_PARTIAL_SCHEMA,
     _pack_batch,
     build_dicts,
     featurize_sequences,
     generate_state_features,
+    reduce_epoch_partials,
 )
 
 
@@ -153,12 +155,20 @@ def train_online(
     log: list | None = None,
     possible_transitions: bool = False,
     holdout_df: DataFrame | None = None,
+    tree_reduce_threshold: int = 64,
 ) -> CRFModel:
     """Distributed PA / AROW via iterative parameter mixing.
 
     ``holdout_df``: when given, every epoch decodes the fold with the
     mixed weights and logs per-label P/R/F1 (reference per-iteration
-    holdout report, holdout.c:44-81)."""
+    holdout report, holdout.c:44-81).
+
+    Epoch mixing rides :func:`reduce_epoch_partials`: partials (weights
+    + AROW covariance) are frac-scaled executor-side, summed in
+    partition-id order below ``tree_reduce_threshold`` partitions
+    (bit-identical to driver-side mixing) and tree-reduced
+    executor-side above it — ONE payload to the driver per epoch
+    regardless of cluster width."""
     from crfsuite_spark.train.trainer import transition_mask
 
     assert method in ("pa", "pa1", "pa2", "arow"), method
@@ -210,27 +220,31 @@ def train_online(
                 loss += dloss
             if n == 0:
                 return
+            from pyspark import TaskContext
+
+            # frac-scale so the mixing average is an associative sum
+            # (epoch total is always n_seq: every cached sequence is
+            # processed exactly once per epoch)
+            frac = n / n_seq
             yield pd.DataFrame({
+                "pid": [TaskContext.get().partitionId()],
                 "n": [n], "loss": [loss],
-                "w": [pickle.dumps((ws, wt, cs, ct))],
+                "w": [pickle.dumps((
+                    frac * ws, frac * wt,
+                    frac * cs if cs is not None else None,
+                    frac * ct if ct is not None else None,
+                ))],
             })
 
-        parts = featurized.mapInPandas(epoch, "n long, loss double, w binary").collect()
-        if not parts:
+        red = reduce_epoch_partials(
+            featurized.mapInPandas(epoch, EPOCH_PARTIAL_SCHEMA),
+            featurized.rdd.getNumPartitions(), tree_reduce_threshold,
+        )
+        if red is None:
             break
-        total = sum(r["n"] for r in parts)
-        loss = sum(r["loss"] for r in parts)
-        w_state = np.zeros((A, L)); w_trans = np.zeros((L, L))
+        total, loss, (w_state, w_trans, mix_cs, mix_ct) = red
         if method == "arow":
-            cov_state = np.zeros((A, L)); cov_trans = np.zeros((L, L))
-        for r in parts:
-            ws, wt, cs, ct = pickle.loads(r["w"])
-            frac = r["n"] / total
-            w_state += frac * ws
-            w_trans += frac * wt
-            if method == "arow":
-                cov_state += frac * cs
-                cov_trans += frac * ct
+            cov_state, cov_trans = mix_cs, mix_ct
         ratio = loss / total if total else 0.0
         entry = {"iter": it, "loss": float(loss), "mean_cost": ratio}
         if holdout_df is not None:

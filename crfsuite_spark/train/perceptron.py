@@ -28,10 +28,12 @@ from pyspark.sql import DataFrame
 from crfsuite_spark.kernel import crf
 from crfsuite_spark.train.model import CRFModel
 from crfsuite_spark.train.trainer import (
+    EPOCH_PARTIAL_SCHEMA,
     _pack_batch,
     build_dicts,
     featurize_sequences,
     generate_state_features,
+    reduce_epoch_partials,
 )
 
 
@@ -99,12 +101,21 @@ def train_perceptron(
     log: list | None = None,
     possible_transitions: bool = False,
     holdout_df: DataFrame | None = None,
+    tree_reduce_threshold: int = 64,
 ) -> CRFModel:
     """Distributed averaged perceptron via iterative parameter mixing.
 
     ``holdout_df``: when given, every epoch decodes the fold with the
     AVERAGED weights and logs per-label P/R/F1 (reference per-iteration
-    holdout report, holdout.c:44-81)."""
+    holdout report, holdout.c:44-81).
+
+    Epoch mixing rides :func:`reduce_epoch_partials`: partials are
+    frac-scaled executor-side (the weighted average becomes an
+    associative sum), summed in partition-id order below
+    ``tree_reduce_threshold`` partitions (bit-identical to driver-side
+    mixing) and tree-reduced executor-side above it, so the driver
+    receives ONE weight payload per epoch regardless of cluster
+    width."""
     from crfsuite_spark.train.trainer import transition_mask
 
     spark = tokens.sparkSession
@@ -160,31 +171,28 @@ def train_perceptron(
             c = counter
             aw_s = ws - avg_s / c
             aw_t = wt - avg_t / c
+            # parameter mixing (McDonald et al. 2010): pre-scale by this
+            # partition's sequence fraction so the weighted average is an
+            # associative elementwise sum (every cached sequence is
+            # processed each epoch, so the epoch total is always n_seq)
+            from pyspark import TaskContext
+
+            frac = n / n_seq
             yield pd.DataFrame({
+                "pid": [TaskContext.get().partitionId()],
                 "n": [n], "loss": [loss],
-                "w": [pickle.dumps((ws, wt, aw_s, aw_t))],
+                "w": [pickle.dumps(
+                    (frac * ws, frac * wt, frac * aw_s, frac * aw_t)
+                )],
             })
 
-        parts = featurized.mapInPandas(
-            epoch, "n long, loss double, w binary"
-        ).collect()
-        if not parts:
+        red = reduce_epoch_partials(
+            featurized.mapInPandas(epoch, EPOCH_PARTIAL_SCHEMA),
+            featurized.rdd.getNumPartitions(), tree_reduce_threshold,
+        )
+        if red is None:
             break
-        total = sum(r["n"] for r in parts)
-        loss = sum(r["loss"] for r in parts)
-        # parameter mixing: sequence-count-weighted average of partition
-        # weights (McDonald et al. 2010)
-        w_state = np.zeros((A, L), dtype=np.float64)
-        w_trans = np.zeros((L, L), dtype=np.float64)
-        aw_state = np.zeros((A, L), dtype=np.float64)
-        aw_trans = np.zeros((L, L), dtype=np.float64)
-        for r in parts:
-            ws, wt, aw_s, aw_t = pickle.loads(r["w"])
-            frac = r["n"] / total
-            w_state += frac * ws
-            w_trans += frac * wt
-            aw_state += frac * aw_s
-            aw_trans += frac * aw_t
+        total, loss, (w_state, w_trans, aw_state, aw_trans) = red
         # convergence: loss/N < epsilon (train_averaged_perceptron.c:221)
         ratio = loss / total if total else 0.0
         entry = {"iter": it, "loss": float(loss), "error_ratio": ratio}

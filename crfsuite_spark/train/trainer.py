@@ -133,7 +133,7 @@ def transition_mask(
 
 def featurize_sequences(
     df: DataFrame,
-    attr2id: dict[str, int],
+    attr2id: dict[str, int] | None,
     label2id: dict[str, int],
     seq_cols: list[str],
     order_col: str,
@@ -141,6 +141,7 @@ def featurize_sequences(
     label_col: str = "label",
     num_partitions: int | None = None,
     embeddings_col: str | None = None,
+    attr_lookup: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Token rows → one row per sequence with int-id arrays.
 
@@ -149,17 +150,39 @@ def featurize_sequences(
     offsets array<int> of length T+1 into aids[, embs: the per-token
     real-valued attribute vectors flattened per sequence —
     R/modelling.R:131-139]).
+
+    Attribute interning, two modes:
+
+    - ``attr2id`` dict (default): a broadcast Python dict — fine for
+      minfreq-pruned dictionaries (the reference's observed-feature
+      default keeps these bounded).
+    - ``attr_lookup=(sorted_h, slot_aid)``: attribute strings are
+      hashed to int64 JVM-side (``xxhash64``) BEFORE the shuffle, and
+      executors resolve them by binary search on a broadcast sorted
+      hash array — the same CQDB-analogue decode uses
+      (model.attr_hash_table). The broadcast is 16 bytes/attr numpy
+      instead of a Python string dict, and no attribute string ever
+      crosses the Python boundary; used by the ``possible_states``
+      full-dictionary path where A can reach 10^6.
     """
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    a2i_bc = spark.sparkContext.broadcast(attr2id)
+    if attr_lookup is not None:
+        lookup_bc = spark.sparkContext.broadcast(
+            ("hash", np.ascontiguousarray(attr_lookup[0]),
+             np.ascontiguousarray(attr_lookup[1]))
+        )
+    else:
+        lookup_bc = spark.sparkContext.broadcast(("dict", attr2id, None))
     l2i_bc = spark.sparkContext.broadcast(label2id)
     keep = [*seq_cols, order_col, attrs_col] + ([label_col] if label_col else [])
     if embeddings_col:
         keep.append(embeddings_col)
 
     def fe(batches):
-        a2i = a2i_bc.value
+        mode, lk_a, lk_b = lookup_bc.value
+        a2i = lk_a if mode == "dict" else None
+        sh, sa = (lk_a, lk_b) if mode == "hash" else (None, None)
         l2i = l2i_bc.value
         for pdf in iter_sequence_frames(batches, seq_cols):
             bounds = group_bounds(pdf, seq_cols)
@@ -174,9 +197,18 @@ def featurize_sequences(
             for s, e in zip(bounds[:-1], bounds[1:]):
                 aids, offsets = [], [0]
                 for t in range(s, e):
-                    aids.extend(
-                        a2i[a] for a in attrs_all[t] if a in a2i
-                    )
+                    if mode == "dict":
+                        aids.extend(
+                            a2i[a] for a in attrs_all[t] if a in a2i
+                        )
+                    else:
+                        hs = np.asarray(attrs_all[t], dtype=np.int64)
+                        if len(hs) and len(sh):
+                            pos = np.minimum(
+                                np.searchsorted(sh, hs), len(sh) - 1
+                            )
+                            known = sh[pos] == hs
+                            aids.extend(sa[pos[known]].tolist())
                     offsets.append(len(aids))
                 rows["seq_id"].append(
                     "\x00".join(str(pdf.iloc[s][k]) for k in seq_cols)
@@ -190,8 +222,16 @@ def featurize_sequences(
                     )
             yield pd.DataFrame(rows)
 
+    proj = list(keep)
+    if attr_lookup is not None:
+        # hash the attribute strings JVM-side BEFORE the shuffle: the
+        # exchange and the Arrow hop move fixed-width int64 arrays
+        # (same trick as decode/tagger.py)
+        proj[proj.index(attrs_col)] = F.expr(
+            f"transform(`{attrs_col}`, a -> xxhash64(a))"
+        ).alias(attrs_col)
     ordered = (
-        df.select(*keep)
+        df.select(*proj)
         .repartition(n_part, *seq_cols)
         .sortWithinPartitions(*seq_cols, order_col)
     )
@@ -310,6 +350,57 @@ def batch_objective(
     return loss, g_state, g_trans, g_emb
 
 
+EPOCH_PARTIAL_SCHEMA = "pid int, n long, loss double, w binary"
+
+
+def _merge_epoch_partials(a, b):
+    """Merge two (n, loss, arrays) epoch partials: counts and losses
+    sum; the weight arrays are PRE-SCALED by n_partition/n_total on the
+    executors, so the parameter-mixing weighted average is a plain
+    elementwise sum — associative, hence tree-reducible. ``None``
+    entries (e.g. the PA trainers' absent covariance slots) stay None."""
+    n_a, l_a, arrs_a = a
+    n_b, l_b, arrs_b = b
+    merged = tuple(
+        None if x is None else x + y for x, y in zip(arrs_a, arrs_b)
+    )
+    return (n_a + n_b, l_a + l_b, merged)
+
+
+def reduce_epoch_partials(
+    partials_df, n_partitions_hint: int, tree_reduce_threshold: int = 64
+):
+    """Sum the online trainers' per-partition epoch payloads
+    (EPOCH_PARTIAL_SCHEMA rows; ``w`` pickles a tuple of numpy arrays
+    already scaled by n/n_total).
+
+    Below ``tree_reduce_threshold`` partitions: collect and sum in
+    partition-id order — the same deterministic float-summation order
+    the historical driver-side mixing used, so results are
+    bit-identical to it. Above: treeReduce the payloads executor-side,
+    so the driver receives exactly ONE payload regardless of cluster
+    width — the same bound the batch trainer's gradient reduce has.
+    (At 10^6 attrs × 9 labels a dense payload is ~72 MB; collecting one
+    per partition per epoch would ship tens of GB to the driver on a
+    real cluster.) Returns (n, loss, arrays) or None if every
+    partition was empty."""
+    if n_partitions_hint > tree_reduce_threshold:
+        try:
+            return partials_df.rdd.map(
+                lambda r: (r["n"], r["loss"], pickle.loads(r["w"]))
+            ).treeReduce(_merge_epoch_partials, depth=2)
+        except ValueError:
+            return None  # empty RDD: no partition yielded a payload
+    parts = sorted(partials_df.collect(), key=lambda r: r["pid"])
+    if not parts:
+        return None
+    acc = None
+    for r in parts:
+        cur = (r["n"], r["loss"], pickle.loads(r["w"]))
+        acc = cur if acc is None else _merge_epoch_partials(acc, cur)
+    return acc
+
+
 def _merge_sparse_partials(a, b):
     """Merge two sparse (loss, idx, val, tail) gradient partials.
 
@@ -350,6 +441,7 @@ def train_crf(
     max_linesearch: int = 20,
     sparse_gradient: bool | None = None,
     holdout_df: DataFrame | None = None,
+    materialize_attrs: bool = True,
 ) -> CRFModel:
     """Train a linear-chain CRF (method=lbfgs, the reference default).
 
@@ -370,7 +462,13 @@ def train_crf(
     either flag densifies that family to the full grid (all attributes ×
     labels / all label pairs), including attributes whose observed
     features were minfreq-pruned, matching the C densify loops which
-    iterate the full dictionaries.
+    iterate the full dictionaries. With ``possible_states`` the
+    attribute dictionary is built distributedly (sorted zipWithIndex
+    ids; executors intern via a broadcast sorted-xxhash64 table) — no
+    attribute string reaches the driver during training; strings are
+    pulled once at model assembly, or never when
+    ``materialize_attrs=False`` (the returned model then decodes via
+    its pre-seeded hash table but cannot ``save()``).
 
     ``sparse_gradient``: ship gradient partials as (index, value) CSR
     pairs over only the attributes each partition actually OBSERVED,
@@ -393,21 +491,64 @@ def train_crf(
     label_values = [
         r[0] for r in tokens.select(label_col).distinct().collect()
     ]
+    attr_ids_df = None
+    attr_lookup = None
     if possible_states:
         # densify over the FULL attribute dictionary (crf1d_feature.c:217-225
         # iterates every interned attribute, not just minfreq survivors);
-        # the per-(attr, label) frequency aggregation is unused here
-        attrs = sorted(
-            r[0]
-            for r in tokens.select(F.explode(attrs_col).alias("a")).distinct().collect()
-        )
+        # the per-(attr, label) frequency aggregation is unused here.
+        #
+        # The dictionary is built DISTRIBUTEDLY: distinct → global sort →
+        # zipWithIndex assigns exactly the sorted ranks a driver-side sort
+        # would, but no attribute STRING reaches the driver during
+        # training — the driver pulls only the (xxhash64, id) int table
+        # (16 bytes/attr, ~16 MB at the 10^6-attribute ceiling) and
+        # broadcasts it as sorted numpy arrays, the same CQDB-analogue
+        # lookup decode uses (model.attr_hash_table). Strings are
+        # materialized ONCE at model assembly (the artifact interns them,
+        # like the reference's CQDB chunks) — or never, with
+        # ``materialize_attrs=False``.
+        distinct_attrs = tokens.select(F.explode(attrs_col).alias("a")).distinct()
+        attr_ids_df = spark.createDataFrame(
+            distinct_attrs.orderBy("a").rdd.zipWithIndex().map(
+                lambda t: (t[0][0], int(t[1]))
+            ),
+            "a string, aid long",
+        ).persist()
+        hp = attr_ids_df.select(F.xxhash64("a").alias("h"), "aid").toPandas()
+        h = hp["h"].to_numpy(np.int64)
+        aid_arr = hp["aid"].to_numpy(np.int64)
+        order = np.argsort(h, kind="stable")
+        sorted_h, slot_aid = h[order], aid_arr[order]
+        if len(sorted_h) > 1 and (sorted_h[1:] == sorted_h[:-1]).any():
+            raise ValueError("xxhash64 collision among attributes")
+        attr_lookup = (sorted_h, slot_aid)
+        attrs = None  # materialized lazily by _final_attrs()
+        A = len(sorted_h)
         labels = sorted(set(label_values))
     else:
         state_feats = generate_state_features(tokens, attrs_col, label_col, minfreq)
         labels, attrs = build_dicts(state_feats, label_values)
+        A = len(attrs)
     label2id = {l: i for i, l in enumerate(labels)}
-    attr2id = {a: i for i, a in enumerate(attrs)}
-    A, L = len(attrs), len(labels)
+    attr2id = {a: i for i, a in enumerate(attrs)} if attrs is not None else None
+    L = len(labels)
+
+    def _final_attrs() -> list[str]:
+        """Attribute strings for the model artifact. In possible_states
+        mode this is the ONLY driver-side string materialization (one
+        Arrow pull in id order, the size of the model's own dictionary);
+        materialize_attrs=False skips even that and returns [] — the
+        model then decodes via its pre-seeded hash table but cannot
+        save()/coefficients()."""
+        nonlocal attrs
+        if attrs is None:
+            attrs = (
+                attr_ids_df.orderBy("aid").select("a").toPandas()["a"].tolist()
+                if materialize_attrs
+                else []
+            )
+        return attrs
 
     # parameter layout: [K state feats] + [D*L embeddings] + [Kt transitions]
     if possible_states:
@@ -443,6 +584,7 @@ def train_crf(
     featurized = featurize_sequences(
         tokens, attr2id, label2id, seq_cols, order_col, attrs_col, label_col,
         num_partitions, embeddings_col=embeddings_col,
+        attr_lookup=attr_lookup,
     ).persist()
     n_seq = featurized.count()  # materialize the cache
 
@@ -598,12 +740,17 @@ def train_crf(
             sw[sf_flat] = wvec[:K]
         tw = np.zeros(L * L, dtype=np.float64)
         tw[tf_flat] = wvec[K + D * L:]
-        return CRFModel(
-            labels=labels, attrs=attrs,
+        m = CRFModel(
+            labels=labels, attrs=_final_attrs(),
             state_w=sw.reshape(A, L), trans_w=tw.reshape(L, L),
             emb_names=[f"{embeddings_col}[{j}]" for j in range(D)],
             emb_w=wvec[K:K + D * L].reshape(D, L) if D else None,
         )
+        if attr_lookup is not None and not m.attrs:
+            # materialize_attrs=False: seed the decode hash table so the
+            # model tags without ever interning strings driver-side
+            m._attr_hash_cache = {"string": attr_lookup}
+        return m
 
     def cb(it, w, f, gnorm):
         entry = {"iter": it, "loss": f, "gnorm": gnorm}
@@ -629,6 +776,9 @@ def train_crf(
     )
     featurized.unpersist()
 
+    final_attrs = _final_attrs()
+    if attr_ids_df is not None:
+        attr_ids_df.unpersist()
     state_w = np.zeros(A * L, dtype=np.float64)
     if sf_flat is None:
         state_w[:] = res.x[:K]
@@ -636,15 +786,16 @@ def train_crf(
         state_w[sf_flat] = res.x[:K]
     trans_w = np.zeros(L * L, dtype=np.float64)
     trans_w[tf_flat] = res.x[K + D * L:]
-    return CRFModel(
+    model = CRFModel(
         labels=labels,
-        attrs=attrs,
+        attrs=final_attrs,
         state_w=state_w.reshape(A, L),
         trans_w=trans_w.reshape(L, L),
         emb_names=[f"{embeddings_col}[{j}]" for j in range(D)],
         emb_w=res.x[K:K + D * L].reshape(D, L) if D else None,
         meta={
             "n_sequences": int(n_seq),
+            "n_attributes": int(A),
             "n_state_features": int(K),
             "n_transition_features": int(Kt),
             "n_iterations": res.n_iter,
@@ -657,3 +808,6 @@ def train_crf(
             "possible_transitions": possible_transitions,
         },
     )
+    if attr_lookup is not None and not final_attrs:
+        model._attr_hash_cache = {"string": attr_lookup}
+    return model

@@ -663,3 +663,115 @@ def test_sparse_state_gradient_matches_dense_random():
         assert np.array_equal(dense_from_sparse, gd)
 
     check()
+
+
+def test_epoch_mixing_tree_reduce_matches_collect(spark, featurized_tokens):
+    """At ≥128 partitions the online trainers' epoch mixing rides the
+    executor-side treeReduce (threshold 64 < 128): the driver receives
+    ONE payload per epoch, and the mixed model matches the
+    deterministic partition-id-ordered collect path (threshold forced
+    above the partition count) to float-associativity tolerance."""
+    from crfsuite_spark.train.l2sgd import train_l2sgd
+    from crfsuite_spark.train.online import train_online
+    from crfsuite_spark.train.perceptron import train_perceptron
+
+    sub = featurized_tokens.where(F.col("conv_id") < "conv_00012")
+    kw = dict(seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+              max_iterations=2, num_partitions=128)
+    for fn, extra in [
+        (train_perceptron, {}),
+        (train_online, {"method": "arow"}),
+        (train_l2sgd, {"c2": 1.0}),
+    ]:
+        tree = fn(sub, **kw, **extra, tree_reduce_threshold=64)
+        coll = fn(sub, **kw, **extra, tree_reduce_threshold=1 << 30)
+        assert np.allclose(tree.state_w, coll.state_w, rtol=1e-9, atol=1e-11), fn
+        assert np.allclose(tree.trans_w, coll.trans_w, rtol=1e-9, atol=1e-11), fn
+
+
+def test_featurize_hash_lookup_matches_dict(spark):
+    """featurize_sequences' broadcast sorted-hash interning (the
+    possible_states path) produces IDENTICAL sequence rows to the
+    Python-dict path at a ~10^5-attribute dictionary — attribute
+    strings never cross to Python in hash mode."""
+    import pandas as pd
+    from crfsuite_spark.train.trainer import featurize_sequences
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for ci in range(300):
+        T = 12
+        for ti in range(T):
+            # mostly-unique attrs build a ~10^5 dictionary; a few shared
+            # + some never-in-dict attrs exercise dedup and unknown-drop
+            attrs = [f"a{ci}_{ti}_{j}" for j in range(18)]
+            attrs += [f"a_shared{rng.integers(0, 50)}" for _ in range(2)]
+            attrs.append("unknown-attr-never-in-dict" + str(rng.integers(10)))
+            rows.append((f"c{ci:04d}", 0, ti, attrs, "O" if ti % 2 else "B"))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, token_idx int, attrs array<string>, label string",
+    ).persist()
+    vocab = sorted({a for r in rows for a in r[3] if a.startswith("a")})
+    assert len(vocab) > 60_000
+    a2i = {a: i for i, a in enumerate(vocab)}
+    l2i = {"B": 0, "O": 1}
+    kw = dict(seq_cols=["conv_id", "turn_idx"], order_col="token_idx",
+              num_partitions=8)
+    via_dict = featurize_sequences(df, a2i, l2i, **kw).toPandas()
+    # hash table: xxhash64 of each vocab string via one Spark job
+    hp = (
+        spark.createDataFrame(pd.DataFrame({"a": vocab, "aid": range(len(vocab))}))
+        .select(F.xxhash64("a").alias("h"), "aid").toPandas()
+    )
+    h = hp["h"].to_numpy(np.int64)
+    order = np.argsort(h, kind="stable")
+    lookup = (h[order], hp["aid"].to_numpy(np.int64)[order])
+    via_hash = featurize_sequences(df, None, l2i, attr_lookup=lookup, **kw).toPandas()
+    df.unpersist()
+    a = via_dict.sort_values("seq_id").reset_index(drop=True)
+    b = via_hash.sort_values("seq_id").reset_index(drop=True)
+    assert list(a["seq_id"]) == list(b["seq_id"])
+    for c in ("labels", "aids", "offsets"):
+        assert all(list(x) == list(y) for x, y in zip(a[c], b[c])), c
+
+
+def test_possible_states_distributed_dict_no_string_materialization(spark):
+    """possible_states at a ~10^5-attribute dictionary: training runs on
+    the distributed sorted-id dictionary + broadcast hash table; with
+    materialize_attrs=False no attribute string is ever pulled to the
+    driver, yet the model decodes (pre-seeded hash table) and training
+    makes progress."""
+    from crfsuite_spark.decode.tagger import decode
+    from crfsuite_spark.train.trainer import train_crf
+
+    rows = []
+    for ci in range(500):
+        for ti in range(12):
+            lab = "B" if ti % 3 == 0 else "O"
+            # unique label-informative attrs → ~10^5-entry dictionary
+            attrs = [f"{lab}u{ci}_{ti}_{j}" for j in range(16)]
+            attrs.append(f"{lab}shared")
+            rows.append((f"c{ci:04d}", 0, ti, attrs, lab))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, token_idx int, attrs array<string>, label string",
+    ).persist()
+    log = []
+    m = train_crf(
+        df, ["conv_id", "turn_idx"], "token_idx",
+        possible_states=True, materialize_attrs=False,
+        max_iterations=6, num_partitions=8, log=log,
+    )
+    assert m.attrs == [] and m.meta["n_attributes"] > 90_000
+    assert m.state_w.shape[0] == m.meta["n_attributes"]
+    assert len(log) >= 2 and log[-1]["loss"] < log[0]["loss"]
+    out = decode(df, m, ["conv_id", "turn_idx"], "token_idx",
+                 with_marginal=False).toPandas()
+    gold = {(r[0], r[1], r[2]): r[4] for r in rows}
+    acc = np.mean([
+        gold[(r.conv_id, r.turn_idx, r.token_idx)] == r.label
+        for r in out.itertuples()
+    ])
+    df.unpersist()
+    assert acc > 0.95, acc
