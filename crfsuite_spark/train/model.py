@@ -176,6 +176,35 @@ class CRFModel:
                    meta=manifest.get("meta", {}),
                    emb_names=emb_names, emb_w=emb_w)
 
+    # --- binary .crfsuite interop (lCRF/FOMC v100, crf1d_model.c) ---
+    @classmethod
+    def from_crfsuite(cls, path: str) -> "CRFModel":
+        """Load a binary ``.crfsuite`` model file — the artifact the
+        reference's ``crf()`` writes and ``as.crf`` loads
+        (R/modelling.R:165-174) — so users migrate R-trained models
+        directly into this engine. Parses the documented lCRF/FOMC
+        layout (crf1d_model.c:43-75) including the CQDB string chunks;
+        see train/crfsuite_io.py. Real-valued embedding attributes do
+        not exist in the binary format (they are plain attributes
+        there), so ``emb_w`` is always None."""
+        from crfsuite_spark.train.crfsuite_io import read_model
+
+        labels, attrs, state_w, trans_w = read_model(path)
+        return cls(labels=labels, attrs=attrs, state_w=state_w,
+                   trans_w=trans_w, meta={"source": "crfsuite-binary"})
+
+    def to_crfsuite(self, path: str) -> None:
+        """Write this model as a binary ``.crfsuite`` file the reference
+        can open (Tagger::open / as.crf): FEAT records, CQDB label and
+        attribute chunks with real lookup3 hash tables, LFRF/AFRF
+        feature references. Zero-weight features and orphaned
+        attributes are pruned with renumbering, exactly like
+        crf1de_save_model (crf1d_encode.c:582-618). Embedding weights
+        have no binary-format representation and are not written."""
+        from crfsuite_spark.train.crfsuite_io import write_model
+
+        write_model(path, self.labels, self.attrs, self.state_w, self.trans_w)
+
     def dump(self) -> str:
         """S6 human-readable text dump (crfsuite_model_dump analogue)."""
         states, trans = self.coefficients()
