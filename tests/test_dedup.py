@@ -316,3 +316,51 @@ def test_exact_dedup_keep_best(spark):
     plan = exact_dedup_keep_best(df, "doc_id", "text", "score") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_ann_join_multitable_recall_and_cost(spark):
+    """Multi-table LSH gate on a clustered fixture (the realistic
+    embedding shape): with the tuned defaults (4 tables × 6 planes, no
+    multiprobe) recall@3 vs brute force clears 0.9 while the mean
+    candidate fraction stays ≤ 0.3 — the cheap-probes-at-equal-recall
+    point single-table multiprobe cannot reach (BENCH/BASELINE.md §ANN).
+    Candidate fraction is computed from the same seeded plane math the
+    operator uses."""
+    dim, n_tables, n_planes, seed = 16, 4, 6, 42
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(10, dim))
+    X = np.vstack([c + 0.25 * rng.normal(size=(15, dim)) for c in cents])
+    rows = [(i, X[i].astype(float).tolist()) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sim.ann_join_multitable(
+        emb=emb, queries=queries, dim=dim, k=3,
+        n_tables=n_tables, n_planes=n_planes, seed=seed,
+    ).toPandas()
+    # brute-force gold + candidate fraction via the operator's plane math
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    prng = np.random.default_rng(seed)
+    planes = prng.normal(size=(n_tables, n_planes, dim))
+    buckets = [
+        ((X @ planes[t].T > 0).astype(np.int64)
+         * (1 << np.arange(n_planes))).sum(axis=1)
+        for t in range(n_tables)
+    ]
+    hits = total = 0
+    cand_frac = []
+    for qi in range(len(X)):
+        order = np.lexsort((np.arange(len(X)), -S[qi]))
+        gold = set(int(v) for v in order[:3])
+        mine = set(got[got["query_id"] == qi]["vec_id"])
+        hits += len(gold & mine)
+        total += 3
+        cand = set()
+        for t in range(n_tables):
+            cand |= set(np.nonzero(buckets[t] == buckets[t][qi])[0])
+        cand_frac.append(len(cand) / len(X))
+    recall = hits / total
+    assert recall >= 0.9, recall
+    assert np.mean(cand_frac) <= 0.3, np.mean(cand_frac)
