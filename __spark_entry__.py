@@ -783,14 +783,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _minhash_oracle_sql(n_hashes=32, bands=8, k=5, threshold=0.8, seed=42) -> str:
+def _minhash_oracle_sql(n_hashes=32, bands=8, k=5, threshold=0.8, seed=42,
+                        estimate_margin=0.25) -> str:
     """DuckDB SQL reproducing minhash_self_pairs(hash_fn='md5_32')
     exactly: portable shingle hash, the same seeded affine minhash
-    params, band-equality candidate blocking, exact-Jaccard verify."""
+    params, band-equality candidate blocking, the signature-estimate
+    screen (#equal minhashes ≥ ceil((threshold − margin)·n)), and the
+    exact-Jaccard verify."""
+    import math
+
     from crfsuite_spark.operators.minhash import MERSENNE, _hash_params
 
     params = _hash_params(n_hashes, seed)
     r = n_hashes // bands
+    min_eq = max(0, math.ceil((threshold - estimate_margin) * n_hashes - 1e-9))
+    n_eq_sum = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+        for j in range(n_hashes)
+    )
     mh_exprs = ",\n                     ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE})) AS mh{j}"
         for j, (a, b) in enumerate(params)
@@ -822,11 +832,17 @@ def _minhash_oracle_sql(n_hashes=32, bands=8, k=5, threshold=0.8, seed=42) -> st
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM bands a JOIN bands b
                 ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
+            est AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.id_a
+              JOIN sig sb ON sb.doc_id = c.id_b
+              WHERE ({n_eq_sum}) >= {min_eq}),
             v AS (
               SELECT c.id_a, c.id_b,
                      len(list_intersect(sa.hs, sb.hs)) * 1.0 /
                        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS j
-              FROM cand c
+              FROM est c
               JOIN sig sa ON sa.doc_id = c.id_a
               JOIN sig sb ON sb.doc_id = c.id_b)
             SELECT id_a, id_b, round(j, 6) AS jaccard FROM v WHERE j >= {threshold}

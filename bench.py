@@ -60,6 +60,75 @@ def ensure_transcripts(spark, sf: float) -> tuple[str, int]:
     return path, n_turns
 
 
+def ensure_scaled_tables(spark, sf_dir: str, sf: float,
+                         base_dir: str = "/root/testdata/sf0.1") -> None:
+    """Synthesize the operator-bench tables at sf > 0.1 by replicating
+    the sf0.1 testdata K = sf/0.1 times with deterministic key offsets
+    (no external data; the driver only ships sf ≤ 0.1).
+
+    Every replica's document text goes through its OWN seeded
+    substitution cipher (a bijection over [a-zA-Z0-9]): a bijection on
+    characters is a bijection on character shingles, so each replica's
+    minhash near-dup structure matches sf0.1 EXACTLY (planted pairs
+    ×K) while cross-replica shingle overlap collapses to
+    punctuation-only windows (~0). A shared per-replica word tag does
+    NOT work: it plants one common motif in every shingle set, lifting
+    the Jaccard of UNRELATED same-replica documents into LSH's
+    candidate band and blowing the verify stage up quadratically
+    (~10^8 candidate pairs at sf10 — observed before this fix).
+    Events/lineitem offset their keys so group counts scale ×K with
+    unchanged group sizes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    k = int(round(sf / 0.1))
+    todo = [t for t in ("documents", "events", "embeddings", "lineitem")
+            if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))]
+    if not todo:
+        return
+    os.makedirs(sf_dir, exist_ok=True)
+    alpha = ("abcdefghijklmnopqrstuvwxyz"
+             "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+    ciphers = []
+    for rep in range(k):
+        rng = np.random.default_rng(1000 + rep)
+        ciphers.append("".join(rng.permutation(list(alpha))))
+    reps = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep")
+    for t in todo:
+        df = spark.read.parquet(f"{base_dir}/{t}.parquet").select("*", reps)
+        r = F.col("rep").cast("long")
+        if t == "documents":
+            # SQL translate accepts a per-row replace argument (the
+            # Python wrapper doesn't) — pick this replica's cipher
+            cipher_sql = "array(" + ", ".join(f"'{c}'" for c in ciphers) + ")"
+            df = df.select(
+                (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+                F.expr(
+                    f"translate(coalesce(text, ''), '{alpha}', "
+                    f"element_at({cipher_sql}, CAST(rep AS INT) + 1))"
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        elif t == "events":
+            df = df.select(
+                (F.col("event_id") + r * 1_000_000_000).alias("event_id"),
+                "ts",
+                (F.col("user_id") + r * 10_000_000).alias("user_id"),
+                "event_type", "value", "props",
+            )
+        elif t == "embeddings":
+            df = df.select(
+                (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+        else:  # lineitem: only the agg columns matter for tpch_q1
+            df = df.withColumn(
+                "l_orderkey", F.col("l_orderkey") + r * 1_000_000_000
+            ).drop("rep")
+        df = df.drop("rep") if "rep" in df.columns else df
+        df.write.mode("overwrite").parquet(os.path.join(sf_dir, f"{t}.parquet"))
+
+
 def lexicon_model():
     """Deterministic lexicon-seeded CRF model (no training inside the
     benchmark — decode cost is weight-independent)."""
@@ -95,6 +164,9 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     tsf = float(os.environ.get("SPARK_GRAFT_TRANSCRIPT_SF") or sf)
     spark = get_spark("bench", cores=cores, shuffle_partitions=max(cores, 8))
     tpath, n_turns = ensure_transcripts(spark, tsf)
+    if sf > 0.1:
+        # driver testdata stops at sf0.1 — synthesize the larger scale
+        ensure_scaled_tables(spark, sf_dir, sf)
     results: dict[str, float] = {}
     extras: dict = {"n_turns": n_turns, "cores": cores}
 
@@ -186,11 +258,23 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
               F.count(F.lit(1)).alias("n"))
          .collect())
 
+    def pack():
+        import __spark_entry__ as em
+
+        em.q_ds_pack_documents(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def sample():
+        import __spark_entry__ as em
+
+        em.q_ds_hash_sample(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timed("w1_window_templates", w1)
     timed("dedup_minhash", dedup)
     timed("sim_cosine_topk", topk)
     timed("ta_text_stats", ta)
     timed("tpch_q1_agg", agg)
+    timed("ds_pack_documents", pack)
+    timed("ds_hash_sample", sample)
 
     total = round(sum(results.values()), 3)
     if "kg_pipeline" in results:

@@ -216,8 +216,11 @@ def minhash_join(
     )
     lsh_l = lsig.select(left_col, F.col("__hs").alias("__sh_l"))
     lsh_r = rsig.select(right_col, F.col("__hs").alias("__sh_r"))
+    # the left (corpus-side) shingle frame must never be auto-broadcast
+    # (its size is invisible to the planner behind the HOF projection)
+    # nor hash-built; sort-merge spills — see minhash_self_pairs
     verified = (
-        cand.join(lsh_l, left_col)
+        cand.hint("merge").join(lsh_l, left_col)
         .join(bcast(lsh_r), right_col)
         .withColumn("jaccard", jaccard(F.col("__sh_l"), F.col("__sh_r")))
         .where(F.col("jaccard") >= jaccard_threshold)
@@ -238,9 +241,29 @@ def minhash_self_pairs(
     num_partitions: int | None = None,
     hash_fn: str = "xxhash64",
     impl: str = "hof",
+    estimate_margin: float | None = 0.25,
 ) -> DataFrame:
     """Near-duplicate candidate pairs within one table:
-    (id_a, id_b, jaccard) with id_a < id_b, Jaccard ≥ threshold."""
+    (id_a, id_b, jaccard) with id_a < id_b, Jaccard ≥ threshold.
+
+    ``estimate_margin``: two-stage verification (the LRU ch.3 design).
+    Band-join candidates are first screened on the SIGNATURE estimate
+    Ĵ = (#equal minhash components)/n — a fixed-width 8·n_hashes-byte
+    comparison — and only pairs with
+    #equal ≥ ceil((threshold − margin)·n_hashes) proceed to the exact
+    shingle-set Jaccard. Templated corpora make band candidates ~25×
+    the corpus size (measured: 13M candidates over 500k docs at sf10);
+    without the screen the exact verify gathers two ~10^4-byte shingle
+    arrays per candidate (~0.5 TB of shuffle at sf10), with it the big
+    arrays move only for screened survivors. The screen is
+    deterministic given the signatures, so the DuckDB oracle reproduces
+    it bit-for-bit; it drops a true ≥-threshold pair only when its
+    estimate falls ``margin`` below the true Jaccard (≥3σ at the
+    defaults, P ≈ 10^-4 — on top of LSH banding's own probabilistic
+    recall). ``None`` disables the screen (exact behavior of the
+    single-stage verify)."""
+    import math
+
     sig = minhash_signature(
         df, id_col, text_col, n_hashes, shingle_size, seed,
         num_partitions=num_partitions, hash_fn=hash_fn, impl=impl,
@@ -248,15 +271,46 @@ def minhash_self_pairs(
     b = lsh_band_buckets(sig, id_col, n_hashes, bands)
     ba = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
     bb = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # every join below is explicitly SORT-MERGE: the planner cannot size
+    # frames downstream of HOF projections, and at corpus scale a
+    # mis-estimated auto-broadcast of the band frame or the shingle-set
+    # frame (500k docs × ~10^2 shingles ≫ driver memory) aborts the job;
+    # a shuffle-hash build of the array-carrying side does the same once
+    # every core builds a 10^8-byte hash relation concurrently (hash
+    # builds cannot spill). Both failure modes were observed at the sf10
+    # bench. SMJ spills gracefully, and the keys are uniform hashes/ids,
+    # so the sorts are skew-free.
     cand = (
-        ba.join(bb, ["band", "bucket"])
+        ba.hint("merge").join(bb, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if estimate_margin is not None:
+        min_eq = max(
+            0, math.ceil((jaccard_threshold - estimate_margin) * n_hashes - 1e-9)
+        )
+        if min_eq > 0:
+            mv = sig.select(
+                id_col,
+                F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("__mv"),
+            )
+            n_eq = F.expr(
+                "size(filter(zip_with(__mv_a, __mv_b, (x, y) -> x = y), v -> v))"
+            )
+            cand = (
+                cand.hint("merge")
+                .join(mv.select(F.col(id_col).alias("id_a"), F.col("__mv").alias("__mv_a")), "id_a")
+                .hint("merge")
+                .join(mv.select(F.col(id_col).alias("id_b"), F.col("__mv").alias("__mv_b")), "id_b")
+                .where(n_eq >= F.lit(min_eq))
+                .select("id_a", "id_b")
+            )
     sh = sig.select(id_col, "__hs")
     return (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__sh_a")), "id_a")
+        cand.hint("merge")
+        .join(sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__sh_a")), "id_a")
+        .hint("merge")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__sh_b")), "id_b")
         .withColumn("jaccard", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .where(F.col("jaccard") >= jaccard_threshold)
