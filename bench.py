@@ -351,7 +351,9 @@ def run_scaling(sf_dir: str) -> None:
             f"{rows[n_lo]['queries']['kg_pipeline']} | {t8:.1f} |\n"
             f"| {n_hi} cores (local[{n_hi}], taskset 0-{n_hi - 1}) | "
             f"{rows[n_hi]['queries']['kg_pipeline']} | {t32:.1f} |\n\n"
-            f"**Scaling efficiency** = T_4N / (4 × T_N) = **{eff:.3f}** "
+            "**Scaling efficiency** (throughput ratio) = "
+            f"T_N / (4 × T_4N) = {rows[n_lo]['queries']['kg_pipeline']} / "
+            f"(4 × {rows[n_hi]['queries']['kg_pipeline']}) = **{eff:.3f}** "
             f"(target ≥ 0.8)\n" + tail
         )
     print(json.dumps({"scaling_efficiency": round(eff, 3),
