@@ -421,9 +421,9 @@ def q_ds_pack_documents(spark, sf):
     ordered, laid head-to-tail and cut into fixed 256-token chunks —
     the LLM pre-training layout, with documents SPLIT across chunk
     boundaries (one row per document × chunk spanned; pieces tile each
-    pack exactly). One hash-partitioned window per shard plus one
-    exchange on the finer (shard, chunk) key for slot ordinals — no
-    global sort."""
+    pack exactly). ONE hash exchange total: the slot window's
+    (shard, chunk) distribution is satisfied by the shard partitioning,
+    so only a sort is added — no global sort anywhere."""
     from crfsuite_spark.operators.sampling import pack_documents
 
     d = _t(spark, sf, "documents")

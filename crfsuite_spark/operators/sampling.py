@@ -98,13 +98,14 @@ def pack_documents(
     within a shard documents are ordered by id, laid head-to-tail at
     running offset ``off``, and chunk boundaries fall every
     ``token_budget`` tokens. ``pack_id`` = shard · 2^32 + chunk is
-    globally unique. Shuffle shape: one hash partition on ``shard``
-    for the running-offset window (independent per shard — parallelism
-    scales with ``n_shards`` regardless of corpus size; size
-    n_shards ≳ cluster cores), then one exchange on the FINER uniform
-    key (shard, chunk) for the ``slot`` ordinal — each (shard, chunk)
-    group holds at most token_budget tokens' worth of pieces, so no
-    group can be hot."""
+    globally unique. Shuffle shape: ONE hash exchange total — the
+    running-offset window partitions by ``shard`` (independent per
+    shard; parallelism scales with ``n_shards`` regardless of corpus
+    size, size n_shards ≳ cluster cores), and the ``slot`` window's
+    (shard, chunk) clustered distribution is already satisfied by that
+    shard partitioning (all chunks of a shard are co-located), so
+    Catalyst inserts only a per-partition sort, no second exchange
+    (plan-audited)."""
     B = int(token_budget)
     w = Window.partitionBy("shard").orderBy(id_col)
     base = (

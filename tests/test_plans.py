@@ -97,3 +97,45 @@ def test_tpch_q1_whole_stage_codegen(spark):
     assert "isFinalPlan=true" in plan, plan
     # "*(n)" node prefixes are the WholeStageCodegen stage markers
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
+
+
+def test_pack_documents_single_exchange(spark):
+    """pack_documents plans exactly ONE hash exchange: the slot
+    window's (shard, chunk) clustered distribution is satisfied by the
+    offset window's shard partitioning, so Catalyst adds only a sort."""
+    from crfsuite_spark.operators.sampling import pack_documents
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_documents(d, "doc_id", "text", 256, 8))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_link_mentions_no_mention_stream_shuffle(spark):
+    """link_mentions (exact path): the mention stream joins the
+    pre-disambiguated dictionary via broadcast — no sort-merge or
+    shuffled-hash join anywhere, so the 10^12-row side never moves."""
+    from crfsuite_spark.kg.linking import link_mentions
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    mentions = ev.select(F.col("event_type").alias("surface"), "user_id")
+    alias = spark.createDataFrame(
+        [("click", "e1", "c", "t", 1.0)],
+        "alias string, canonical_id string, canonical_name string, "
+        "entity_type string, weight double",
+    )
+    plan = _plan(link_mentions(mentions, alias, fuzzy=False))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_minhash_verify_joins_are_sort_merge(spark):
+    """minhash_self_pairs pins every candidate/verify join to
+    spillable sort-merge — no auto-broadcast or hash build of frames
+    whose size the planner cannot see (the sf10 failure mode)."""
+    from crfsuite_spark.operators.minhash import minhash_self_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_self_pairs(d, "doc_id", "text", 32, 8, 5, 0.8))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
