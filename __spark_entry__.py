@@ -456,6 +456,19 @@ def q_kg_link_dup_mentions(spark, sf):
     return out.select("surface", "user_id", "canonical_id", "link_method")
 
 
+def q_ds_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3 App. C 13-gram protocol, here
+    n=8 sized to the synthetic docs): per-document count of distinct
+    word n-grams shared with the 'benchmark' (every 97th document).
+    Benchmark n-grams broadcast; corpus explodes map-side; one uniform
+    doc_id aggregation — the corpus text never shuffles."""
+    from crfsuite_spark.operators.decontaminate import ngram_overlap
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select("text")
+    return ngram_overlap(d, bench, "doc_id", "text", "text", n=8)
+
+
 def q_ta_winnow(spark, sf):
     """Winnowing rolling-hash document fingerprints (MOSS algorithm,
     k=5-gram hashes, window w=4): per-doc fingerprint count + head-8
@@ -762,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_chunk_documents": q_ds_chunk_documents,
         "ds_pack_documents": q_ds_pack_documents,
         "kg_link_dup_mentions": q_kg_link_dup_mentions,
+        "ds_decontaminate": q_ds_decontaminate,
         "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
         "ev_sessionize": q_ev_sessionize,
@@ -1307,6 +1321,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN db.canonical_id IS NOT NULL THEN 'exact'
                         ELSE 'surrogate' END AS link_method
             FROM m LEFT JOIN db USING (norm)
+        """,
+        "ds_decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS words,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))
+                     END AS nw
+              FROM documents),
+            nd AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN nw < 8 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(range(1, nw - 8 + 2),
+                            i -> array_to_string(list_slice(words, i, i + 7), ' '))
+                     END) AS gs
+              FROM w),
+            bench AS (
+              SELECT DISTINCT unnest(gs) AS g FROM nd WHERE doc_id % 97 = 0),
+            grams AS (SELECT doc_id, unnest(gs) AS g FROM nd)
+            SELECT grams.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_contaminated
+            FROM grams JOIN bench USING (g)
+            GROUP BY grams.doc_id
         """,
         "ta_winnow": """
             WITH g AS (

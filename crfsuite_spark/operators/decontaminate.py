@@ -1,0 +1,98 @@
+"""Benchmark decontamination: find / drop training documents that
+share any word n-gram with an evaluation set.
+
+The standard LLM pre-training hygiene step (the 13-gram overlap
+protocol published in the GPT-3 paper's appendix and reused by
+PaLM/Llama — public method): a training document is contaminated if
+any of its word n-grams appears in the benchmark corpus.
+
+Spark-first shape, sized for a 100 TB training corpus vs a
+benchmark-sized eval set:
+
+- the BENCHMARK side (small by definition: ~10^5-10^6 distinct
+  n-grams) is exploded, deduplicated and **broadcast**;
+- the CORPUS side explodes to word n-grams entirely map-side
+  (``transform(sequence(...))`` + ``explode`` — no Python, no
+  shuffle), hits the broadcast hash join in the same stage, and only
+  (doc_id, hit) survive into the single shuffle: a map-side-combined
+  groupBy on the uniform doc id. The corpus text never shuffles.
+
+Normalization (both sides, identical): lowercase, split on
+whitespace — deterministic and reproducible in any engine, so the
+DuckDB oracle can verify exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text_col, n: int) -> Column:
+    """Array of space-joined lowercase word ``n``-grams; shorter
+    documents yield an empty array (they cannot contain an n-gram)."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    words = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    nw = F.when(F.trim(F.coalesce(c, F.lit(""))) == "", F.lit(0)).otherwise(
+        F.size(words)
+    )
+    return F.when(nw < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nw - n + 1),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 13
+) -> DataFrame:
+    """Distinct word n-grams of the evaluation set — one column
+    ``__ngram``. Small by definition; callers broadcast it."""
+    return (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("__ngram"))
+        .distinct()
+    )
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document contamination counts vs the benchmark:
+    (``id_col``, n_contaminated) — distinct document n-grams found in
+    the benchmark n-gram set. Documents with zero overlap are NOT
+    returned (join-reduced; left-join in :func:`decontaminate` makes
+    the clean set)."""
+    bench = benchmark_ngrams(benchmark, bench_text_col, n)
+    grams = docs.select(
+        id_col,
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("__ngram"),
+    )
+    return (
+        grams.join(F.broadcast(bench), "__ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Return ``docs`` minus contaminated documents (those with more
+    than ``max_overlap`` distinct benchmark n-grams). The filter is a
+    broadcast-join + one uniform-key aggregation; the returned frame
+    keeps all of ``docs``' columns."""
+    hits = ngram_overlap(docs, benchmark, id_col, text_col, bench_text_col, n)
+    flagged = hits.where(F.col("n_contaminated") > max_overlap).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

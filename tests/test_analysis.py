@@ -338,3 +338,33 @@ def test_chunk_documents(spark):
     for w_, o_ in [(8, 8), (5, -3), (0, 0)]:
         with _pt.raises(ValueError):
             chunk_documents(df, window=w_, overlap=o_)
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """Benchmark decontamination: a doc containing a full benchmark
+    8-gram is flagged with the exact distinct-overlap count; a 7-word
+    prefix overlap is NOT contamination; drop mode anti-joins flagged
+    docs and keeps every column."""
+    from crfsuite_spark.operators.decontaminate import (
+        decontaminate,
+        ngram_overlap,
+    )
+
+    bench = spark.createDataFrame(
+        [("What is the capital of France Paris is",), ("short",)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "training text holds what is the capital of france paris is verbatim inside it"),
+            (2, "completely unrelated content with enough words to form many ngrams here today ok"),
+            (3, "what is the capital of france but then diverges for the rest of the text"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    hits = ngram_overlap(docs, bench, n=8).toPandas()
+    assert dict(zip(hits["doc_id"], hits["n_contaminated"])) == {1: 1}
+    clean = decontaminate(docs, bench, n=8).toPandas()
+    assert sorted(clean["doc_id"]) == [2, 3, 4]
+    assert list(clean.columns) == ["doc_id", "text"]
