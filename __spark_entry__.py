@@ -469,6 +469,18 @@ def q_ds_decontaminate(spark, sf):
     return ngram_overlap(d, bench, "doc_id", "text", "text", n=8)
 
 
+def q_ds_span_dedup(spark, sf):
+    """Corpus-wide exact span dedup (C4 repeated-span / Dolma exact
+    paragraph dedup, fixed 10-token blocks): repeated blocks survive
+    only at their canonical (min doc, min idx) occurrence; documents
+    are rewritten from surviving blocks. min_by groupBy on the md5
+    block key — no window sort, uniform keys."""
+    from crfsuite_spark.operators.dedup import span_dedup
+
+    d = _t(spark, sf, "documents")
+    return span_dedup(d, "doc_id", "text", block_tokens=10)
+
+
 def q_ta_winnow(spark, sf):
     """Winnowing rolling-hash document fingerprints (MOSS algorithm,
     k=5-gram hashes, window w=4): per-doc fingerprint count + head-8
@@ -776,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_pack_documents": q_ds_pack_documents,
         "kg_link_dup_mentions": q_kg_link_dup_mentions,
         "ds_decontaminate": q_ds_decontaminate,
+        "ds_span_dedup": q_ds_span_dedup,
         "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
         "ev_sessionize": q_ev_sessionize,
@@ -1344,6 +1357,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_contaminated
             FROM grams JOIN bench USING (g)
             GROUP BY grams.doc_id
+        """,
+        "ds_span_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS words,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+                     END AS nw
+              FROM documents),
+            b AS (
+              SELECT doc_id, words,
+                     CAST(ceil(nw * 1.0 / 10) AS INTEGER) AS nb
+              FROM w),
+            blk AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS idx,
+                     array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' ') AS block
+              FROM (SELECT doc_id, words, unnest(range(0, nb)) AS i FROM b)),
+            win AS (
+              SELECT doc_id, idx, block,
+                     row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+              FROM blk),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(block, ' ' ORDER BY idx) AS text,
+                     count(*) AS n_kept
+              FROM win WHERE rn = 1 GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(reb.text, '') AS text,
+                   CAST(b.nb AS BIGINT) AS n_blocks,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+            FROM b LEFT JOIN reb USING (doc_id)
         """,
         "ta_winnow": """
             WITH g AS (

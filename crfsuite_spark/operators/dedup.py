@@ -240,3 +240,74 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 20,
+) -> DataFrame:
+    """Corpus-wide exact SPAN dedup (the C4 repeated-span / Dolma exact
+    paragraph-dedup family, on fixed token blocks): split every
+    document into consecutive ``block_tokens``-word blocks; a block
+    whose exact text occurs elsewhere in the corpus survives only at
+    its canonical occurrence — the minimal (id, block_idx) — and is
+    cut from every other document. Returns one row per input document:
+    (``*id``, text: surviving blocks rejoined by ' ', n_blocks,
+    n_kept). A fully-deduplicated document keeps an empty text.
+
+    Scale shape: block explode is map-side; canonical selection is one
+    map-side-combined groupBy on the md5 block key (uniform) +
+    ``min_by`` — no window sort; the winner join shuffles on the same
+    uniform key; reassembly is one groupBy on the id. Whitespace is
+    normalized to single spaces by the split/rejoin (documented
+    contract — span dedup rewrites documents by nature)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(c), r"\s+")
+    nw = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(words))
+    n_blocks = F.ceil(nw / F.lit(block_tokens)).cast("int")
+    blocks_arr = F.when(n_blocks <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * block_tokens + 1, block_tokens), " "
+            ),
+        )
+    )
+    blocks = df.select(
+        id_col, F.posexplode(blocks_arr).alias("__idx", "__block")
+    ).withColumn("__key", F.md5(F.col("__block")))
+    winners = blocks.groupBy("__key").agg(
+        F.min_by(
+            F.struct(F.col(id_col).alias("id"), F.col("__idx").alias("idx")),
+            F.struct(F.col(id_col).alias("id"), F.col("__idx").alias("idx")),
+        ).alias("__w")
+    )
+    kept = (
+        blocks.join(winners, "__key")
+        .where(
+            (F.col("__w.id") == F.col(id_col)) & (F.col("__w.idx") == F.col("__idx"))
+        )
+        .select(id_col, "__idx", "__block")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__block"))),
+                lambda s: s["__block"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    base = df.select(id_col, n_blocks.cast("bigint").alias("n_blocks"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            "n_blocks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

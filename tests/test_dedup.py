@@ -364,3 +364,30 @@ def test_ann_join_multitable_recall_and_cost(spark):
     recall = hits / total
     assert recall >= 0.9, recall
     assert np.mean(cand_frac) <= 0.3, np.mean(cand_frac)
+
+
+def test_span_dedup_canonical_occurrence(spark):
+    """Span dedup: repeated blocks survive only at the minimal
+    (doc, idx) occurrence; fully-deduplicated docs keep empty text;
+    empty docs pass through with zero blocks."""
+    from crfsuite_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),   # first block duplicates doc 1
+            (3, "a b c d e f"),   # full duplicate of doc 1
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_blocks, r.n_kept)
+        for r in span_dedup(docs, block_tokens=3).collect()
+    }
+    assert out[1] == ("a b c d e f", 2, 2)
+    assert out[2] == ("x y z", 2, 1)
+    assert out[3] == ("", 2, 0)
+    assert out[4] == ("", 0, 0)
+    assert out[5] == ("", 0, 0)
