@@ -291,6 +291,42 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     return out
 
 
+def run_decode(sf_dir: str, cores: int) -> dict:
+    """Steady-state decode throughput (tokens/s): tokenize + feature
+    templates + batched Viterbi over the transcript slice, marginals
+    off, triple stages excluded — the reproducible form of the
+    BENCH/BASELINE.md decode number. Pin cores with taskset for honest
+    per-core figures: ``taskset -c 0-15 python bench.py --decode``."""
+    sys.path.insert(0, REPO)
+    from crfsuite_spark.session import get_spark
+
+    tsf = float(os.environ.get("SPARK_GRAFT_TRANSCRIPT_SF") or 10.0)
+    spark = get_spark("decode-bench", cores=cores, shuffle_partitions=max(cores, 8))
+    tpath, n_turns = ensure_transcripts(spark, tsf)
+    from crfsuite_spark.kg.pipeline import tag_transcripts
+
+    model = lexicon_model()
+    transcripts = spark.read.parquet(tpath)
+    # warm-up: JVM codegen + Python workers outside the timed section
+    tag_transcripts(transcripts.limit(2000), model).count()
+    t0 = time.perf_counter()
+    decoded = tag_transcripts(transcripts, model)
+    n_tokens = decoded.count()
+    secs = round(time.perf_counter() - t0, 3)
+    out = {
+        "metric": "decode_tokens_per_sec",
+        "value": round(n_tokens / secs, 1),
+        "unit": "tokens/sec",
+        "seconds": secs,
+        "n_turns": n_turns,
+        "n_tokens": n_tokens,
+        "cores": cores,
+        "sf": tsf,
+    }
+    spark.stop()
+    return out
+
+
 def run_scaling(sf_dir: str) -> None:
     """Same job, two parallelism levels → BENCH/BASELINE.md."""
     rows = {}
@@ -365,6 +401,9 @@ def main():
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         run_scaling(sf_dir)
+        return
+    if "--decode" in sys.argv:
+        print(json.dumps(run_decode(sf_dir, cores)))
         return
     only = None
     if "--one" in sys.argv:
