@@ -647,6 +647,22 @@ def q_sim_ann_topk(spark, sf):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_sim_ann_multitable(spark, sf):
+    """Multi-table LSH batch ANN: 2 independent 6-plane hash tables,
+    candidates = union over tables, deduped before the per-query top-k
+    (operators/similarity.py:ann_join_multitable)."""
+    from crfsuite_spark.operators import similarity as sim
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.ann_join_multitable(q, e, dim=64, k=5, n_tables=2, n_planes=6)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_sim_emb_dup_pairs(spark, sf):
     """Embedding-cosine near-duplicate pairs via hyperplane-bucketed
     self-join (cosine ≥ 0.4 within a shared bucket, id_a < id_b; the
@@ -799,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "sim_ann_topk": q_sim_ann_topk,
+        "sim_ann_multitable": q_sim_ann_multitable,
         "sim_emb_dup_pairs": q_sim_emb_dup_pairs,
         "mm_image_features": q_mm_image_features,
         "a2_feature_refs": q_a2_feature_refs,
@@ -917,6 +934,57 @@ def _ann_oracle_sql(dim=64, n_planes=8, k=10, seed=42) -> str:
         """
 
 
+def _ann_multitable_oracle_sql(dim=64, n_tables=2, n_planes=6, k=5, seed=42) -> str:
+    """DuckDB SQL reproducing q_sim_ann_multitable: the same seeded
+    per-table hyperplane sign buckets (plane coefficients baked as
+    literals), candidate = same bucket in ANY table (the union the
+    operator builds by explode+dedupe), exact cosine + per-query
+    top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+
+    def arr(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    def bucket_expr(vec, t):
+        terms = [
+            f"(CASE WHEN list_dot_product({vec}, {arr(planes[t][j])}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        ]
+        return " + ".join(terms)
+
+    bucket_cols = ", ".join(
+        f"{bucket_expr('v', t)} AS b{t}" for t in range(n_tables)
+    )
+    any_table = " OR ".join(f"b.b{t} = q.qb{t}" for t in range(n_tables))
+    q_cols = ", ".join(f"b{t} AS qb{t}" for t in range(n_tables))
+    return f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            b AS (SELECT vec_id, v, {bucket_cols} FROM e),
+            q AS (
+              SELECT vec_id AS query_id, v AS qv, {q_cols}
+              FROM b WHERE vec_id < 5),
+            cand AS (
+              SELECT q.query_id, b.vec_id,
+                     list_dot_product(b.v, q.qv)
+                       / (sqrt(list_dot_product(b.v, b.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+              FROM q JOIN b ON ({any_table})),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                     ) AS rn
+              FROM cand)
+            SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+                   CAST(rn AS INTEGER) AS rank
+            FROM ranked WHERE rn <= {k}
+        """
+
+
 def _emb_dup_oracle_sql(dim=64, n_planes=6, threshold=0.4, seed=42) -> str:
     """DuckDB SQL reproducing q_sim_emb_dup_pairs: same seeded
     hyperplane buckets (literal planes), same-bucket self-join, exact
@@ -976,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _minhash_oracle_sql(),
         "sim_ann_topk": _ann_oracle_sql(),
+        "sim_ann_multitable": _ann_multitable_oracle_sql(),
         "sim_emb_dup_pairs": _emb_dup_oracle_sql(),
         "w1_window_lag_lead": """
             SELECT user_id, event_id,
