@@ -481,6 +481,17 @@ def q_ds_span_dedup(spark, sf):
     return span_dedup(d, "doc_id", "text", block_tokens=10)
 
 
+def q_ds_intra_doc_dedup(spark, sf):
+    """WITHIN-document repeated-span removal (RefinedWeb-style, fixed
+    5-token blocks): later repeats of a block inside the same document
+    are dropped, first occurrence wins. Pure Column HOFs — zero
+    shuffle."""
+    from crfsuite_spark.operators.dedup import intra_doc_span_dedup
+
+    d = _t(spark, sf, "documents")
+    return intra_doc_span_dedup(d, "doc_id", "text", block_tokens=5)
+
+
 def q_ta_winnow(spark, sf):
     """Winnowing rolling-hash document fingerprints (MOSS algorithm,
     k=5-gram hashes, window w=4): per-doc fingerprint count + head-8
@@ -805,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_dup_mentions": q_kg_link_dup_mentions,
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
+        "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
         "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
         "ev_sessionize": q_ev_sessionize,
@@ -1457,6 +1469,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.nb AS BIGINT) AS n_blocks,
                    CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
             FROM b LEFT JOIN reb USING (doc_id)
+        """,
+        "ds_intra_doc_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS words,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+                     END AS nw
+              FROM documents),
+            b AS (
+              SELECT doc_id, words,
+                     CAST(ceil(nw * 1.0 / 5) AS INTEGER) AS nb
+              FROM w),
+            blk AS (
+              SELECT doc_id, nb,
+                     list_transform(range(0, nb),
+                       i -> array_to_string(list_slice(words, i * 5 + 1, i * 5 + 5), ' ')) AS blocks
+              FROM b),
+            k AS (
+              SELECT doc_id, nb,
+                     list_filter(
+                       list_transform(range(1, nb + 1),
+                         i -> CASE WHEN NOT list_contains(blocks[1:CAST(i AS INTEGER) - 1],
+                                                          blocks[CAST(i AS INTEGER)])
+                              THEN blocks[CAST(i AS INTEGER)] END),
+                       x -> x IS NOT NULL) AS kept
+              FROM blk)
+            SELECT doc_id,
+                   array_to_string(kept, ' ') AS text,
+                   CAST(nb AS BIGINT) AS n_blocks,
+                   CAST(len(kept) AS BIGINT) AS n_kept
+            FROM k
         """,
         "ta_winnow": """
             WITH g AS (

@@ -311,3 +311,55 @@ def span_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def intra_doc_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 20,
+) -> DataFrame:
+    """WITHIN-document repeated-span removal (the RefinedWeb /
+    intra-document line-dedup family, on fixed token blocks): inside
+    each document, a block identical to an EARLIER block of the same
+    document is dropped; first occurrence wins. Returns one row per
+    document: (``*id``, text, n_blocks, n_kept).
+
+    Unlike :func:`span_dedup` (corpus-wide canonical occurrence, two
+    uniform-key shuffles) this is a pure Column-HOF projection — ZERO
+    shuffle, scales like a map over the scan. The per-document filter
+    is O(blocks²) string compares, bounded by document length.
+    Whitespace is normalized to single spaces by the split/rejoin."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(c), r"\s+")
+    nw = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(words))
+    n_blocks = F.ceil(nw / F.lit(block_tokens)).cast("int")
+    blocks = F.when(n_blocks <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * block_tokens + 1, block_tokens), " "
+            ),
+        )
+    )
+    kept = F.filter(
+        blocks,
+        lambda b, i: ~F.array_contains(F.slice(blocks, F.lit(1), i), b),
+    )
+    # materialize ``kept`` ONCE as a named column before fanning out to
+    # join/size: duplicating this nested-lambda tree (a filter whose
+    # lambda slices the same transform it filters) inside one projection
+    # mis-binds the lambda variables in one of the copies under Spark
+    # 4.1's resolver (observed: size() counting the unfiltered array) —
+    # and single evaluation is cheaper anyway
+    staged = df.select(
+        id_col,
+        kept.alias("__kept"),
+        n_blocks.cast("bigint").alias("n_blocks"),
+    )
+    return staged.select(
+        id_col,
+        F.array_join(F.col("__kept"), " ").alias(text_col),
+        "n_blocks",
+        F.size("__kept").cast("bigint").alias("n_kept"),
+    )

@@ -391,3 +391,28 @@ def test_span_dedup_canonical_occurrence(spark):
     assert out[3] == ("", 2, 0)
     assert out[4] == ("", 0, 0)
     assert out[5] == ("", 0, 0)
+
+
+def test_intra_doc_span_dedup(spark):
+    """Within-document span dedup: later repeats of a block are cut,
+    first occurrence wins; documents are independent (a block repeated
+    ACROSS documents is untouched); zero-shuffle plan."""
+    from crfsuite_spark.operators.dedup import intra_doc_span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c d e f a b c"),
+            (2, "a b c x y z"),   # cross-doc repeat of "a b c": kept
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = intra_doc_span_dedup(docs, block_tokens=3)
+    out = {r.doc_id: (r.text, r.n_blocks, r.n_kept) for r in got.collect()}
+    assert out[1] == ("a b c d e f", 4, 2)
+    assert out[2] == ("a b c x y z", 2, 2)
+    assert out[3] == ("", 0, 0) and out[4] == ("", 0, 0)
+    # map-side only: no exchange anywhere in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
