@@ -126,7 +126,12 @@ def ensure_scaled_tables(spark, sf_dir: str, sf: float,
                 "l_orderkey", F.col("l_orderkey") + r * 1_000_000_000
             ).drop("rep")
         df = df.drop("rep") if "rep" in df.columns else df
-        df.write.mode("overwrite").parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        # the replicate plan has ONE input split (the sf0.1 file), so an
+        # unrepartitioned write lands in one giant parquet file and every
+        # downstream scan inherits a straggler task — spread it
+        df.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, f"{t}.parquet")
+        )
 
 
 def lexicon_model():
