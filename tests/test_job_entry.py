@@ -53,3 +53,53 @@ def test_run_kg_pipeline_job(spark, tmp_path, capsys):
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["rows_written"] == 0
     assert rep2["skipped_buckets"] == [0, 1, 2, 3]
+
+
+def test_spark_submit_py_files_deployment(spark, synth, lexicon_model, tmp_path):
+    """The north rule's deployment contract, LITERALLY: package the
+    library as a zip, run the job via ``spark-submit --py-files`` from
+    a cwd outside the repo with PYTHONPATH scrubbed — driver and
+    executors must resolve ``crfsuite_spark`` from the zip alone, and
+    the job must write triples and report them on stdout."""
+    import shutil
+    import subprocess
+    import zipfile
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    dfs = None
+    from crfsuite_spark.datagen.transcripts import to_spark
+
+    dfs = to_spark(spark, synth)
+    tpath = str(tmp_path / "transcripts")
+    dfs["transcripts"].limit(200).write.parquet(tpath)
+    apath = str(tmp_path / "alias")
+    spark.createDataFrame(build_alias_dict()).write.parquet(apath)
+    mpath = str(tmp_path / "model")
+    lexicon_model.save(mpath)
+
+    zpath = str(tmp_path / "crfsuite_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(os.path.join(repo, "crfsuite_spark")):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, repo))
+
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out_dir = str(tmp_path / "graph")
+    p = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zpath,
+         os.path.join(repo, "jobs", "run_kg_pipeline.py"),
+         "--transcripts", tpath, "--model", mpath,
+         "--alias-dict", apath, "--output", out_dir, "--buckets", "2"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=420,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    rep = json.loads(
+        [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert rep["rows_written"] > 0
+    assert sorted(rep["written_buckets"]) == [0, 1]
