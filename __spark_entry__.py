@@ -661,14 +661,21 @@ def q_sim_ann_topk(spark, sf):
 def q_sim_ann_multitable(spark, sf):
     """Multi-table LSH batch ANN: 2 independent 6-plane hash tables,
     candidates = union over tables, deduped before the per-query top-k
-    (operators/similarity.py:ann_join_multitable)."""
+    (operators/similarity.py:ann_join_multitable). Exercises the
+    build-once cluster path: the corpus side goes through an explicit
+    multitable_buckets frame (what a real deployment writes/partitions
+    once and probes repeatedly); identical to the inline path by
+    tests/test_dedup.py::test_ann_join_multitable_prebucketed_identical."""
     from crfsuite_spark.operators import similarity as sim
 
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = sim.ann_join_multitable(q, e, dim=64, k=5, n_tables=2, n_planes=6)
+    b = sim.multitable_buckets(e, dim=64, n_tables=2, n_planes=6)
+    out = sim.ann_join_multitable(
+        q, None, dim=64, k=5, n_tables=2, n_planes=6, emb_bucketed=b
+    )
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     )

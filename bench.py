@@ -230,7 +230,31 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
         triples = extract_triples(decoded, alias, cfg, predicate_map=None)
         extras["n_triples"] = triples.count()
 
-    timed("kg_pipeline", kg)
+    # Median of 3 in-process runs, individual draws in extras. At sf0.1
+    # the pipeline never saturates the host (~hundreds of short tasks
+    # across many stages), so single wall-clock draws vary ±40% with
+    # the host's scheduling weather — the round-4 "regression" (13.2 s
+    # vs round-3's 10.6 s) reproduced on NEITHER side of a bisect: a
+    # doc-only commit swung 10.5→13.4 s between repeats while the
+    # interleaved old/new code distributions overlapped completely
+    # (BENCH/BASELINE.md §settled). The median of three warmed
+    # in-process runs is stable round-over-round; the first (cold)
+    # draw is kept in the extras for honesty.
+    kg_runs = []
+    n_kg = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "3"))
+    if only in (None, "kg_pipeline"):
+        for _ in range(n_kg):
+            # extract_triples leaves its rels/link tables cached (the
+            # returned plan scans them); identical plans on the next
+            # draw would silently reuse them via the CacheManager and
+            # measure cache reads, not the pipeline — drop them so
+            # every draw recomputes (JVM/JIT/Python workers stay warm)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            kg()
+            kg_runs.append(round(time.perf_counter() - t0, 3))
+        results["kg_pipeline"] = sorted(kg_runs)[len(kg_runs) // 2]
+        extras["kg_pipeline_runs"] = kg_runs
 
     # --- operator benchmarks on the sf-dir tables ---
     def w1():
@@ -273,6 +297,24 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
 
         em.q_ds_hash_sample(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # round-5: the r4-new pipeline-family queries join the headline json
+    # so round-over-round regressions in these paths are caught by the
+    # driver's own artifact (VERDICT r4 item 7)
+    def decontaminate():
+        import __spark_entry__ as em
+
+        em.q_ds_decontaminate(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def span_dedup():
+        import __spark_entry__ as em
+
+        em.q_ds_span_dedup(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def intra_doc():
+        import __spark_entry__ as em
+
+        em.q_ds_intra_doc_dedup(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timed("w1_window_templates", w1)
     timed("dedup_minhash", dedup)
     timed("sim_cosine_topk", topk)
@@ -280,6 +322,9 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     timed("tpch_q1_agg", agg)
     timed("ds_pack_documents", pack)
     timed("ds_hash_sample", sample)
+    timed("ds_decontaminate", decontaminate)
+    timed("ds_span_dedup", span_dedup)
+    timed("ds_intra_doc_dedup", intra_doc)
 
     total = round(sum(results.values()), 3)
     if "kg_pipeline" in results:
@@ -354,8 +399,11 @@ def run_scaling(sf_dir: str) -> None:
     n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     n_hi = 4 * n_lo
     for cores in (n_lo, n_hi):
+        # one draw per leg: the 3.6M-turn slice is compute-bound for
+        # minutes, so the sf0.1 scheduling noise the median-of-3 guards
+        # against is already amortized away
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_SF_DIR=sf_dir,
-                   SPARK_GRAFT_TRANSCRIPT_SF=tsf)
+                   SPARK_GRAFT_TRANSCRIPT_SF=tsf, SPARK_GRAFT_KG_REPEATS="1")
         cmd = ["taskset", "-c", f"0-{cores - 1}",
                sys.executable, __file__, "--one", "kg_pipeline"]
         p = subprocess.run(

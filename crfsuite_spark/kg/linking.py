@@ -148,15 +148,43 @@ def canonicalize_surrogates(
     unk = linked.where(F.col("link_method") == "surrogate").select(
         "canonical_id"
     ).distinct()
-    edges = minhash_self_pairs(
+    # persist + count() BEFORE connected_components, so the expensive
+    # minhash pipeline over the surrogate set is materialized exactly
+    # once and every downstream reference (the emptiness probe, CC's
+    # symmetrized union) reads the cache. count() as the probe is
+    # deliberate: unlike take(1), it materializes EVERY partition, so
+    # CC starts from a complete cache (contract-asserted in
+    # tests/test_kg.py::test_canonicalize_surrogates_edges_cached).
+    # Measured honestly: on this Spark version AQE's exchange reuse
+    # already skips most of the recompute even without the persist
+    # (instrumented source-scan counts are identical), but that is an
+    # engine heuristic over shared exchange subtrees — the persist pins
+    # the one-LSH-pass guarantee explicitly, version- and
+    # plan-shape-independently, for the cost of caching a narrow
+    # (src, dst) frame bounded by the distinct unlinked surfaces. CC
+    # eagerly materializes everything it returns (collect or
+    # localCheckpoint), so the cache is dropped as soon as it finishes.
+    pairs = minhash_self_pairs(
         unk.withColumn("__s", F.expr("substring(canonical_id, 5)")),
         "canonical_id", "__s",
         n_hashes=32, bands=8, shingle_size=3,
         jaccard_threshold=jaccard_threshold,
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    if not edges.take(1):
-        return linked
-    cc = connected_components(edges)
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).persist()
+    try:
+        n_edges = edges.count()
+        # edges is now fully materialized — the minhash internals'
+        # pinned signature cache has served its purpose; release it so
+        # repeated canonicalization calls don't accrete cached frames
+        for c in getattr(pairs, "pinned_caches", []):
+            c.unpersist()
+        if n_edges == 0:
+            return linked
+        cc = connected_components(edges)
+    finally:
+        edges.unpersist()
     remap = F.broadcast(
         cc.select(F.col("node").alias("canonical_id"),
                   F.col("component").alias("__canon"))

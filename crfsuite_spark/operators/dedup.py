@@ -19,19 +19,29 @@ All pure DataFrame ops designed for the 100 TB shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep the min-id row per exact text duplicate group."""
-    w = Window.partitionBy("__digest").orderBy(id_col)
-    return (
+    """Keep the min-id row per exact text duplicate group.
+
+    Same map-side-combined shape as :func:`exact_dedup_keep_best`: one
+    partial-aggregated ``groupBy(md5).agg(min_by(row, id))`` — each
+    partition pre-collapses its duplicate rows before the shuffle, so
+    only one candidate row per (partition, digest) crosses the wire.
+    The previous ``row_number() OVER (PARTITION BY digest)`` form had
+    identical semantics but shuffled EVERY full row (window functions
+    have no partial aggregation), which at 100 TB moves the entire
+    corpus text; plan-asserted in tests/test_plans.py
+    (``test_exact_dedup_partial_agg_no_window``)."""
+    row = F.struct(*[F.col(c) for c in df.columns])
+    best = (
         df.withColumn("__digest", F.md5(F.col(text_col)))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__digest", "__rn")
+        .groupBy("__digest")
+        .agg(F.min_by(row, F.col(id_col)).alias("__best"))
     )
+    return best.select("__best.*")
 
 
 def exact_dedup_keep_best(

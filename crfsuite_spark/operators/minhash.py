@@ -226,7 +226,17 @@ def minhash_join(
         .where(F.col("jaccard") >= jaccard_threshold)
         .drop("__sh_l", "__sh_r")
     )
-    return verified.join(bcast(right), right_col)
+    out = verified.join(bcast(right), right_col)
+    # cache-lifetime contract (same shape as similarity.embedding_dup_
+    # pairs.bucketed_frame): the returned plan SCANS these persisted
+    # signature frames, so they must stay cached until the caller's
+    # final evaluation — but no longer. A caller that materializes the
+    # result (count/collect/write) should then release them:
+    #   for c in out.pinned_caches: c.unpersist()
+    # Left unreleased they stay pinned until LRU eviction — harmless
+    # for one-shot jobs, a leak for long-lived sessions.
+    out.pinned_caches = [lsig, rsig]
+    return out
 
 
 def minhash_self_pairs(
@@ -307,7 +317,7 @@ def minhash_self_pairs(
                 .select("id_a", "id_b")
             )
     sh = sig.select(id_col, "__hs")
-    return (
+    out = (
         cand.hint("merge")
         .join(sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__sh_a")), "id_a")
         .hint("merge")
@@ -316,3 +326,10 @@ def minhash_self_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # cache-lifetime contract: the returned plan scans the persisted
+    # signature frame (band explode + estimate screen + exact verify all
+    # feed off it), so it must stay cached until the caller's final
+    # evaluation. Callers that materialize the result should release it:
+    #   for c in out.pinned_caches: c.unpersist()
+    out.pinned_caches = [sig]
+    return out

@@ -270,9 +270,68 @@ def ann_join(
     )
 
 
+def _multitable_planes(
+    dim: int, n_tables: int, n_planes: int, seed: int
+) -> np.ndarray:
+    """The [n_tables, n_planes, dim] hyperplane tensor shared by corpus
+    bucketing and query probing — both sides MUST derive it from the
+    same (dim, n_tables, n_planes, seed) or buckets don't line up."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_tables, n_planes, dim))
+
+
+def _multitable_bits_expr(planes: np.ndarray, v, tbl: int):
+    n_planes = planes.shape[1]
+    bucket = None
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[tbl][j]])
+        bit = F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def multitable_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """The exploded (id, __cv, tbl, bucket) corpus frame behind
+    :func:`ann_join_multitable` — L = ``n_tables`` rows per vector, the
+    L hash tables of classic LSH.
+
+    Computing it costs L×``n_planes`` dot products per corpus vector,
+    so at cluster scale it is built ONCE, written partitioned by
+    (tbl, bucket), and every batch of queries joins the stored frame —
+    pass the result as ``emb_bucketed=`` to :func:`ann_join_multitable`
+    (with the SAME dim/n_tables/n_planes/seed, or query probes hash
+    into different buckets and recall silently collapses)."""
+    planes = _multitable_planes(dim, n_tables, n_planes, seed)
+    cv = F.col(vec_col).cast("array<double>")
+    return emb.select(
+        id_col,
+        cv.alias("__cv"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _multitable_bits_expr(planes, cv, t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("__tb"),
+    ).select(
+        id_col, "__cv",
+        F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"),
+    )
+
+
 def ann_join_multitable(
     queries: DataFrame,
-    emb: DataFrame,
+    emb: DataFrame | None,
     dim: int,
     k: int = 10,
     n_tables: int = 4,
@@ -283,6 +342,7 @@ def ann_join_multitable(
     vec_col: str = "embedding",
     seed: int = 42,
     multiprobe_hamming: int = 0,
+    emb_bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-table LSH batch ANN: ``n_tables`` INDEPENDENT hyperplane
     sets, candidates = union of same-bucket matches over all tables —
@@ -303,31 +363,26 @@ def ann_join_multitable(
     table). The join key (table, bucket) is uniform; duplicate
     candidates surviving in several tables are merged by a map-side
     combined groupBy BEFORE the top-k window, so a vector never counts
-    twice in the ranking. Takes the RAW embedding frame (it needs all
-    L bucket sets), unlike :func:`ann_join` which reuses a pre-bucketed
-    corpus."""
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim))
+    twice in the ranking.
+
+    Corpus side: pass either the RAW embedding frame (``emb`` — the L
+    bucket sets are computed inline) or, at cluster scale, a
+    pre-computed :func:`multitable_buckets` frame via ``emb_bucketed``
+    (built/written once, reused across query batches; must share
+    dim/n_tables/n_planes/seed with this call)."""
+    planes = _multitable_planes(dim, n_tables, n_planes, seed)
 
     def bits_expr(v, tbl):
-        bucket = None
-        for j in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[tbl][j]])
-            bit = F.when(_dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        return bucket
+        return _multitable_bits_expr(planes, v, tbl)
 
-    cv = F.col(vec_col).cast("array<double>")
-    corpus = emb.select(
-        id_col,
-        cv.alias("__cv"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("tbl"), bits_expr(cv, t).alias("bucket"))
-                for t in range(n_tables)
-            ])
-        ).alias("__tb"),
-    ).select(id_col, "__cv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"))
+    if emb_bucketed is not None:
+        corpus = emb_bucketed
+    elif emb is not None:
+        corpus = multitable_buckets(
+            emb, dim, n_tables, n_planes, id_col, vec_col, seed
+        )
+    else:
+        raise ValueError("pass either emb or emb_bucketed")
 
     probe_deltas = [0]
     if multiprobe_hamming >= 1:
@@ -380,13 +435,31 @@ def ivf_train(
     sample_rows: int = 10000,
     n_iters: int = 10,
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Train an IVF coarse quantizer: k-means centroids [n_cells, dim]
     from a driver-side sample (the standard IVF recipe — the quantizer
     is tiny and trains on a bounded sample regardless of corpus size;
-    at 100 TB you sample ~10^5 vectors, never the table)."""
+    at 100 TB you sample ~10^5 vectors, never the table).
+
+    The sample is a UNIFORM deterministic hash-sample on ``id_col``
+    (operators/sampling.py), NOT ``.limit(sample_rows)``: limit takes
+    the first partitions in scan order, so on a corpus written
+    clustered (sorted by topic/source — the normal case for a curated
+    table) the quantizer would train on one region of the space and
+    probe recall on the rest quietly degrades
+    (tests/test_dedup.py::test_ivf_train_clustered_corpus_unbiased).
+    The slight over-draw (1.2×) plus a deterministic id-ordered
+    truncation makes the collected sample exactly reproducible."""
+    from crfsuite_spark.operators.sampling import hash_sample
+
+    n = emb.count()
+    frac = min(1.0, 1.2 * sample_rows / max(n, 1))
+    picked = hash_sample(emb.select(id_col, vec_col), id_col, frac, seed)
+    if frac < 1.0:
+        picked = picked.orderBy(id_col).limit(sample_rows)
     sample = np.array(
-        [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()],
+        [r[0] for r in picked.select(vec_col).collect()],
         dtype=np.float64,
     )
     rng = np.random.default_rng(seed)

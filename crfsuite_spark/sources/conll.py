@@ -18,7 +18,8 @@ the same thing declaratively:
   and deterministic. Parallelism is bounded below by the file count and
   above by the largest single file (wholetext holds one file per row —
   the right trade for token-per-line training corpora, which are many
-  bounded files);
+  bounded files); files over 256 MB fall back to a line-mode scan whose
+  per-file window sorts can spill (:func:`_lines_frame`);
 - WikiNER's ``token|pos|label`` pipe format (R/data.R:140-145) is the
   same plan with a different separator and an explode of
   space-separated tokens.
@@ -29,6 +30,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: files above this size skip the wholetext fast path (one file = one
+#: row = one java String; a multi-GB file would hit the 2 GB string
+#: limit and pins the whole file in one task's heap before the explode)
+WHOLETEXT_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _lines_frame(spark, path: str, line_mode: bool | None) -> DataFrame:
+    """(file, line_no, line) for every line of every file under ``path``.
+
+    Two physical strategies with identical output ordering semantics
+    (``line_no`` is only ever used as a per-file ORDER BY key, so its
+    values need to be monotone within a file, not contiguous):
+
+    - **wholetext** (default for bounded files): one row per file,
+      JVM-side split+posexplode assigns exact line numbers. Memory is
+      bounded by the largest file — fine for token-per-line training
+      corpora, fatal for a multi-GB concatenated dump.
+    - **line mode** (files over :data:`WHOLETEXT_MAX_BYTES`, or forced
+      via ``line_mode=True``): ``spark.read.text`` splits big files
+      into many tasks, and ``monotonically_increasing_id()`` taken
+      DIRECTLY at scan time (before any shuffle) is monotone within a
+      file: the text source generates splits per file in offset order
+      and packs them into partitions in that order, so (partition idx
+      << 33) + row idx increases along the file. Downstream per-file
+      windows can then spill instead of holding a giant string —
+      the memory bound drops from max-file-size to a spillable sort.
+
+    ``line_mode=None`` probes file sizes via the binaryFile source
+    (content column pruned — a metadata-only scan) and picks
+    automatically.
+    """
+    if line_mode is None:
+        mx = (
+            spark.read.format("binaryFile").load(path)
+            .agg(F.max("length")).first()[0]
+        )
+        line_mode = (mx or 0) > WHOLETEXT_MAX_BYTES
+    if line_mode:
+        return spark.read.text(path).select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("line_no"),
+            F.col("value").alias("line"),
+        )
+    return spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"),
+        F.posexplode(F.split(F.col("value"), r"\r?\n")).alias(
+            "line_no", "line"
+        ),
+    )
+
 
 def read_conll(
     spark,
@@ -36,6 +87,7 @@ def read_conll(
     sep: str = " ",
     columns: tuple[str, ...] = ("token", "pos", "label"),
     docstart: str = "-DOCSTART-",
+    line_mode: bool | None = None,
 ) -> DataFrame:
     """Parse a CoNLL-2002-style file → one row per token with
     (doc_id, sentence_id, token_id, *columns).
@@ -53,16 +105,14 @@ def read_conll(
     consuming it runs another. Two bounded passes is the deliberate
     trade for deterministic global ids without a single-partition sort;
     training corpora are bounded (train/trainer.py scale note).
+
+    Files larger than :data:`WHOLETEXT_MAX_BYTES` automatically switch
+    to a line-mode scan (see :func:`_lines_frame`): same per-file
+    windows and offsets, but the file streams through many tasks and
+    the window sort can spill instead of one row pinning the whole
+    file. ``line_mode`` forces either strategy.
     """
-    lines = (
-        spark.read.text(path, wholetext=True)
-        .select(
-            F.input_file_name().alias("file"),
-            F.posexplode(F.split(F.col("value"), r"\r?\n")).alias(
-                "line_no", "line"
-            ),
-        )
-    )
+    lines = _lines_frame(spark, path, line_mode)
     w = Window.partitionBy("file").orderBy("line_no")
     df = (
         lines
@@ -127,24 +177,15 @@ def read_conll(
     return toks.select(*sel)
 
 
-def read_wikiner(spark, path: str) -> DataFrame:
+def read_wikiner(spark, path: str, line_mode: bool | None = None) -> DataFrame:
     """WikiNER format: one sentence per line, tokens separated by
     spaces, each token ``word|pos|label`` (R/data.R:140-145).
 
     Same per-file id scheme as :func:`read_conll`: sentence_id = exact
     per-file line number + a per-file offset cumulated in file-name
     order — deterministic, no reliance on split ordering, parallel
-    across files."""
-    lines = (
-        spark.read.text(path, wholetext=True)
-        .select(
-            F.input_file_name().alias("file"),
-            F.posexplode(F.split(F.col("value"), r"\r?\n")).alias(
-                "line_no", "line"
-            ),
-        )
-        .where(F.trim("line") != "")
-    )
+    across files. Same large-file fallback too (:func:`_lines_frame`)."""
+    lines = _lines_frame(spark, path, line_mode).where(F.trim("line") != "")
     per_file = sorted(
         (r["file"], int(r["n"]))
         for r in lines.groupBy("file")

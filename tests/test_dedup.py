@@ -416,3 +416,59 @@ def test_intra_doc_span_dedup(spark):
     # map-side only: no exchange anywhere in the plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ivf_train_clustered_corpus_unbiased(spark):
+    """IVF quantizer training on a corpus written CLUSTERED in scan
+    order (the normal case for a curated table sorted by topic/source):
+    a ``.limit(n)`` draw sees only the first region — demonstrated
+    below — while ivf_train's uniform hash-sample covers every cluster,
+    so each true cluster center gets a nearby centroid."""
+    dim, per = 8, 200
+    rng = np.random.default_rng(11)
+    centers = np.zeros((4, dim))
+    for i in range(4):
+        centers[i, i] = 10.0
+    X = np.vstack([c + 0.1 * rng.normal(size=(per, dim)) for c in centers])
+    rows = [(i, X[i].astype(float).tolist()) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    # the scan-order trap: the first `per` rows are ALL cluster 0
+    head = np.array(
+        [r[0] for r in emb.select("embedding").limit(per).collect()]
+    )
+    d_head = np.linalg.norm(head[:, None, :] - centers[None, :, :], axis=2)
+    assert (d_head.argmin(axis=1) == 0).all()  # limit-sample = one region
+
+    cents = sim.ivf_train(emb, n_cells=4, sample_rows=per, seed=3)
+    # every true center has a trained centroid close to it (cluster
+    # radius ~0.1*sqrt(8)≈0.3, inter-center distance 10*sqrt(2)≈14)
+    d = np.linalg.norm(centers[:, None, :] - cents[None, :, :], axis=2)
+    assert (d.min(axis=1) < 2.0).all(), d.min(axis=1)
+    # determinism: same seed, same centroids
+    cents2 = sim.ivf_train(emb, n_cells=4, sample_rows=per, seed=3)
+    assert np.allclose(cents, cents2)
+
+
+def test_ann_join_multitable_prebucketed_identical(spark):
+    """ann_join_multitable through a pre-computed multitable_buckets
+    corpus frame (the build-once-probe-many cluster path) returns
+    EXACTLY the raw-frame path's output."""
+    dim = 16
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(60, dim))
+    emb = spark.createDataFrame(
+        [(i, X[i].astype(float).tolist()) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    raw = sim.ann_join_multitable(
+        queries=queries, emb=emb, dim=dim, k=3,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = sim.multitable_buckets(emb, dim=dim)
+    pre = sim.ann_join_multitable(
+        queries=queries, emb=None, dim=dim, k=3, emb_bucketed=b,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert raw.equals(pre)

@@ -407,3 +407,84 @@ def test_link_mentions_preserves_duplicate_rows(spark):
     # exact-only path preserves duplicates too
     out2 = link_mentions(mentions, alias, fuzzy=False).toPandas()
     assert len(out2) == 5
+
+
+def test_canonicalize_surrogates_edges_cached(spark, monkeypatch):
+    """The LSH edge chain is materialized exactly once: by the time
+    connected_components is invoked, the edges frame it receives is
+    persisted AND every partition is already cached (the count() probe
+    materializes all of them — take(1) would cache only the partitions
+    it touched, leaving CC to recompute the rest from lineage). Spied
+    at the CC call boundary so the assertion survives plan evolution.
+
+    Deliberately NOT a comparative stage/task-count test: instrumented
+    runs showed AQE's cross-reference exchange reuse already skips most
+    recompute without the persist on this Spark version, and toy-scale
+    stage counts are dominated by AQE partition coalescing — the
+    explicit persist pins the guarantee engine-version-independently,
+    and THIS is the testable contract."""
+    import crfsuite_spark.kg.canonicalize as canon_mod
+    from crfsuite_spark.kg.linking import canonicalize_surrogates
+
+    rows = [
+        ("Acme Corporation", "unk:acme corporation", "surrogate"),
+        ("Acme Corporatoin", "unk:acme corporatoin", "surrogate"),
+        ("acme corporation inc", "unk:acme corporation inc", "surrogate"),
+        ("Zeta Systems", "unk:zeta systems", "surrogate"),
+        ("Dave Miller", "per:dave_miller", "exact"),
+    ]
+    linked = spark.createDataFrame(
+        rows, "surface string, canonical_id string, link_method string"
+    )
+
+    captured = {}
+    real_cc = canon_mod.connected_components
+
+    def spy_cc(edges, **kw):
+        captured["use_memory"] = edges.storageLevel.useMemory
+        infos = edges.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo()
+        captured["cached"] = [
+            (i.numCachedPartitions(), i.numPartitions())
+            for i in infos
+            if i.id() not in pre
+        ]
+        return real_cc(edges, **kw)
+
+    monkeypatch.setattr(canon_mod, "connected_components", spy_cc)
+    # snapshot pre-existing caches (shared test session — other tests
+    # legitimately leave persisted frames); only OUR new ones must drain
+    pre = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    out = canonicalize_surrogates(linked, jaccard_threshold=0.5).toPandas()
+
+    assert captured["use_memory"], "edges not persisted before CC"
+    assert any(
+        cached == total and total > 0 for cached, total in captured["cached"]
+    ), f"edges cache not fully materialized at CC entry: {captured['cached']}"
+    # the cache is dropped once canonicalization finishes (unpersist is
+    # non-blocking, so allow it a moment to drain)
+    import time
+
+    for _ in range(50):
+        left = [
+            i
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.id() not in pre
+        ]
+        if all(i.numCachedPartitions() == 0 for i in left):
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError(
+            "edges cache not dropped: "
+            + str([(i.id(), i.numCachedPartitions()) for i in left])
+        )
+    # semantics unchanged: the three acme variants collapse to one
+    # canonical id, zeta stays its own, the exact link passes through
+    assert len(out) == len(rows)
+    acme = out[out.surface.str.lower().str.startswith("acme")]
+    assert acme.canonical_id.nunique() == 1
+    assert set(out[out.link_method == "exact"].canonical_id) == {
+        "per:dave_miller"
+    }

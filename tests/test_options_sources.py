@@ -182,3 +182,61 @@ def test_read_conll_boundary_less_files_no_collision(spark, tmp_path):
         < by_tok.loc["tok4", "doc_id"]
     # no duplicated order keys within any group
     assert not df.duplicated(["doc_id", "sentence_id", "token_id"]).any()
+
+
+def test_read_conll_line_mode_identical(spark, tmp_path, monkeypatch):
+    """Large-file fallback (sources/conll.py:_lines_frame): the
+    line-mode scan parses a multi-file corpus IDENTICALLY to the
+    wholetext fast path — same globally-unique ids, same tokens — and
+    auto mode flips to line-mode once a file exceeds the size
+    threshold."""
+    import crfsuite_spark.sources.conll as conll_mod
+
+    d = tmp_path / "big"
+    d.mkdir()
+    (d / "a.train").write_text(CONLL)
+    # synthetic "one big file": 300 two-token sentences, several docs
+    lines = ["-DOCSTART- -X- O"]
+    for i in range(300):
+        if i % 60 == 0 and i:
+            lines.append("-DOCSTART- -X- O")
+        lines.append(f"tok{i} N B-LOC")
+        lines.append(f"w{i} V O")
+        lines.append("")
+    (d / "b.train").write_text("\n".join(lines) + "\n")
+
+    cols = ["doc_id", "sentence_id", "token_id", "token", "pos", "label"]
+
+    def norm(df):
+        return (
+            df.toPandas()[cols].astype({"doc_id": "int64", "sentence_id": "int64"})
+            .sort_values(cols).reset_index(drop=True)
+        )
+
+    whole = norm(read_conll(spark, str(d), line_mode=False))
+    line = norm(read_conll(spark, str(d), line_mode=True))
+    assert len(whole) == 600 + 7  # 300 sents × 2 toks + 7 from CONLL fixture
+    assert whole.equals(line)
+
+    # auto probe: shrink the threshold so every file counts as "big"
+    monkeypatch.setattr(conll_mod, "WHOLETEXT_MAX_BYTES", 10)
+    auto = norm(conll_mod.read_conll(spark, str(d)))
+    assert whole.equals(auto)
+
+
+def test_read_wikiner_line_mode_identical(spark, tmp_path):
+    p = tmp_path / "wk2"
+    p.mkdir()
+    (p / "a.txt").write_text("Jan|NNP|B-PER gaat|V|O\nnaar|Prep|O Gent|N|B-LOC\n")
+    (p / "b.txt").write_text("Marie|NNP|B-PER slaapt|V|O\n")
+    cols = ["sentence_id", "token_id", "token", "pos", "label"]
+
+    def norm(df):
+        return (
+            df.toPandas()[cols].astype({"sentence_id": "int64"})
+            .sort_values(cols).reset_index(drop=True)
+        )
+
+    assert norm(read_wikiner(spark, str(p), line_mode=False)).equals(
+        norm(read_wikiner(spark, str(p), line_mode=True))
+    )

@@ -110,6 +110,21 @@ def test_pack_documents_single_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
 
 
+def test_exact_dedup_partial_agg_no_window(spark):
+    """exact_dedup is a partial-aggregated groupBy (map-side min_by
+    combine — only one candidate row per (partition, digest) crosses
+    the shuffle), NOT a window sort: a Window row_number form would
+    shuffle every full corpus row with no partial aggregation."""
+    from crfsuite_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup(d, "doc_id", "text"))
+    assert "Window" not in plan, plan
+    assert re.search(r"partial_min_by|HashAggregate.*min_by", plan), plan
+    # exactly one exchange: the digest groupBy (uniform md5 key)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
 def test_link_mentions_no_mention_stream_shuffle(spark):
     """link_mentions (exact path): the mention stream joins the
     pre-disambiguated dictionary via broadcast — no sort-merge or
