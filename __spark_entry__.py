@@ -492,6 +492,92 @@ def q_ds_intra_doc_dedup(spark, sf):
     return intra_doc_span_dedup(d, "doc_id", "text", block_tokens=5)
 
 
+def q_ds_curate(spark, sf):
+    """END-TO-END corpus curation (operators/curate.py): C4 quality
+    filter → exact dedup (map-side min_by) → MinHash-LSH near-dedup
+    with the greedy greater-id drop (SlimPajama rule) → GPT-3 App. C
+    n-gram benchmark decontamination, composed as ONE declarative
+    DataFrame chain. Portable md5-based hashes so the DuckDB oracle
+    rebuilds every stage — including the LSH banding and the
+    signature-estimate screen — bit-for-bit. Thresholds sized to the
+    synthetic corpus (min_words=20, 8-grams) exactly like the
+    per-stage oracles ta_c4_filters / ds_decontaminate."""
+    from crfsuite_spark.operators.curate import CurateConfig, curate_corpus
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select("text")
+    cfg = CurateConfig(
+        min_words=20, min_sentences=0,
+        n_hashes=32, bands=8, shingle_size=5, jaccard_threshold=0.8,
+        hash_fn="md5_32",
+        num_partitions=spark.sparkContext.defaultParallelism,
+        contamination_ngram=8,
+    )
+    out = curate_corpus(d, bench, "doc_id", "text", "text", cfg)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _curate_oracle_sql() -> str:
+    """DuckDB SQL reproducing q_ds_curate stage by stage: the C4 keep
+    predicate (= ta_c4_filters' keep), keep-min-id exact dedup over
+    survivors, the full minhash chain (via _minhash_pair_ctes over the
+    deduped CTE), the greedy greater-id drop, and the 8-gram
+    decontamination against the %97 benchmark slice."""
+    ctes = _minhash_pair_ctes(
+        n_hashes=32, bands=8, k=5, threshold=0.8, seed=42,
+        estimate_margin=0.25, source="uniq",
+    )
+    words = "regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')"
+    nw = ("CASE WHEN trim(coalesce(text, '')) = '' THEN 0 "
+          f"ELSE len({words}) END")
+    grams8 = ("list_distinct(CASE WHEN nw < 8 THEN CAST([] AS VARCHAR[]) "
+              "ELSE list_transform(range(1, nw - 8 + 2), "
+              "i -> array_to_string(list_slice(words, i, i + 7), ' ')) END)")
+    return f"""
+            WITH kept AS (
+              SELECT doc_id, text, lang, n_chars FROM (
+                SELECT doc_id, text, lang, n_chars,
+                       coalesce(text, '') AS c,
+                       {nw} AS n_words,
+                       length(regexp_replace(trim(coalesce(text, '')), '\\s+', '', 'g')) AS nchars,
+                       length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_sent
+                FROM documents)
+              WHERE n_words >= 20 AND n_words <= 100000
+                AND (CASE WHEN n_words = 0 THEN 0.0
+                          ELSE nchars / CAST(n_words AS DOUBLE) END) >= 3.0
+                AND (CASE WHEN n_words = 0 THEN 0.0
+                          ELSE nchars / CAST(n_words AS DOUBLE) END) <= 10.0
+                AND n_sent >= 0
+                AND NOT contains(c, '{{')
+                AND NOT contains(lower(c), 'lorem ipsum')),
+            uniq AS (
+              SELECT doc_id, text, lang, n_chars FROM (
+                SELECT doc_id, text, lang, n_chars,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM kept)
+              WHERE rn = 1),
+            {ctes},
+            losers AS (
+              SELECT DISTINCT id_b AS doc_id FROM v WHERE j >= 0.8),
+            surv AS (
+              SELECT u.* FROM uniq u
+              WHERE u.doc_id NOT IN (SELECT doc_id FROM losers)),
+            bw AS (
+              SELECT {words} AS words, {nw} AS nw
+              FROM documents WHERE doc_id % 97 = 0),
+            bgr AS (
+              SELECT DISTINCT unnest({grams8}) AS g FROM bw),
+            sw AS (
+              SELECT doc_id, {words} AS words, {nw} AS nw FROM surv),
+            sgr AS (
+              SELECT doc_id, unnest({grams8}) AS g FROM sw),
+            contaminated AS (
+              SELECT DISTINCT sgr.doc_id FROM sgr JOIN bgr USING (g))
+            SELECT doc_id, lang, n_chars FROM surv
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """
+
+
 def q_ta_winnow(spark, sf):
     """Winnowing rolling-hash document fingerprints (MOSS algorithm,
     k=5-gram hashes, window w=4): per-doc fingerprint count + head-8
@@ -824,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
+        "ds_curate": q_ds_curate,
         "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
         "ev_sessionize": q_ev_sessionize,
@@ -847,12 +934,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _minhash_oracle_sql(n_hashes=32, bands=8, k=5, threshold=0.8, seed=42,
-                        estimate_margin=0.25) -> str:
+                        estimate_margin=0.25, source="documents") -> str:
     """DuckDB SQL reproducing minhash_self_pairs(hash_fn='md5_32')
     exactly: portable shingle hash, the same seeded affine minhash
     params, band-equality candidate blocking, the signature-estimate
     screen (#equal minhashes ≥ ceil((threshold − margin)·n)), and the
-    exact-Jaccard verify."""
+    exact-Jaccard verify. ``source``: table or CTE name carrying
+    (doc_id, text) — lets composed oracles (ds_curate) run the chain
+    over an intermediate stage instead of the raw table."""
+    ctes = _minhash_pair_ctes(
+        n_hashes, bands, k, threshold, seed, estimate_margin, source
+    )
+    return f"""
+            WITH {ctes}
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM v WHERE j >= {threshold}
+        """
+
+
+def _minhash_pair_ctes(n_hashes=32, bands=8, k=5, threshold=0.8, seed=42,
+                       estimate_margin=0.25, source="documents") -> str:
+    """The minhash chain as a WITH-clause fragment (CTEs sh → sig →
+    bands → cand → est → v); composable into larger oracles. The
+    verified pairs live in ``v`` as (id_a, id_b, j)."""
     import math
 
     from crfsuite_spark.operators.minhash import MERSENNE, _hash_params
@@ -876,15 +979,14 @@ def _minhash_oracle_sql(n_hashes=32, bands=8, k=5, threshold=0.8, seed=42,
         f"SELECT doc_id, {b} AS band, band{b} AS val FROM sig"
         for b in range(bands)
     )
-    return f"""
-            WITH sh AS (
+    return f"""sh AS (
               SELECT doc_id,
                      list_distinct(CASE WHEN length(text) < {k}
                        THEN [('0x' || substr(md5(text), 1, 8))::BIGINT % {MERSENNE}]
                        ELSE list_transform(range(1, length(text) - {k} + 2),
                             i -> ('0x' || substr(md5(substr(text, i, {k})), 1, 8))::BIGINT % {MERSENNE})
                      END) AS hs
-              FROM documents),
+              FROM {source}),
             sig AS (
               SELECT doc_id, hs,
                      {mh_exprs},
@@ -907,9 +1009,7 @@ def _minhash_oracle_sql(n_hashes=32, bands=8, k=5, threshold=0.8, seed=42,
                        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS j
               FROM est c
               JOIN sig sa ON sa.doc_id = c.id_a
-              JOIN sig sb ON sb.doc_id = c.id_b)
-            SELECT id_a, id_b, round(j, 6) AS jaccard FROM v WHERE j >= {threshold}
-        """
+              JOIN sig sb ON sb.doc_id = c.id_b)"""
 
 
 def _ann_oracle_sql(dim=64, n_planes=8, k=10, seed=42) -> str:
@@ -1062,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_minhash": _minhash_oracle_sql(),
+        "ds_curate": _curate_oracle_sql(),
         "sim_ann_topk": _ann_oracle_sql(),
         "sim_ann_multitable": _ann_multitable_oracle_sql(),
         "sim_emb_dup_pairs": _emb_dup_oracle_sql(),
