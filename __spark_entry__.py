@@ -784,6 +784,21 @@ def q_sim_emb_dup_pairs(spark, sf):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ds_semantic_dedup(spark, sf):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): drop embeddings
+    cosine-≥-0.4 to a lower-id row in the same hyperplane bucket, keep
+    the min-id representative (greedy greater-id drop). Same bucketed
+    regime as sim_emb_dup_pairs (0.4 is the near-dup band on the
+    near-orthogonal synthetic vectors; guard pinned OFF to mirror the
+    oracle's unguarded join)."""
+    from crfsuite_spark.operators import similarity as sim
+
+    e = _t(spark, sf, "embeddings")
+    out = sim.semantic_dedup(e, dim=64, threshold=0.4, n_planes=6,
+                             max_bucket_size=None)
+    return out.select("vec_id")
+
+
 def q_mm_image_features(spark, sf):
     """Multimodal plumbing: binary blobs → feature vectors (stub codec).
 
@@ -923,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_topk": q_sim_ann_topk,
         "sim_ann_multitable": q_sim_ann_multitable,
         "sim_emb_dup_pairs": q_sim_emb_dup_pairs,
+        "ds_semantic_dedup": q_ds_semantic_dedup,
         "mm_image_features": q_mm_image_features,
         "a2_feature_refs": q_a2_feature_refs,
         "a10_max_seq_len": q_a10_max_seq_len,
@@ -1104,10 +1120,12 @@ def _ann_multitable_oracle_sql(dim=64, n_tables=2, n_planes=6, k=5, seed=42) -> 
         """
 
 
-def _emb_dup_oracle_sql(dim=64, n_planes=6, threshold=0.4, seed=42) -> str:
-    """DuckDB SQL reproducing q_sim_emb_dup_pairs: same seeded
-    hyperplane buckets (literal planes), same-bucket self-join, exact
-    cosine ≥ threshold."""
+def _emb_dup_pair_ctes(dim=64, n_planes=6, seed=42) -> str:
+    """The bucketed embedding-pair chain as a WITH-clause fragment
+    (CTEs e → b → p, same seeded hyperplane buckets as the operator,
+    planes baked as literals); composable into larger oracles
+    (sim_emb_dup_pairs, ds_semantic_dedup). Unthresholded pairs live
+    in ``p`` as (id_a, id_b, cosine)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -1120,8 +1138,7 @@ def _emb_dup_oracle_sql(dim=64, n_planes=6, threshold=0.4, seed=42) -> str:
         f"(CASE WHEN list_dot_product(v, {arr(planes[j])}) > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(n_planes)
     )
-    return f"""
-            WITH e AS (
+    return f"""e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
             p AS (
@@ -1130,9 +1147,32 @@ def _emb_dup_oracle_sql(dim=64, n_planes=6, threshold=0.4, seed=42) -> str:
                        / (sqrt(list_dot_product(a.v, a.v))
                           * sqrt(list_dot_product(b2.v, b2.v))) AS cosine
               FROM b a JOIN b b2
-                ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+                ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)"""
+
+
+def _emb_dup_oracle_sql(dim=64, n_planes=6, threshold=0.4, seed=42) -> str:
+    """DuckDB SQL reproducing q_sim_emb_dup_pairs: same seeded
+    hyperplane buckets (literal planes), same-bucket self-join, exact
+    cosine ≥ threshold."""
+    ctes = _emb_dup_pair_ctes(dim, n_planes, seed)
+    return f"""
+            WITH {ctes}
             SELECT id_a, id_b, round(cosine, 6) AS cosine
             FROM p WHERE cosine >= {threshold}
+        """
+
+
+def _semantic_dedup_oracle_sql(dim=64, n_planes=6, threshold=0.4, seed=42) -> str:
+    """DuckDB SQL reproducing q_ds_semantic_dedup: the same bucketed
+    pair chain, then the greedy greater-id drop — survivors are vec_ids
+    that are never the GREATER id of a ≥-threshold pair."""
+    ctes = _emb_dup_pair_ctes(dim, n_planes, seed)
+    return f"""
+            WITH {ctes},
+            losers AS (
+              SELECT DISTINCT id_b AS vec_id FROM p WHERE cosine >= {threshold})
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         """
 
 
@@ -1166,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_topk": _ann_oracle_sql(),
         "sim_ann_multitable": _ann_multitable_oracle_sql(),
         "sim_emb_dup_pairs": _emb_dup_oracle_sql(),
+        "ds_semantic_dedup": _semantic_dedup_oracle_sql(),
         "w1_window_lag_lead": """
             SELECT user_id, event_id,
                    lag(event_type) OVER w AS type_lag,

@@ -561,3 +561,42 @@ def embedding_dup_pairs(
     #   pairs.bucketed_frame.unpersist()
     out.bucketed_frame = b
     return out
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket_size: int | None = 50_000,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): drop every
+    document whose embedding is cosine-≥-threshold to a LOWER-id
+    document in the same hyperplane bucket; the min-id representative
+    of each near-duplicate chain discovered survives. Returns the
+    surviving rows of ``emb`` (all columns).
+
+    The greedy greater-id drop is the SlimPajama rule — deterministic,
+    no connected components — applied in embedding space: candidate
+    pairs come from :func:`embedding_dup_pairs` (bucketed self-join
+    with the hot-bucket refinement guard), and the drop set joins back
+    ``left_anti`` on the uniform id key. No broadcast assumption on
+    the drop set: at corpus scale the semantic-duplicate fraction is
+    tens of percent (the SemDeDup paper prunes 50 % of LAION), far
+    beyond driver memory, and the anti-join sort-merges and spills.
+
+    Carries ``bucketed_frame`` (the possibly-cached bucket frame from
+    the pair join) — long-lived drivers should unpersist it once the
+    survivors are materialized.
+    """
+    pairs = embedding_dup_pairs(
+        emb, dim, threshold=threshold, n_planes=n_planes, id_col=id_col,
+        vec_col=vec_col, seed=seed, max_bucket_size=max_bucket_size,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    out = emb.join(losers, id_col, "left_anti")
+    out.bucketed_frame = pairs.bucketed_frame
+    return out

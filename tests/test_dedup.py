@@ -109,6 +109,19 @@ def test_embedding_dup_pairs(emb):
     assert all(not (a == 100 and b == 102) for a, b in got)
 
 
+def test_semantic_dedup_drops_greater_id_near_dup(emb):
+    """SemDeDup greedy drop: 101 (near-identical to 100) goes, 100 and
+    the opposite-direction 102 survive, all other columns pass through."""
+    out = sim.semantic_dedup(emb, dim=16, threshold=0.99, n_planes=6)
+    kept = set(out.toPandas()["vec_id"])
+    out.bucketed_frame.unpersist()
+    assert out.columns == ["vec_id", "embedding"]
+    assert 100 in kept and 102 in kept
+    assert 101 not in kept
+    # only the near-dup chain loses members
+    assert kept == set(range(20)) | {100, 102}
+
+
 def test_simhash_near_pairs_matches_bruteforce(spark, docs):
     """Pigeonhole banding is EXACT for Hamming <= k: the banded join must
     return precisely the brute-force all-pairs set."""
