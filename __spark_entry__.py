@@ -699,6 +699,57 @@ def q_kg_triples_synthetic(spark, sf):
     )
 
 
+def _gold_triples(spark):
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
+    return spark.read.parquet(
+        os.path.join(fixtures, "gold_triples_synthetic.parquet")
+    )
+
+
+def q_kg_triple_support(spark, sf):
+    """Graph materialize enrichment: mention-level triples collapse to
+    weighted edges with provenance counts and slot confidence
+    (kg/graph.py). Two partial-aggregated groupBys."""
+    from crfsuite_spark.kg.graph import triple_support
+
+    out = triple_support(_gold_triples(spark))
+    return out.select(
+        "subj", "pred", "obj", "n_mentions", "n_convs",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+def q_kg_entity_degrees(spark, sf):
+    """Per-entity degree profile over the triple graph: triple counts
+    and distinct-neighbor counts, both directions, one shuffle."""
+    from crfsuite_spark.kg.graph import entity_degrees
+
+    return entity_degrees(_gold_triples(spark))
+
+
+def q_kg_pagerank(spark, sf):
+    """Fixed-3-iteration PageRank over the distinct edge set (textbook
+    map-reduce formulation, damping 0.85); the oracle chains the same
+    three iterations as SQL CTEs."""
+    from crfsuite_spark.kg.graph import pagerank
+
+    out = pagerank(_gold_triples(spark), n_iters=3, damping=0.85)
+    res = out.select("entity", F.round("rank", 6).alias("rank"))
+    res.pinned_caches = out.pinned_caches
+    return res
+
+
+def q_kg_k_hop(spark, sf):
+    """Bounded 2-hop BFS from the lexicographically-first subject:
+    (entity, min-hop). Seeds stay a frame (no collect)."""
+    from crfsuite_spark.kg.graph import k_hop
+
+    t = _gold_triples(spark)
+    seeds = t.agg(F.min("subj").alias("entity"))
+    return k_hop(t, seeds, k=2)
+
+
 def q_dedup_minhash(spark, sf):
     """MinHash-LSH near-dup pairs (char 5-shingles, Jaccard ≥ 0.8) with
     the portable md5-based shingle hash, so the DuckDB oracle reproduces
@@ -922,6 +973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_chunk_documents": q_ds_chunk_documents,
         "ds_pack_documents": q_ds_pack_documents,
         "kg_link_dup_mentions": q_kg_link_dup_mentions,
+        "kg_triple_support": q_kg_triple_support,
+        "kg_entity_degrees": q_kg_entity_degrees,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_k_hop": q_kg_k_hop,
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
@@ -1176,6 +1231,36 @@ def _semantic_dedup_oracle_sql(dim=64, n_planes=6, threshold=0.4, seed=42) -> st
         """
 
 
+def _pagerank_oracle_sql(gold: str, n_iters=3, damping=0.85) -> str:
+    """DuckDB SQL reproducing q_kg_pagerank: the same fixed-iteration
+    simple PageRank, one CTE pair (contrib, rank) per iteration."""
+    ctes = [
+        f"t AS (SELECT * FROM read_parquet('{gold}'))",
+        "e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM t)",
+        "nodes AS (SELECT DISTINCT entity FROM "
+        "(SELECT src AS entity FROM e0 UNION ALL SELECT dst FROM e0))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e0 GROUP BY src)",
+        "e AS (SELECT e0.src, e0.dst, deg.out_deg FROM e0 JOIN deg USING (src))",
+        "r0 AS (SELECT entity, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS entity, sum(r{i-1}.rank / e.out_deg) AS c "
+            f"FROM e JOIN r{i-1} ON r{i-1}.entity = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.entity, "
+            f"(1.0 - {damping}) / nn.n + {damping} * coalesce(c{i}.c, 0) AS rank "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.entity = nodes.entity)"
+        )
+    body = ",\n            ".join(ctes)
+    return f"""
+            WITH {body}
+            SELECT entity, round(rank, 6) AS rank FROM r{n_iters}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tests", "fixtures")
@@ -1191,6 +1276,49 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_synthetic": f"""
             SELECT conv_id, turn_idx, subj, pred, obj
             FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')
+        """,
+        "kg_triple_support": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            g AS (
+              SELECT subj, pred, obj, count(*) AS n_mentions,
+                     count(DISTINCT conv_id) AS n_convs
+              FROM t GROUP BY subj, pred, obj),
+            tot AS (SELECT subj, pred, sum(n_mentions) AS tot FROM g GROUP BY subj, pred)
+            SELECT g.subj, g.pred, g.obj, g.n_mentions, g.n_convs,
+                   round(g.n_mentions * 1.0 / tot.tot, 6) AS confidence
+            FROM g JOIN tot USING (subj, pred)
+        """,
+        "kg_entity_degrees": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            u AS (
+              SELECT subj AS entity, obj AS nbr, 1 AS is_out FROM t
+              UNION ALL
+              SELECT obj AS entity, subj AS nbr, 0 AS is_out FROM t)
+            SELECT entity,
+                   CAST(sum(is_out) AS BIGINT) AS out_triples,
+                   CAST(count(*) - sum(is_out) AS BIGINT) AS in_triples,
+                   count(DISTINCT CASE WHEN is_out = 1 THEN nbr END) AS out_neighbors,
+                   count(DISTINCT CASE WHEN is_out = 0 THEN nbr END) AS in_neighbors
+            FROM u GROUP BY entity
+        """,
+        "kg_pagerank": _pagerank_oracle_sql(
+            f"{fixtures}/gold_triples_synthetic.parquet"
+        ),
+        "kg_k_hop": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+            h0 AS (SELECT min(subj) AS entity, 0 AS hop FROM t),
+            h1 AS (
+              SELECT DISTINCT e.dst AS entity, 1 AS hop
+              FROM e JOIN h0 ON h0.entity = e.src
+              WHERE e.dst NOT IN (SELECT entity FROM h0)),
+            h2 AS (
+              SELECT DISTINCT e.dst AS entity, 2 AS hop
+              FROM e JOIN h1 ON h1.entity = e.src
+              WHERE e.dst NOT IN (SELECT entity FROM h0 UNION ALL SELECT entity FROM h1))
+            SELECT entity, hop FROM h0
+            UNION ALL SELECT entity, hop FROM h1
+            UNION ALL SELECT entity, hop FROM h2
         """,
         # stub image codec always decodes to a 4x4 frame (deterministic
         # by construction, multimodal/binary.py); feature values are

@@ -1,0 +1,181 @@
+"""Graph analytics over materialized (subj, pred, obj) triple tables.
+
+The construction pipeline (kg/pipeline.py) ends at a bucketed triple
+table; these operators are the standard queries run OVER that graph —
+edge-weight aggregation, degree profiles, PageRank entity importance,
+bounded neighborhood expansion. The reference stops at tag/evaluate
+(its triples live in R data frames, bnosac/crfsuite R/crf.R); a
+KG at transcript scale needs the graph side too, so everything here is
+declarative DataFrame code shaped for 10^12-edge tables:
+
+- every aggregation is a partial-aggregated ``groupBy`` on a uniform
+  entity/edge key (map-side combine — a hot entity's mentions collapse
+  inside each partition before the shuffle);
+- PageRank and k-hop are FIXED-iteration loops of join + groupBy; the
+  edge frame (with out-degrees) is persisted once and re-scanned per
+  iteration instead of being recomputed from the triple lineage;
+- no ``collect()`` anywhere — seeds and counts stay in frames or
+  scalars derived from one ``count()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triple_support(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    conv: str = "conv_id",
+) -> DataFrame:
+    """Collapse mention-level triples into weighted edges:
+    (subj, pred, obj, n_mentions, n_convs, confidence) where
+    ``confidence`` = n_mentions / total mentions of (subj, pred) — the
+    usual open-IE edge score (how often this object wins the slot).
+
+    Two partial-aggregated groupBys; the (subj, pred) totals join back
+    on the smaller aggregated side."""
+    g = triples.groupBy(subj, pred, obj).agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct(conv).alias("n_convs"),
+    )
+    tot = g.groupBy(subj, pred).agg(F.sum("n_mentions").alias("__tot"))
+    return (
+        g.join(tot, [subj, pred])
+        .withColumn("confidence", F.col("n_mentions") / F.col("__tot"))
+        .drop("__tot")
+    )
+
+
+def entity_degrees(
+    triples: DataFrame, subj: str = "subj", obj: str = "obj"
+) -> DataFrame:
+    """Per-entity degree profile: (entity, out_triples, in_triples,
+    out_neighbors, in_neighbors). One union + one groupBy on the
+    entity key; distinct-neighbor counts via conditional
+    ``countDistinct`` (NULLs from the other direction don't count)."""
+    u = triples.select(
+        F.col(subj).alias("entity"),
+        F.col(obj).alias("nbr"),
+        F.lit(1).alias("is_out"),
+    ).unionByName(
+        triples.select(
+            F.col(obj).alias("entity"),
+            F.col(subj).alias("nbr"),
+            F.lit(0).alias("is_out"),
+        )
+    )
+    return u.groupBy("entity").agg(
+        F.sum("is_out").alias("out_triples"),
+        (F.count("*") - F.sum("is_out")).alias("in_triples"),
+        F.countDistinct(
+            F.when(F.col("is_out") == 1, F.col("nbr"))
+        ).alias("out_neighbors"),
+        F.countDistinct(
+            F.when(F.col("is_out") == 0, F.col("nbr"))
+        ).alias("in_neighbors"),
+    )
+
+
+def pagerank(
+    triples: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Fixed-iteration PageRank over the distinct (subj → obj) edge
+    set: (entity, rank).
+
+    r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/outdeg(u) — the simple
+    (non-dangling-redistributing) formulation: rank flowing into sink
+    nodes leaves the system, exactly like the textbook map-reduce
+    PageRank, which keeps every iteration ONE join + ONE
+    partial-aggregated groupBy and makes the fixed-iteration result
+    reproducible in plain SQL (the ds driver oracle chains the same
+    three iterations as CTEs). Convergence-to-tolerance is a caller
+    loop away; fixed small n_iters is the production norm for entity
+    importance at 10^12 edges, where each extra iteration is a full
+    shuffle over the edge table.
+
+    The degree-annotated edge frame is persisted (it is scanned once
+    per iteration; unpersist via ``out.pinned_caches``). The node set
+    stays a frame; N is the one scalar (``count()``)."""
+    edges = triples.select(
+        F.col(subj).alias("src"), F.col(obj).alias("dst")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e = edges.join(deg, "src").persist()
+    ranks = nodes.select("entity", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("entity", "src"), "src")
+            .select(
+                F.col("dst").alias("entity"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("entity")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, "entity", "left").select(
+            "entity",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    ranks.pinned_caches = [e, nodes]
+    return ranks
+
+
+def k_hop(
+    triples: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Bounded BFS over the directed edge set: (entity, hop) with
+    hop = MINIMUM distance ≤ k from any seed. ``seeds`` is a one-column
+    frame named ``entity`` (hop 0) — a frame, not a list, so seed
+    selection stays distributed (e.g. "all entities matching X").
+
+    Each hop is one join on the uniform src key + one distinct + one
+    anti-join against the visited set; min-hop semantics come from the
+    anti-join (a node is claimed by the FIRST frontier that reaches
+    it). The frontier and visited sets are entity-id-only frames —
+    tiny relative to the edge table — and each round's frontier is
+    persisted since round h+1 joins it twice (expansion + anti-join).
+    Unpersist via ``out.pinned_caches``."""
+    edges = triples.select(
+        F.col(subj).alias("src"), F.col(obj).alias("dst")
+    ).distinct().persist()
+    pinned = [edges]
+    visited = seeds.select("entity", F.lit(0).alias("hop")).persist()
+    pinned.append(visited)
+    frontier = visited.select("entity")
+    out = visited
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["entity"] == edges["src"])
+            .select(F.col("dst").alias("entity"))
+            .distinct()
+            .join(out.select("entity"), "entity", "left_anti")
+            .select("entity", F.lit(h).alias("hop"))
+            .persist()
+        )
+        pinned.append(nxt)
+        out = out.unionByName(nxt)
+        frontier = nxt.select("entity")
+    out.pinned_caches = pinned
+    return out

@@ -1,0 +1,142 @@
+"""Graph analytics over materialized triple tables (kg/graph.py):
+exact-value checks against independent numpy/pure-Python references on
+a hand-built graph, plus the semantic corners the driver oracle can't
+see (min-hop claim on multi-path nodes, sink-node rank leakage,
+duplicate-mention collapse)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crfsuite_spark.kg.graph import (
+    entity_degrees,
+    k_hop,
+    pagerank,
+    triple_support,
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, obj string"
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # a -> b (x2 convs), a -> c, b -> c, c -> d; e isolated as subject
+    # of a self-contained edge e -> a (so every node is reachable from a
+    # except e itself).
+    rows = [
+        ("c1", 1, "a", "knows", "b"),
+        ("c2", 1, "a", "knows", "b"),  # duplicate mention, second conv
+        ("c2", 2, "a", "knows", "c"),
+        ("c1", 2, "b", "knows", "c"),
+        ("c1", 3, "c", "knows", "d"),
+        ("c3", 1, "e", "knows", "a"),
+    ]
+    return _triples(spark, rows)
+
+
+def test_triple_support_counts_and_confidence(spark, tiny):
+    out = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in triple_support(tiny).collect()
+    }
+    ab = out[("a", "knows", "b")]
+    assert ab["n_mentions"] == 2 and ab["n_convs"] == 2
+    # a/knows has 3 mentions total: b twice, c once
+    assert ab["confidence"] == pytest.approx(2 / 3)
+    assert out[("a", "knows", "c")]["confidence"] == pytest.approx(1 / 3)
+    # sole object => confidence 1.0
+    assert out[("c", "knows", "d")]["confidence"] == pytest.approx(1.0)
+    # per-(subj,pred) confidences sum to 1
+    import collections
+
+    sums = collections.defaultdict(float)
+    for (s, p, _), r in out.items():
+        sums[(s, p)] += r["confidence"]
+    assert all(v == pytest.approx(1.0) for v in sums.values())
+
+
+def test_entity_degrees_vs_reference(spark, tiny):
+    got = {r["entity"]: r for r in entity_degrees(tiny).collect()}
+    # a: out triples a->b,a->b,a->c = 3; in: e->a = 1
+    assert (got["a"]["out_triples"], got["a"]["in_triples"]) == (3, 1)
+    assert (got["a"]["out_neighbors"], got["a"]["in_neighbors"]) == (2, 1)
+    # d: sink
+    assert (got["d"]["out_triples"], got["d"]["out_neighbors"]) == (0, 0)
+    assert (got["d"]["in_triples"], got["d"]["in_neighbors"]) == (1, 1)
+    # b: in 2 triples (both a->b mentions) but 1 distinct in-neighbor
+    assert got["b"]["in_triples"] == 2 and got["b"]["in_neighbors"] == 1
+
+
+def _numpy_pagerank(edges, n_iters, damping):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for s, d in edges:
+            nxt[idx[d]] += damping * r[idx[s]] / out_deg[s]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, tiny):
+    # distinct edge set (the duplicate a->b mention collapses)
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("e", "a")]
+    for iters in (1, 3):
+        exp = _numpy_pagerank(edges, iters, 0.85)
+        out = pagerank(tiny, n_iters=iters, damping=0.85)
+        got = {r["entity"]: r["rank"] for r in out.collect()}
+        for c in out.pinned_caches:
+            c.unpersist()
+        assert set(got) == set(exp)
+        for v in exp:
+            assert got[v] == pytest.approx(exp[v], abs=1e-12), v
+    # sink semantics: d absorbs but never redistributes, so total mass
+    # strictly below 1 after an iteration (textbook simple formulation)
+    assert sum(got.values()) < 1.0
+
+
+def test_k_hop_min_hop_claim(spark):
+    # diamond + long path: a->b->d, a->c->d, b->e, e->f
+    # d reachable at hop 2 via two paths; f at hop 3 (excluded at k=2)
+    rows = [
+        ("c1", 1, "a", "r", "b"),
+        ("c1", 2, "a", "r", "c"),
+        ("c1", 3, "b", "r", "d"),
+        ("c1", 4, "c", "r", "d"),
+        ("c1", 5, "b", "r", "e"),
+        ("c1", 6, "e", "r", "f"),
+        # back-edge d->a: a is already hop 0, must NOT be re-claimed
+        ("c1", 7, "d", "r", "a"),
+    ]
+    t = _triples(spark, rows)
+    seeds = t.sparkSession.createDataFrame([("a",)], "entity string")
+    out = k_hop(t, seeds, k=2)
+    got = {r["entity"]: r["hop"] for r in out.collect()}
+    for c in out.pinned_caches:
+        c.unpersist()
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 2}
+
+
+def test_k_hop_multi_seed_frame(spark, tiny):
+    # seeds as a FRAME derived from the data (no collect): all subjects
+    # of 'knows' edges whose object is 'c' -> {a, b}
+    seeds = (
+        tiny.where(F.col("obj") == "c")
+        .select(F.col("subj").alias("entity"))
+        .distinct()
+    )
+    out = k_hop(tiny, seeds, k=1)
+    got = {r["entity"]: r["hop"] for r in out.collect()}
+    for c in out.pinned_caches:
+        c.unpersist()
+    # a,b seeds; hop1 = union of their successors minus seeds = {c}
+    assert got == {"a": 0, "b": 0, "c": 1}
