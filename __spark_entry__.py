@@ -750,6 +750,51 @@ def q_kg_k_hop(spark, sf):
     return k_hop(t, seeds, k=2)
 
 
+def _gold_triples_ts(spark):
+    """Gold triples joined with the generator's per-turn timestamps —
+    the mention-level input for the temporal/lifecycle queries."""
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
+    ts = spark.read.parquet(
+        os.path.join(fixtures, "gold_turn_ts_synthetic.parquet")
+    )
+    return _gold_triples(spark).join(ts, ["conv_id", "turn_idx"])
+
+
+def q_kg_temporal_triples(spark, sf):
+    """Valid-time edge scoping: mention triples collapse to (edge,
+    n_mentions, n_convs, first_seen, last_seen) in one map-side
+    combined groupBy (kg/lifecycle.py)."""
+    from crfsuite_spark.kg.lifecycle import temporal_triples
+
+    return temporal_triples(_gold_triples_ts(spark))
+
+
+def q_kg_edge_merge(spark, sf):
+    """Incremental edge-table maintenance: the mention stream split
+    into two batches (even/odd turns), each aggregated to mergeable
+    edge deltas, then folded together. The oracle aggregates the FULL
+    mention set in one pass — green means merge(agg(A), agg(B)) ==
+    agg(A ∪ B) holds cross-engine, the invariant that lets a 10^12-edge
+    graph absorb new batches without recomputation."""
+    from crfsuite_spark.kg.lifecycle import edge_deltas, merge_edge_deltas
+
+    t = _gold_triples_ts(spark)
+    a = edge_deltas(t.where(F.col("turn_idx") % 2 == 0))
+    b = edge_deltas(t.where(F.col("turn_idx") % 2 == 1))
+    return merge_edge_deltas(a, b)
+
+
+def q_kg_resolve_functional(spark, sf):
+    """Conflict resolution for functional predicates: one winning
+    object per (subj, pred) by (support desc, recency desc, obj desc),
+    as a map-side max_by — no window sort."""
+    from crfsuite_spark.kg.lifecycle import resolve_functional, temporal_triples
+
+    edges = temporal_triples(_gold_triples_ts(spark))
+    return resolve_functional(edges, ["located_in", "works_at"])
+
+
 def q_dedup_minhash(spark, sf):
     """MinHash-LSH near-dup pairs (char 5-shingles, Jaccard ≥ 0.8) with
     the portable md5-based shingle hash, so the DuckDB oracle reproduces
@@ -977,6 +1022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_k_hop": q_kg_k_hop,
+        "kg_temporal_triples": q_kg_temporal_triples,
+        "kg_edge_merge": q_kg_edge_merge,
+        "kg_resolve_functional": q_kg_resolve_functional,
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
@@ -1304,6 +1352,47 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"
         ),
+        "kg_temporal_triples": f"""
+            WITH t AS (
+              SELECT g.*, s.ts
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx))
+            SELECT subj, pred, obj, count(*) AS n_mentions,
+                   count(DISTINCT conv_id) AS n_convs,
+                   min(ts) AS first_seen, max(ts) AS last_seen
+            FROM t GROUP BY subj, pred, obj
+        """,
+        # one-pass aggregate over the FULL mention set: green iff the
+        # Spark side's two-batch delta merge equals the from-scratch
+        # aggregate (the incremental-maintenance invariant)
+        "kg_edge_merge": f"""
+            WITH t AS (
+              SELECT g.*, s.ts
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx))
+            SELECT subj, pred, obj, count(*) AS n_mentions,
+                   min(ts) AS first_seen, max(ts) AS last_seen
+            FROM t GROUP BY subj, pred, obj
+        """,
+        "kg_resolve_functional": f"""
+            WITH t AS (
+              SELECT g.*, s.ts
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx)),
+            e AS (
+              SELECT subj, pred, obj, count(*) AS n_mentions,
+                     count(DISTINCT conv_id) AS n_convs,
+                     min(ts) AS first_seen, max(ts) AS last_seen
+              FROM t GROUP BY subj, pred, obj)
+            SELECT * FROM e
+            WHERE pred IN ('located_in', 'works_at')
+            QUALIFY row_number() OVER (
+              PARTITION BY subj, pred
+              ORDER BY n_mentions DESC, last_seen DESC, obj DESC) = 1
+        """,
         "kg_k_hop": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
             e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),

@@ -1,0 +1,128 @@
+"""KG lifecycle operators: temporal scoping, incremental edge merge,
+and functional-predicate conflict resolution.
+
+At 10^12-turn scale the triple graph is never rebuilt from scratch —
+new transcript batches arrive, each batch's mentions are aggregated to
+edge deltas, and the deltas fold into the standing edge table (on a
+real cluster: an Iceberg MERGE over the bucketed layout that
+kg/triples.py's manifest protocol mirrors). Everything here is built
+around that constraint:
+
+- edge statistics are restricted to the EXACTLY-MERGEABLE ones
+  (count / min / max): ``merge(agg(A), agg(B)) == agg(A ∪ B)`` holds
+  bit-for-bit, property-tested in tests/test_lifecycle.py. Distinct
+  counts (n_convs) are deliberately absent from the incremental schema
+  — they don't merge without carrying per-conv grain or a sketch, and
+  a silently-approximate default is worse than an explicit join to
+  :func:`crfsuite_spark.kg.graph.triple_support` when exact distincts
+  are needed on a fresh snapshot.
+- every aggregation is a partial-aggregated ``groupBy`` on the uniform
+  (subj, pred[, obj]) key — a hot entity's mentions collapse map-side
+  before the shuffle; no windows, no collect.
+
+The reference stops at tag/evaluate (bnosac/crfsuite R/crf.R); the
+temporal/merge/resolve layer is what a transcript KG needs beyond it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EDGE_KEY = ["subj", "pred", "obj"]
+
+
+def temporal_triples(
+    triples: DataFrame,
+    ts_col: str = "ts",
+    conv: str = "conv_id",
+) -> DataFrame:
+    """Collapse mention-level triples to temporally-scoped edges:
+    (subj, pred, obj, n_mentions, n_convs, first_seen, last_seen).
+
+    The valid-time convention: an edge is supported from the first
+    turn that asserted it to the last. One map-side-combined groupBy on
+    the edge key. This is the SNAPSHOT aggregation (exact n_convs
+    included); for the incremental path use :func:`edge_deltas` +
+    :func:`merge_edge_deltas`, whose schema keeps only mergeable
+    statistics."""
+    return triples.groupBy(*EDGE_KEY).agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct(conv).alias("n_convs"),
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+    )
+
+
+def edge_deltas(mentions: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Aggregate ONE batch of mention-level triples to the mergeable
+    edge-delta schema: (subj, pred, obj, n_mentions, first_seen,
+    last_seen). One partial-aggregated groupBy."""
+    return mentions.groupBy(*EDGE_KEY).agg(
+        F.count("*").alias("n_mentions"),
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+    )
+
+
+def merge_edge_deltas(prev: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Fold a new edge-delta batch into the standing edge table.
+
+    Both inputs carry the :func:`edge_deltas` schema; the result does
+    too, so merges chain across arbitrarily many batches. Union +
+    one groupBy on the edge key — counts sum, first_seen takes the
+    min, last_seen the max. All three are associative+commutative, so
+    the fold is batch-order-independent and equals the from-scratch
+    aggregate of the union of all mention batches (property-tested).
+
+    ``prev=None`` (first batch) returns ``delta`` unchanged. On a real
+    table this groupBy is the computational core of an Iceberg
+    MERGE INTO ... ON edge-key: co-partition both sides by the edge
+    key (the bucketed layout kg/triples.py writes) and the merge is
+    shuffle-free."""
+    if prev is None:
+        return delta
+    return prev.unionByName(delta).groupBy(*EDGE_KEY).agg(
+        F.sum("n_mentions").alias("n_mentions"),
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+    )
+
+
+def resolve_functional(
+    edges: DataFrame,
+    functional_preds: Sequence[str],
+) -> DataFrame:
+    """Current-belief resolution for FUNCTIONAL predicates (at most one
+    true object per subject — located_in, works_at, ...): per
+    (subj, pred), the winning object by (support desc, recency desc,
+    obj desc — a deterministic total order; the string tiebreak is
+    arbitrary but stable).
+
+    Input is any frame with the edge schema (n_mentions + last_seen
+    present — :func:`temporal_triples` or a merged delta table).
+    Output: one row per (subj, pred in functional_preds) with the full
+    winning edge row. Non-functional predicates are filtered out —
+    union the untouched remainder back in if a complete graph view is
+    needed.
+
+    Shape: ``max_by`` over the whole row keyed by the (n_mentions,
+    last_seen, obj) struct — one partial-aggregated groupBy on the
+    (subj, pred) key; struct comparison is lexicographic by field, so
+    the key IS the documented priority order. No window sort: a
+    row_number form would shuffle every candidate row; max_by keeps
+    one winner per key per partition before the exchange."""
+    row = F.struct(*[F.col(c) for c in edges.columns])
+    key = F.struct(
+        F.col("n_mentions").alias("support"),
+        F.col("last_seen").alias("recency"),
+        F.col("obj").alias("obj"),
+    )
+    won = (
+        edges.where(F.col("pred").isin(list(functional_preds)))
+        .groupBy("subj", "pred")
+        .agg(F.max_by(row, key).alias("__w"))
+    )
+    return won.select("__w.*")

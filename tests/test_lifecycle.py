@@ -1,0 +1,137 @@
+"""KG lifecycle operators: temporal scoping, incremental edge merge,
+functional-predicate resolution (crfsuite_spark/kg/lifecycle.py).
+
+The load-bearing property: ``merge(agg(A), agg(B)) == agg(A ∪ B)``
+bit-for-bit for ANY split of the mention stream into batches and ANY
+fold order — the invariant that lets a standing 10^12-edge table absorb
+new transcript batches without recomputation. Plus plan-shape checks:
+each aggregation partial-aggregates (map-side combine before the
+exchange) and resolve_functional never introduces a window sort.
+"""
+
+import datetime
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crfsuite_spark.kg.lifecycle import (
+    edge_deltas,
+    merge_edge_deltas,
+    resolve_functional,
+    temporal_triples,
+)
+
+
+def _pdf(df):
+    out = df.toPandas()
+    return (
+        out[sorted(out.columns)]
+        .sort_values(sorted(out.columns))
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    """Mention-level triples with timestamps: deliberately includes
+    duplicate edges across convs/turns and a functional-predicate
+    conflict (alice located_in two cities with different support)."""
+    rng = random.Random(7)
+    subjects = ["alice", "bob", "carol", "dave"]
+    preds = ["located_in", "works_at", "mentions"]
+    objects = ["paris", "tokyo", "acme", "globex", "report"]
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i in range(400):
+        rows.append(
+            (
+                f"conv{rng.randrange(20)}",
+                rng.randrange(12),
+                rng.choice(subjects),
+                rng.choice(preds),
+                rng.choice(objects),
+                base + datetime.timedelta(minutes=rng.randrange(100000)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, obj string, ts timestamp"
+    )
+
+
+def test_temporal_triples_matches_pandas(spark, mentions):
+    got = _pdf(temporal_triples(mentions))
+    pdf = mentions.toPandas()
+    exp = (
+        pdf.groupby(["subj", "pred", "obj"])
+        .agg(
+            n_mentions=("ts", "size"),
+            n_convs=("conv_id", "nunique"),
+            first_seen=("ts", "min"),
+            last_seen=("ts", "max"),
+        )
+        .reset_index()
+    )
+    exp = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_merge_equals_from_scratch_any_split(spark, mentions):
+    """merge(agg(A), agg(B), agg(C)) == agg(A ∪ B ∪ C) bit-for-bit for
+    a random 3-way split, both fold orders."""
+    full = _pdf(edge_deltas(mentions))
+    splits = [
+        mentions.where(F.crc32(F.concat_ws("|", "conv_id", "turn_idx")) % 3 == i)
+        for i in range(3)
+    ]
+    deltas = [edge_deltas(s) for s in splits]
+    folded = None
+    for d in deltas:
+        folded = merge_edge_deltas(folded, d)
+    pd.testing.assert_frame_equal(_pdf(folded), full, check_dtype=False)
+    # reverse fold order — associative+commutative stats are order-free
+    folded_rev = None
+    for d in reversed(deltas):
+        folded_rev = merge_edge_deltas(folded_rev, d)
+    pd.testing.assert_frame_equal(_pdf(folded_rev), full, check_dtype=False)
+
+
+def test_merge_first_batch_is_identity(spark, mentions):
+    d = edge_deltas(mentions)
+    assert merge_edge_deltas(None, d) is d
+
+
+def test_resolve_functional_winner_and_determinism(spark, mentions):
+    edges = temporal_triples(mentions)
+    got = _pdf(resolve_functional(edges, ["located_in", "works_at"]))
+    # one winner per (subj, pred); only functional preds survive
+    assert set(got["pred"]) <= {"located_in", "works_at"}
+    assert not got.duplicated(["subj", "pred"]).any()
+    # winner = max by (n_mentions, last_seen, obj) — recompute in pandas
+    pdf = _pdf(edges)
+    pdf = pdf[pdf["pred"].isin(["located_in", "works_at"])]
+    exp = (
+        pdf.sort_values(
+            ["n_mentions", "last_seen", "obj"], ascending=False, kind="mergesort"
+        )
+        .drop_duplicates(["subj", "pred"])
+    )
+    exp = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # repartition invariance: same winners from a different physical layout
+    got2 = _pdf(resolve_functional(temporal_triples(mentions.repartition(13)), ["located_in", "works_at"]))
+    pd.testing.assert_frame_equal(got2, exp, check_dtype=False)
+
+
+def test_lifecycle_plans_partial_aggregate_no_window(spark, mentions):
+    """Scale contract: every lifecycle aggregation shows two-phase
+    HashAggregate (partial_ before the exchange) and resolve_functional
+    never plans a Window sort."""
+    edges = temporal_triples(mentions)
+    for df in (edges, edge_deltas(mentions),
+               merge_edge_deltas(edge_deltas(mentions), edge_deltas(mentions)),
+               resolve_functional(edges, ["located_in"])):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_" in plan or "partial" in plan.lower(), plan
+        assert "Window" not in plan, plan

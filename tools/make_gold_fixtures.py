@@ -70,6 +70,17 @@ def main() -> None:
     )
     print(f"gold_triples_synthetic: {len(tri)} rows")
 
+    # per-turn timestamps for the temporal/lifecycle oracles (valid-time
+    # scoping, incremental merge): the generator's seeded ts, one row per
+    # turn, joined to the triples fixture on (conv_id, turn_idx)
+    ts = data.transcripts[["conv_id", "turn_idx", "ts"]].copy()
+    # Spark's parquet reader rejects TIMESTAMP(NANOS); write micros
+    ts["ts"] = ts["ts"].astype("datetime64[us]")
+    ts.to_parquet(
+        os.path.join(FIXTURES, "gold_turn_ts_synthetic.parquet"), index=False
+    )
+    print(f"gold_turn_ts_synthetic: {len(ts)} rows")
+
 
 if __name__ == "__main__":
     main()
