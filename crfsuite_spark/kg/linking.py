@@ -96,14 +96,51 @@ def link_mentions(
             exact.where(F.col("canonical_id").isNull())
             .select("__norm").where(F.length("__norm") > 0).distinct()
         )
-        best_df = _fuzzy_best(miss_norms, alias_dict, jaccard_threshold)
-        head = best_df.limit(fuzzy_collect_threshold + 1).collect()
-        if len(head) <= fuzzy_collect_threshold:
-            if head:
-                best = spark.createDataFrame(head, "__norm string, __fuzzy_id string")
+        # Small path: when the DISTINCT missed surfaces fit the collect
+        # threshold (probed with limit, never unbounded), the whole LSH
+        # chain runs driver-side in numpy — bit-exact vs the distributed
+        # path (operators/minhash_local.py, parity-tested), one Spark
+        # job (the column-pruned miss collect) instead of ~10. The
+        # dictionary side is by contract broadcast-small (it is ALWAYS
+        # broadcast above), so collecting its three link columns is the
+        # same bound the broadcast already pays.
+        miss_head = miss_norms.limit(fuzzy_collect_threshold + 1).collect()
+        local_best = None
+        if not miss_head:
+            local_best = []
+        elif len(miss_head) <= fuzzy_collect_threshold:
+            from crfsuite_spark.operators.minhash_local import local_fuzzy_best
+
+            dict_rows = [
+                (r["__a"], r["canonical_id"], r["__w"])
+                for r in alias_dict.select(
+                    normalize_surface("alias").alias("__a"),
+                    "canonical_id",
+                    F.coalesce(
+                        F.col("weight").cast("double"), F.lit(float("-inf"))
+                    ).alias("__w"),
+                ).where(F.length("__a") > 0).distinct().collect()
+            ]
+            local_best = local_fuzzy_best(
+                [r["__norm"] for r in miss_head], dict_rows,
+                jaccard_threshold=jaccard_threshold,
+            )
+        if local_best is not None:
+            if local_best:
+                best = spark.createDataFrame(
+                    local_best, "__norm string, __fuzzy_id string"
+                )
         else:
-            best = best_df
-            best_distributed = True
+            # candidate budget overflow (local_fuzzy_best -> None) or
+            # miss set over threshold: distributed, spillable chain
+            best_df = _fuzzy_best(miss_norms, alias_dict, jaccard_threshold)
+            head = best_df.limit(fuzzy_collect_threshold + 1).collect()
+            if len(head) <= fuzzy_collect_threshold:
+                if head:
+                    best = spark.createDataFrame(head, "__norm string, __fuzzy_id string")
+            else:
+                best = best_df
+                best_distributed = True
     out = exact
     if best is not None:
         out = out.join(best if best_distributed else F.broadcast(best), "__norm", "left")
@@ -131,6 +168,7 @@ def link_mentions(
 def canonicalize_surrogates(
     linked: DataFrame,
     jaccard_threshold: float = 0.85,
+    driver_threshold: int = 20_000,
 ) -> DataFrame:
     """North-star canonicalization stage: cluster surrogate ids
     (``unk:<surface>`` — mentions the dictionary could not link) whose
@@ -148,6 +186,63 @@ def canonicalize_surrogates(
     unk = linked.where(F.col("link_method") == "surrogate").select(
         "canonical_id"
     ).distinct()
+    # Small path: the surrogate set is bounded by DISTINCT unlinked
+    # surfaces — dictionary scale on transcript corpora. Below the
+    # probed threshold the LSH self-pairs + union-find run driver-side
+    # (operators/minhash_local.py, bit-exact vs the distributed chain;
+    # union-by-min = the CC min-label convention), one job instead of
+    # ~15. Over the threshold, or if the candidate-pair budget blows up
+    # (local_self_pairs -> None), the distributed path below runs
+    # unchanged. ``driver_threshold=0`` disables the small path.
+    if driver_threshold:
+        head = unk.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            from crfsuite_spark.operators.minhash_local import local_self_pairs
+
+            ids = [r["canonical_id"] for r in head]
+            pairs_pdf = local_self_pairs(
+                ids, [i[4:] for i in ids],
+                n_hashes=32, bands=8, shingle_size=3,
+                jaccard_threshold=jaccard_threshold,
+            )
+            if pairs_pdf is not None:
+                if len(pairs_pdf) == 0:
+                    return linked
+                parent: dict = {}
+
+                def find(x):
+                    r = x
+                    while parent[r] != r:
+                        r = parent[r]
+                    while parent[x] != r:
+                        parent[x], x = r, parent[x]
+                    return r
+
+                for a, b in zip(pairs_pdf["id_a"], pairs_pdf["id_b"]):
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+                remap_rows = [
+                    (n, find(n)) for n in parent if find(n) != n
+                ]
+                if not remap_rows:
+                    return linked
+                spark = linked.sparkSession
+                remap = F.broadcast(
+                    spark.createDataFrame(
+                        remap_rows, "canonical_id string, __canon string"
+                    )
+                )
+                return (
+                    linked.join(remap, "canonical_id", "left")
+                    .withColumn(
+                        "canonical_id", F.coalesce("__canon", "canonical_id")
+                    )
+                    .drop("__canon")
+                )
     # persist + count() BEFORE connected_components, so the expensive
     # minhash pipeline over the surrogate set is materialized exactly
     # once and every downstream reference (the emptiness probe, CC's

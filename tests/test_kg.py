@@ -166,17 +166,25 @@ def test_canonicalize_surrogates(spark):
     linked = spark.createDataFrame(
         rows, "surface string, canonical_id string, link_method string"
     )
-    out = canonicalize_surrogates(linked, jaccard_threshold=0.5).toPandas()
-    by_surface = dict(zip(out["surface"], out["canonical_id"]))
-    # dictionary id untouched
-    assert by_surface["Dave Miller"] == "per:dave_miller"
-    # the three acme variants collapse to ONE representative (min id)
-    acme = {by_surface["Acme Corporation"], by_surface["Acme Corporatoin"],
-            by_surface["acme corporation inc"]}
-    assert len(acme) == 1, acme
-    # unrelated surrogate keeps its own id
-    assert by_surface["Zeta Systems"] == "unk:zeta systems"
-    assert by_surface["Zeta Systems"] not in acme
+    # both paths must agree: driver-side small path (default) and the
+    # distributed LSH+CC chain (driver_threshold=0) — identical output
+    outs = []
+    for thr in (20_000, 0):
+        out = canonicalize_surrogates(
+            linked, jaccard_threshold=0.5, driver_threshold=thr
+        ).toPandas()
+        by_surface = dict(zip(out["surface"], out["canonical_id"]))
+        # dictionary id untouched
+        assert by_surface["Dave Miller"] == "per:dave_miller"
+        # the three acme variants collapse to ONE representative (min id)
+        acme = {by_surface["Acme Corporation"], by_surface["Acme Corporatoin"],
+                by_surface["acme corporation inc"]}
+        assert len(acme) == 1, acme
+        # unrelated surrogate keeps its own id
+        assert by_surface["Zeta Systems"] == "unk:zeta systems"
+        assert by_surface["Zeta Systems"] not in acme
+        outs.append(by_surface)
+    assert outs[0] == outs[1], "driver and distributed paths diverge"
 
 
 def test_fuzzy_link_normalizes_dictionary_side(spark):
@@ -456,7 +464,11 @@ def test_canonicalize_surrogates_edges_cached(spark, monkeypatch):
     pre = {
         i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
     }
-    out = canonicalize_surrogates(linked, jaccard_threshold=0.5).toPandas()
+    # driver_threshold=0 pins the distributed path — the small path never
+    # builds the edge frame this contract is about
+    out = canonicalize_surrogates(
+        linked, jaccard_threshold=0.5, driver_threshold=0
+    ).toPandas()
 
     assert captured["use_memory"], "edges not persisted before CC"
     assert any(
