@@ -795,6 +795,43 @@ def q_kg_resolve_functional(spark, sf):
     return resolve_functional(edges, ["located_in", "works_at"])
 
 
+def q_kg_asof_snapshot(spark, sf):
+    """Graph state as of 2025-06-29: edges supported by pre-cutoff
+    mentions only, stats recomputed to the cutoff (no post-cutoff
+    last_seen leakage) — kg/lifecycle.py snapshot_asof."""
+    from crfsuite_spark.kg.lifecycle import snapshot_asof
+
+    return snapshot_asof(_gold_triples_ts(spark), "2025-06-29 00:00:00")
+
+
+def q_sim_cluster_assign(spark, sf):
+    """Nearest-centroid assignment in pure codegen expressions:
+    centroids = embeddings of the 8 smallest vec_ids (deterministic,
+    engine-independent); distances staged per centroid (Spark 4.1
+    nested-lambda hazard), argmin tie-breaks to the lowest cluster id
+    (operators/clustering.py)."""
+    from crfsuite_spark.operators.clustering import assign_clusters_expr
+
+    e = _t(spark, sf, "embeddings")
+    cents = [
+        list(r["embedding"])
+        for r in e.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    return assign_clusters_expr(e, cents).select("vec_id", "cluster")
+
+
+def q_sim_group_centroids(spark, sf):
+    """Elementwise mean embedding per label — posexplode + map-side
+    combined groupBy; shuffle volume O(groups × dim), never row count
+    (operators/clustering.py)."""
+    from crfsuite_spark.operators.clustering import group_centroids
+
+    e = _t(spark, sf, "embeddings")
+    return group_centroids(e, "label").select(
+        "label", "pos", F.round(F.col("mean"), 6).alias("mean")
+    )
+
+
 def q_dedup_minhash(spark, sf):
     """MinHash-LSH near-dup pairs (char 5-shingles, Jaccard ≥ 0.8) with
     the portable md5-based shingle hash, so the DuckDB oracle reproduces
@@ -1025,6 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal_triples": q_kg_temporal_triples,
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
+        "kg_asof_snapshot": q_kg_asof_snapshot,
+        "sim_cluster_assign": q_sim_cluster_assign,
+        "sim_group_centroids": q_sim_group_centroids,
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
@@ -1392,6 +1432,47 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY subj, pred
               ORDER BY n_mentions DESC, last_seen DESC, obj DESC) = 1
+        """,
+        "kg_asof_snapshot": f"""
+            WITH t AS (
+              SELECT g.*, s.ts
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx))
+            SELECT subj, pred, obj, count(*) AS n_mentions,
+                   count(DISTINCT conv_id) AS n_convs,
+                   min(ts) AS first_seen, max(ts) AS last_seen
+            FROM t WHERE ts <= TIMESTAMP '2025-06-29 00:00:00'
+            GROUP BY subj, pred, obj
+        """,
+        "sim_cluster_assign": """
+            WITH c AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+            cf AS (
+              SELECT cluster, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS cv
+              FROM c),
+            ef AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS ev
+              FROM embeddings),
+            d AS (
+              SELECT ef.vec_id, cf.cluster,
+                     sum((ef.ev - cf.cv) * (ef.ev - cf.cv)) AS dist
+              FROM ef JOIN cf USING (pos)
+              GROUP BY ef.vec_id, cf.cluster)
+            SELECT vec_id, CAST(cluster AS INT) AS cluster FROM d
+            QUALIFY row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cluster) = 1
+        """,
+        "sim_group_centroids": """
+            SELECT label, pos, round(avg(val), 6) AS mean
+            FROM (
+              SELECT label, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings)
+            GROUP BY label, pos
         """,
         "kg_k_hop": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),

@@ -91,6 +91,26 @@ def merge_edge_deltas(prev: DataFrame | None, delta: DataFrame) -> DataFrame:
     )
 
 
+def snapshot_asof(
+    mentions: DataFrame,
+    as_of,
+    ts_col: str = "ts",
+    conv: str = "conv_id",
+) -> DataFrame:
+    """Graph state as of a timestamp: edges supported by at least one
+    mention with ``ts <= as_of``, statistics recomputed over exactly the
+    mentions visible at that time (NOT the full-history stats filtered —
+    last_seen/n_mentions must not leak post-cutoff evidence).
+
+    The cutoff is a pushdown-able comparison on the mention scan, so at
+    10^12 turns a time-partitioned table prunes whole partitions before
+    any aggregation; the rest is the same one map-side-combined groupBy
+    as :func:`temporal_triples`."""
+    return temporal_triples(
+        mentions.where(F.col(ts_col) <= F.lit(as_of)), ts_col=ts_col, conv=conv
+    )
+
+
 def resolve_functional(
     edges: DataFrame,
     functional_preds: Sequence[str],

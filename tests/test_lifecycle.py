@@ -124,6 +124,22 @@ def test_resolve_functional_winner_and_determinism(spark, mentions):
     pd.testing.assert_frame_equal(got2, exp, check_dtype=False)
 
 
+def test_snapshot_asof_no_post_cutoff_leakage(spark, mentions):
+    from crfsuite_spark.kg.lifecycle import snapshot_asof
+
+    cutoff = datetime.datetime(2024, 2, 1)
+    snap = _pdf(snapshot_asof(mentions, cutoff))
+    assert (snap["last_seen"] <= cutoff).all()
+    # identical to aggregating only the visible mentions
+    exp = _pdf(temporal_triples(mentions.where(F.col("ts") <= F.lit(cutoff))))
+    pd.testing.assert_frame_equal(snap, exp, check_dtype=False)
+    # and NOT the full-history stats filtered: an edge alive across the
+    # cutoff must show a smaller/equal mention count in the snapshot
+    full = _pdf(temporal_triples(mentions)).set_index(["subj", "pred", "obj"])
+    snap_i = snap.set_index(["subj", "pred", "obj"])
+    assert (snap_i["n_mentions"] <= full.loc[snap_i.index]["n_mentions"]).all()
+
+
 def test_lifecycle_plans_partial_aggregate_no_window(spark, mentions):
     """Scale contract: every lifecycle aggregation shows two-phase
     HashAggregate (partial_ before the exchange) and resolve_functional
