@@ -832,6 +832,40 @@ def q_sim_group_centroids(spark, sf):
     )
 
 
+def q_kg_comention(spark, sf):
+    """Entity co-mention graph: pairs generated inside each
+    conversation's collected entity set (shuffle carries one row per
+    (conv, entity), never the quadratic pair stream) then one
+    partial-aggregated groupBy on the pair key (kg/graph.py)."""
+    from crfsuite_spark.kg.graph import comention_edges
+
+    return comention_edges(_gold_triples(spark))
+
+
+def q_kg_triangles(spark, sf):
+    """Global triangle count over the co-mention graph (canonical
+    a<b<c orientation, two uniform-key joins — kg/graph.py)."""
+    from crfsuite_spark.kg.graph import comention_edges, triangle_count
+
+    com = comention_edges(_gold_triples(spark)).select(
+        F.col("entity_a").alias("subj"), F.col("entity_b").alias("obj")
+    )
+    return triangle_count(com)
+
+
+def q_ta_unigram_nll(spark, sf):
+    """Per-document unigram NLL under the corpus's own LM (CCNet-style
+    perplexity proxy; functions/analysis.py). Vocabulary broadcast —
+    no stopword hot-key shuffle."""
+    from crfsuite_spark.functions.analysis import unigram_nll
+
+    d = _t(spark, sf, "documents")
+    out = unigram_nll(d, "doc_id", "text")
+    return out.select(
+        "doc_id", F.round(F.col("nll"), 6).alias("nll"), "n_tokens"
+    )
+
+
 def q_dedup_minhash(spark, sf):
     """MinHash-LSH near-dup pairs (char 5-shingles, Jaccard ≥ 0.8) with
     the portable md5-based shingle hash, so the DuckDB oracle reproduces
@@ -1063,8 +1097,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
         "kg_asof_snapshot": q_kg_asof_snapshot,
+        "kg_comention": q_kg_comention,
+        "kg_triangles": q_kg_triangles,
         "sim_cluster_assign": q_sim_cluster_assign,
         "sim_group_centroids": q_sim_group_centroids,
+        "ta_unigram_nll": q_ta_unigram_nll,
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
@@ -1444,6 +1481,44 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS first_seen, max(ts) AS last_seen
             FROM t WHERE ts <= TIMESTAMP '2025-06-29 00:00:00'
             GROUP BY subj, pred, obj
+        """,
+        "kg_comention": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            m AS (
+              SELECT DISTINCT conv_id AS s, subj AS entity FROM t
+              UNION
+              SELECT DISTINCT conv_id AS s, obj AS entity FROM t)
+            SELECT a.entity AS entity_a, b.entity AS entity_b,
+                   count(*) AS n_scopes
+            FROM m a JOIN m b ON a.s = b.s AND a.entity < b.entity
+            GROUP BY 1, 2
+        """,
+        "kg_triangles": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            m AS (
+              SELECT DISTINCT conv_id AS s, subj AS entity FROM t
+              UNION
+              SELECT DISTINCT conv_id AS s, obj AS entity FROM t),
+            e AS (
+              SELECT DISTINCT a.entity AS a, b.entity AS b
+              FROM m a JOIN m b ON a.s = b.s AND a.entity < b.entity)
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "ta_unigram_nll": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+              FROM documents),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            freq AS (SELECT tok, count(*) AS c FROM t2 GROUP BY tok),
+            tot AS (SELECT sum(c) AS n FROM freq)
+            SELECT doc_id, round(avg(-ln(c / n)), 6) AS nll,
+                   count(*) AS n_tokens
+            FROM t2 JOIN freq USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         "sim_cluster_assign": """
             WITH c AS (

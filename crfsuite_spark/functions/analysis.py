@@ -241,6 +241,44 @@ def top_bigram_fraction(col) -> Column:
     return F.when(F.size(w) < 2, 0.0).otherwise(best / F.size(grams))
 
 
+def unigram_nll(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+):
+    """Per-document unigram negative log-likelihood under the corpus's
+    OWN unigram LM — the cheap perplexity proxy CCNet-style pipelines
+    use for quality bucketing (high NLL = unusual token distribution:
+    boilerplate, gibberish, wrong-language).
+
+    Returns (id, nll, n_tokens); token-less documents are absent (a
+    document with no tokens has no likelihood). Two partial-aggregated
+    groupBys (vocab counts, per-doc mean); the vocabulary joins back
+    BROADCAST by default, which also sidesteps the classic stopword
+    hot-key skew a shuffle join on the token would hit — set
+    ``broadcast_vocab=False`` for open-vocabulary corpora where the
+    type table outgrows the driver (uniform-ish key + AQE skew-join
+    handles the rest). No smoothing: scoring corpus == training
+    corpus, so every token has count ≥ 1."""
+    spark_df = df
+    toks = spark_df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    b = F.broadcast if broadcast_vocab else (lambda x: x)
+    return (
+        toks.join(b(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.avg(-F.log(F.col("c") / F.col("n"))).alias("nll"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
 # RE2-safe patterns (no lookaround/backrefs) so the same regex runs in
 # Spark (Java) and DuckDB (RE2) byte-for-byte
 _PII_PATTERNS = [

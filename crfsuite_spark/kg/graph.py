@@ -138,6 +138,85 @@ def pagerank(
     return ranks
 
 
+def comention_edges(
+    triples: DataFrame,
+    scope: str = "conv_id",
+    subj: str = "subj",
+    obj: str = "obj",
+    max_entities_per_scope: int | None = 1000,
+) -> DataFrame:
+    """Entity co-mention graph: (entity_a, entity_b, n_scopes) for
+    entities (subject OR object position) appearing in the same scope
+    (conversation by default), entity_a < entity_b.
+
+    Shape: distinct (scope, entity) map-side, then ``collect_set`` per
+    scope + HOF pair expansion — pairs are generated INSIDE each
+    scope's row, so the shuffle carries one row per (scope, entity),
+    never the quadratic pair stream; the final count is one
+    partial-aggregated groupBy on the uniform pair key. Scopes are
+    conversation-bounded, so the per-row set is small by construction;
+    ``max_entities_per_scope`` drops degenerate scopes above the bound
+    (the hot-shingle guard pattern — documented loss, no skew blowup).
+    A scope with E entities still costs E² generated rows; the guard
+    caps that at ~10^6 per degenerate scope."""
+    m = (
+        triples.select(F.col(scope).alias("s"), F.col(subj).alias("entity"))
+        .unionByName(
+            triples.select(F.col(scope).alias("s"), F.col(obj).alias("entity"))
+        )
+        .distinct()
+    )
+    sets = m.groupBy("s").agg(F.sort_array(F.collect_set("entity")).alias("es"))
+    if max_entities_per_scope:
+        sets = sets.where(F.size("es") <= max_entities_per_scope)
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(es, x -> transform(es, y -> "
+                "struct(x AS a, y AS b)))), p -> p.a < p.b)"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_scopes"))
+        .select(
+            F.col("a").alias("entity_a"), F.col("b").alias("entity_b"), "n_scopes"
+        )
+    )
+
+
+def triangle_count(
+    triples: DataFrame, subj: str = "subj", obj: str = "obj"
+) -> DataFrame:
+    """Global triangle count over the undirected distinct edge set —
+    one row (n_triangles).
+
+    Canonical orientation first (a < b), so each triangle is counted
+    exactly once via the ordered 2-path + closing-edge join
+    (a < b < c): two shuffle joins on uniform entity keys. At 10^12
+    edges the 2-path join is the cost center and is exactly the shape
+    AQE skew-split handles; a degree-capped variant (drop super-nodes,
+    documented loss) is the standard mitigation and composes as a
+    ``where`` on a degree join before this."""
+    e = (
+        triples.select(F.col(subj).alias("x"), F.col(obj).alias("y"))
+        .where(F.col(subj) != F.col(obj))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a"), F.col("b").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 def k_hop(
     triples: DataFrame,
     seeds: DataFrame,

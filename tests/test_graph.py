@@ -140,3 +140,53 @@ def test_k_hop_multi_seed_frame(spark, tiny):
         c.unpersist()
     # a,b seeds; hop1 = union of their successors minus seeds = {c}
     assert got == {"a": 0, "b": 0, "c": 1}
+
+
+def test_comention_edges(spark, tiny):
+    from crfsuite_spark.kg.graph import comention_edges
+
+    out = comention_edges(tiny).toPandas()
+    got = {(r.entity_a, r.entity_b): r.n_scopes for r in out.itertuples()}
+    # c1 entities {a,b,c,d}; c2 {a,b,c}; c3 {a,e}
+    exp = {
+        ("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 2,
+        ("a", "d"): 1, ("b", "d"): 1, ("c", "d"): 1, ("a", "e"): 1,
+    }
+    assert got == exp
+    # degenerate-scope guard: cap of 2 entities keeps only c3
+    capped = comention_edges(tiny, max_entities_per_scope=2).toPandas()
+    assert {(r.entity_a, r.entity_b) for r in capped.itertuples()} == {("a", "e")}
+
+
+def test_triangle_count(spark):
+    from crfsuite_spark.kg.graph import triangle_count
+
+    # K4 on {a,b,c,d} = 4 triangles, plus pendant d-e; direction and
+    # duplicate/self edges must not matter
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("b", "a"), ("c", "c")]
+    df = spark.createDataFrame(
+        [("c1", 1, s, "r", o) for s, o in edges],
+        "conv_id string, turn_idx int, subj string, pred string, obj string",
+    )
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+def test_unigram_nll_matches_numpy(spark):
+    import numpy as np
+
+    from crfsuite_spark.functions.analysis import unigram_nll
+
+    docs = [(1, "the cat sat"), (2, "the dog sat sat"), (3, "  "), (4, "zebra")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = unigram_nll(df, "doc_id", "text").toPandas().set_index("doc_id")
+    # corpus counts: the=2 cat=1 sat=3 dog=1 zebra=1 ; N=8
+    def nll(toks, c={"the": 2, "cat": 1, "sat": 3, "dog": 1, "zebra": 1}):
+        return float(np.mean([-np.log(c[t] / 8) for t in toks]))
+
+    assert 3 not in out.index  # token-less doc absent
+    assert abs(out.loc[1, "nll"] - nll(["the", "cat", "sat"])) < 1e-12
+    assert abs(out.loc[2, "nll"] - nll(["the", "dog", "sat", "sat"])) < 1e-12
+    assert out.loc[4, "n_tokens"] == 1
+    # rare-token doc scores worse than common-token doc
+    assert out.loc[4, "nll"] > out.loc[2, "nll"]
