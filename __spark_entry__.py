@@ -866,6 +866,29 @@ def q_ta_unigram_nll(spark, sf):
     )
 
 
+def q_ds_cluster_sample(spark, sf):
+    """Cluster-balanced sampling: assign embeddings to the 8 fixed
+    centroids (codegen argmin), then per-cluster deterministic hash
+    rates — over-represented clusters downsampled (the topic-balancing
+    recipe: assignment + stratified_hash_sample compose map-side; the
+    only shuffle is none — both steps are scan-local)."""
+    from crfsuite_spark.operators.clustering import assign_clusters_expr
+    from crfsuite_spark.operators.sampling import stratified_hash_sample
+
+    e = _t(spark, sf, "embeddings")
+    cents = [
+        list(r["embedding"])
+        for r in e.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    assigned = assign_clusters_expr(e, cents).select("vec_id", "cluster")
+    rates = {"0": 1.0, "1": 0.5, "2": 0.25}
+    out = stratified_hash_sample(
+        assigned.withColumn("cluster", F.col("cluster").cast("string")),
+        "vec_id", "cluster", rates, default_fraction=0.1,
+    )
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
 def q_dedup_minhash(spark, sf):
     """MinHash-LSH near-dup pairs (char 5-shingles, Jaccard ≥ 0.8) with
     the portable md5-based shingle hash, so the DuckDB oracle reproduces
@@ -1097,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
         "kg_asof_snapshot": q_kg_asof_snapshot,
+        "ds_cluster_sample": q_ds_cluster_sample,
         "kg_comention": q_kg_comention,
         "kg_triangles": q_kg_triangles,
         "sim_cluster_assign": q_sim_cluster_assign,
@@ -1540,6 +1564,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(cluster AS INT) AS cluster FROM d
             QUALIFY row_number() OVER (
               PARTITION BY vec_id ORDER BY dist, cluster) = 1
+        """,
+        "ds_cluster_sample": """
+            WITH c AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+            cf AS (
+              SELECT cluster, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS cv
+              FROM c),
+            ef AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS ev
+              FROM embeddings),
+            d AS (
+              SELECT ef.vec_id, cf.cluster,
+                     sum((ef.ev - cf.cv) * (ef.ev - cf.cv)) AS dist
+              FROM ef JOIN cf USING (pos)
+              GROUP BY ef.vec_id, cf.cluster),
+            a AS (
+              SELECT vec_id, CAST(cluster AS INT) AS cluster FROM d
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cluster) = 1)
+            SELECT vec_id, cluster FROM a
+            WHERE ('0x' || substr(md5(concat(CAST(vec_id AS VARCHAR), ':42')), 1, 8))::BIGINT % 1000000
+                  < CASE WHEN cluster = 0 THEN 1000000
+                         WHEN cluster = 1 THEN 500000
+                         WHEN cluster = 2 THEN 250000
+                         ELSE 100000 END
         """,
         "sim_group_centroids": """
             SELECT label, pos, round(avg(val), 6) AS mean

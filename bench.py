@@ -315,6 +315,17 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
 
         em.q_ds_intra_doc_dedup(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # round-5-new paths: unigram LM scoring + codegen cluster assignment
+    def unigram():
+        import __spark_entry__ as em
+
+        em.q_ta_unigram_nll(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def cluster_assign():
+        import __spark_entry__ as em
+
+        em.q_sim_cluster_assign(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timed("w1_window_templates", w1)
     timed("dedup_minhash", dedup)
     timed("sim_cosine_topk", topk)
@@ -325,6 +336,8 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     timed("ds_decontaminate", decontaminate)
     timed("ds_span_dedup", span_dedup)
     timed("ds_intra_doc_dedup", intra_doc)
+    timed("ta_unigram_nll", unigram)
+    timed("sim_cluster_assign", cluster_assign)
 
     total = round(sum(results.values()), 3)
     if "kg_pipeline" in results:

@@ -41,6 +41,11 @@ def main(argv=None):
     ap.add_argument("--partitions", type=int, default=None,
                     help="decode parallelism (default: spark.default.parallelism)")
     ap.add_argument("--no-fuzzy", action="store_true", help="disable MinHash-LSH fuzzy linking")
+    ap.add_argument("--edge-table", default=None,
+                    help="optional standing edge-table directory: this run's "
+                         "triples are folded in as one crash-atomic epoch "
+                         "commit (kg/lifecycle.py commit_edge_batch; "
+                         "replaying a committed epoch is a no-op)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -83,6 +88,24 @@ def main(argv=None):
         triples = run_pipeline(transcripts, model, alias, cfg)
         report = materialize(triples, args.output, n_buckets=args.buckets,
                              epoch=args.epoch)
+    if args.edge_table:
+        # fold this batch's committed triples into the standing edge
+        # table as ONE epoch commit. Reading the COMMITTED table (not
+        # the in-flight pipeline) keeps the two manifests consistent:
+        # the edge fold sees exactly what the triple manifest committed,
+        # and commit_edge_batch's epoch no-op makes the whole job safely
+        # re-runnable end-to-end. ts comes from a column-pruned
+        # transcript scan joined on the (conv_id, turn_idx) provenance.
+        from crfsuite_spark.kg.lifecycle import commit_edge_batch
+        from crfsuite_spark.kg.triples import read_triples
+
+        mentions = read_triples(spark, args.output).join(
+            read(args.transcripts).select("conv_id", "turn_idx", "ts"),
+            ["conv_id", "turn_idx"],
+        )
+        report["edge_commit"] = commit_edge_batch(
+            mentions, args.edge_table, epoch=args.epoch
+        )
     report["seconds"] = round(time.time() - t0, 1)
     print(json.dumps(report))
     if existing is None:  # owned session (real spark-submit run)

@@ -35,24 +35,71 @@ def test_run_kg_pipeline_job(spark, tmp_path, capsys):
     model.save(mpath)
 
     out = str(tmp_path / "graph")
+    edges = str(tmp_path / "edges")
     rc = run_kg_pipeline.main([
         "--transcripts", tpath, "--model", mpath,
         "--alias-dict", apath, "--output", out, "--buckets", "4",
+        "--edge-table", edges, "--epoch", "0",
     ])
     assert rc == 0
     rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep1["rows_written"] > 0
     assert sorted(rep1["written_buckets"]) == [0, 1, 2, 3]
+    assert rep1["edge_commit"]["skipped"] is False
+    assert rep1["edge_commit"]["n_edges"] > 0
 
-    # second run: everything already committed → nothing rewritten
+    # second run: everything already committed → nothing rewritten, and
+    # the edge fold for epoch 0 is a no-op (no double counting)
     rc = run_kg_pipeline.main([
         "--transcripts", tpath, "--model", mpath,
         "--alias-dict", apath, "--output", out, "--buckets", "4",
+        "--edge-table", edges, "--epoch", "0",
     ])
     assert rc == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["rows_written"] == 0
     assert rep2["skipped_buckets"] == [0, 1, 2, 3]
+    assert rep2["edge_commit"]["skipped"] is True
+
+    # a second transcript batch folds in as epoch 1; the standing edge
+    # table must equal the one-pass aggregate over BOTH batches' triples
+    from pyspark.sql import functions as F
+
+    from crfsuite_spark.kg.lifecycle import edge_deltas, read_edges
+    from crfsuite_spark.kg.triples import read_triples
+
+    data2 = generate(n_convs=6, seed=9)
+    dfs2 = to_spark(spark, data2)
+    tpath2 = str(tmp_path / "transcripts2")
+    dfs2["transcripts"].withColumn(
+        "conv_id", F.concat(F.lit("b2_"), F.col("conv_id"))
+    ).write.parquet(tpath2)
+    out2 = str(tmp_path / "graph2")
+    rc = run_kg_pipeline.main([
+        "--transcripts", tpath2, "--model", mpath,
+        "--alias-dict", apath, "--output", out2, "--buckets", "4",
+        "--edge-table", edges, "--epoch", "1",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    both = read_triples(spark, out).join(
+        spark.read.parquet(tpath).select("conv_id", "turn_idx", "ts"),
+        ["conv_id", "turn_idx"],
+    ).unionByName(
+        read_triples(spark, out2).join(
+            spark.read.parquet(tpath2).select("conv_id", "turn_idx", "ts"),
+            ["conv_id", "turn_idx"],
+        )
+    )
+    cols = ["subj", "pred", "obj", "n_mentions", "first_seen", "last_seen"]
+    got = (read_edges(spark, edges).select(cols).toPandas()
+           .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    exp = (edge_deltas(both.select("conv_id", "turn_idx", "subj", "pred", "obj", "ts"))
+           .select(cols).toPandas()
+           .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
 def test_spark_submit_py_files_deployment(spark, synth, lexicon_model, tmp_path):

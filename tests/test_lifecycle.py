@@ -140,6 +140,49 @@ def test_snapshot_asof_no_post_cutoff_leakage(spark, mentions):
     assert (snap_i["n_mentions"] <= full.loc[snap_i.index]["n_mentions"]).all()
 
 
+def test_commit_edge_batch_incremental_and_crash_safe(spark, mentions, tmp_path):
+    """Three epoch commits equal the from-scratch aggregate; a crash
+    before the manifest rename leaves no committed state and the rerun
+    converges to the identical table; replaying a folded epoch is a
+    no-op."""
+    from crfsuite_spark.kg.lifecycle import (
+        commit_edge_batch,
+        committed_epochs,
+        read_edges,
+    )
+
+    path = str(tmp_path / "edges")
+    batches = [
+        mentions.where(F.crc32(F.concat_ws("|", "conv_id", "turn_idx")) % 3 == i)
+        for i in range(3)
+    ]
+    commit_edge_batch(batches[0], path, epoch=0)
+    commit_edge_batch(batches[1], path, epoch=1)
+
+    # crash: kill just before the epoch-2 manifest write
+    class Boom(RuntimeError):
+        pass
+
+    def bomb(epoch):
+        raise Boom()
+
+    with pytest.raises(Boom):
+        commit_edge_batch(batches[2], path, epoch=2, fault_hook=bomb)
+    assert committed_epochs(path) == [0, 1]  # nothing committed
+    # replaying epoch 1 after the crash: no-op, no double count
+    assert commit_edge_batch(batches[1], path, epoch=1)["skipped"]
+    # rerun epoch 2 cleanly
+    rep = commit_edge_batch(batches[2], path, epoch=2)
+    assert not rep["skipped"] and committed_epochs(path) == [0, 1, 2]
+
+    got = _pdf(read_edges(spark, path).drop("bucket"))
+    full = _pdf(edge_deltas(mentions))
+    pd.testing.assert_frame_equal(got, full, check_dtype=False)
+    # time-travel: epoch-0 snapshot is exactly batch 0's aggregate
+    got0 = _pdf(read_edges(spark, path, epoch=0).drop("bucket"))
+    pd.testing.assert_frame_equal(got0, _pdf(edge_deltas(batches[0])), check_dtype=False)
+
+
 def test_lifecycle_plans_partial_aggregate_no_window(spark, mentions):
     """Scale contract: every lifecycle aggregation shows two-phase
     HashAggregate (partial_ before the exchange) and resolve_functional
