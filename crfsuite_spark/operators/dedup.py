@@ -328,6 +328,7 @@ def intra_doc_span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_tokens: int = 20,
+    hash_blocks: bool = True,
 ) -> DataFrame:
     """WITHIN-document repeated-span removal (the RefinedWeb /
     intra-document line-dedup family, on fixed token blocks): inside
@@ -338,8 +339,19 @@ def intra_doc_span_dedup(
     Unlike :func:`span_dedup` (corpus-wide canonical occurrence, two
     uniform-key shuffles) this is a pure Column-HOF projection — ZERO
     shuffle, scales like a map over the scan. The per-document filter
-    is O(blocks²) string compares, bounded by document length.
-    Whitespace is normalized to single spaces by the split/rejoin."""
+    is O(blocks²) compares, bounded by document length.
+    Whitespace is normalized to single spaces by the split/rejoin.
+
+    ``hash_blocks`` (default): the quadratic first-occurrence test runs
+    over 60-bit portable block hashes (first 15 md5 hex chars → bigint)
+    instead of the block strings — int64 equality instead of ~5-token
+    string equality, measured 5× faster at block_tokens=5 where the
+    per-doc block count (and its square) is largest. Hash equality ≡
+    string equality absent a collision (P ≈ blocks²/2^61 per doc,
+    ~10⁻¹⁵; the hash is deterministic md5, so any engine reproduces the
+    identical result either way — the DuckDB oracle keeps the plain
+    string form and stays green). ``hash_blocks=False`` keeps the
+    string compares."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(c), r"\s+")
     nw = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(words))
@@ -352,6 +364,33 @@ def intra_doc_span_dedup(
             ),
         )
     )
+    if hash_blocks:
+        # stage blocks → hashes → index filter as SEPARATE projections:
+        # duplicating nested-lambda trees inside one projection mis-binds
+        # lambda variables under Spark 4.1's resolver (see below)
+        staged = df.select(
+            id_col,
+            blocks.alias("__blocks"),
+            n_blocks.cast("bigint").alias("n_blocks"),
+        ).withColumn(
+            "__bh",
+            F.expr(
+                "transform(__blocks, b -> "
+                "CAST(conv(substr(md5(b), 1, 15), 16, 10) AS BIGINT))"
+            ),
+        ).withColumn(
+            "__kept",
+            F.expr(
+                "filter(arrays_zip(__blocks, __bh), "
+                "(s, i) -> array_position(__bh, s.__bh) == i + 1)"
+            ),
+        )
+        return staged.select(
+            id_col,
+            F.expr("array_join(transform(__kept, s -> s.__blocks), ' ')").alias(text_col),
+            "n_blocks",
+            F.size("__kept").cast("bigint").alias("n_kept"),
+        )
     # first-occurrence-wins via array_position (first 1-based index of
     # the value): keep block i iff its first occurrence IS i. One JVM
     # builtin scan per element — measured ~2× faster at 500k docs than

@@ -429,6 +429,13 @@ def test_intra_doc_span_dedup(spark):
     # map-side only: no exchange anywhere in the plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+    # the hashed-block fast path (default above) and the plain string
+    # compare produce identical output
+    got_str = intra_doc_span_dedup(docs, block_tokens=3, hash_blocks=False)
+    out_str = {r.doc_id: (r.text, r.n_blocks, r.n_kept) for r in got_str.collect()}
+    assert out_str == out
+    plan_str = got_str._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str, plan_str
 
 
 def test_ivf_train_clustered_corpus_unbiased(spark):
