@@ -91,6 +91,50 @@ def stream_triples(
     return writer.start()
 
 
+def stream_edge_table(
+    transcripts: DataFrame,
+    model,
+    alias_dict: DataFrame,
+    edge_path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch incremental EDGE-TABLE maintenance: each micro-batch
+    runs decode → spans → link → triples, then folds the batch's
+    mentions into the standing edge table as one crash-atomic epoch
+    commit (kg/lifecycle.py commit_edge_batch, epoch = the stream's
+    monotonically-increasing batch id).
+
+    The two idempotence layers compose: Structured Streaming replays a
+    micro-batch after a crash with the SAME epoch_id, and
+    commit_edge_batch treats ``epoch <= last committed`` as a no-op —
+    so a restart can never double-count a batch's mentions, and the
+    edge table always equals the one-pass aggregate over every
+    transcript ever streamed (asserted in test_streaming.py)."""
+    from crfsuite_spark.kg.lifecycle import commit_edge_batch
+    from crfsuite_spark.kg.pipeline import extract_triples, tag_transcripts
+
+    def process_batch(batch_df: DataFrame, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        decoded = tag_transcripts(batch_df, model)
+        triples = extract_triples(decoded, alias_dict)
+        mentions = triples.join(
+            batch_df.select("conv_id", "turn_idx", "ts"),
+            ["conv_id", "turn_idx"],
+        )
+        commit_edge_batch(mentions, edge_path, epoch=epoch_id)
+
+    writer = (
+        transcripts.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -53,6 +53,61 @@ def test_stream_triples_foreachbatch(spark, synth, staged):
     assert n2 == n1
 
 
+def test_stream_edge_table_maintenance(spark, synth, staged, tmp_path):
+    """foreachBatch edge-table maintenance: after streaming all files
+    the standing edge table equals the ONE-PASS aggregate of the batch
+    pipeline's mentions over the full transcript set, and a checkpoint
+    restart folds nothing twice."""
+    from bench import lexicon_model
+
+    from crfsuite_spark.kg.lifecycle import committed_epochs, edge_deltas, read_edges
+    from crfsuite_spark.kg.pipeline import extract_triples, tag_transcripts
+    from crfsuite_spark.streaming.ingest import stream_edge_table
+
+    root, src = staged
+    edges = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "eckpt")
+    alias = spark.createDataFrame(synth.alias_dict)
+    model = lexicon_model()
+    q = stream_edge_table(
+        stream_transcripts(spark, src, max_files_per_trigger=1),
+        model, alias, edges, ckpt,
+    )
+    q.awaitTermination(300)
+    eps = committed_epochs(edges)
+    assert len(eps) >= 2  # one commit per micro-batch (2 arrival files)
+
+    got = (
+        read_edges(spark, edges)
+        .orderBy("subj", "pred", "obj")
+        .toPandas()
+    )
+    full_tr = spark.read.parquet(src)
+    full_triples = extract_triples(tag_transcripts(full_tr, model), alias)
+    exp = (
+        edge_deltas(
+            full_triples.join(
+                full_tr.select("conv_id", "turn_idx", "ts"),
+                ["conv_id", "turn_idx"],
+            )
+        )
+        .orderBy("subj", "pred", "obj")
+        .toPandas()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[exp.columns].reset_index(drop=True), exp.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # restart from the same checkpoint: no new files → no new epochs
+    q2 = stream_edge_table(
+        stream_transcripts(spark, src), model, alias, edges, ckpt
+    )
+    q2.awaitTermination(120)
+    assert committed_epochs(edges) == eps
+
+
 def test_streaming_turn_stats_watermark(spark, staged, tmp_path):
     root, src = staged
     stream = stream_transcripts(spark, src)
