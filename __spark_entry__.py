@@ -853,6 +853,15 @@ def q_kg_triangles(spark, sf):
     return triangle_count(com)
 
 
+def q_kg_top_objects(spark, sf):
+    """Heavy-hitter objects per predicate, aggregate-THEN-rank: the
+    window sorts the distinct-pair frame, never the mention stream
+    (kg/graph.py top_objects)."""
+    from crfsuite_spark.kg.graph import top_objects
+
+    return top_objects(_gold_triples(spark), k=3)
+
+
 def q_ta_unigram_nll(spark, sf):
     """Per-document unigram NLL under the corpus's own LM (CCNet-style
     perplexity proxy; functions/analysis.py). Vocabulary broadcast —
@@ -1123,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_cluster_sample": q_ds_cluster_sample,
         "kg_comention": q_kg_comention,
         "kg_triangles": q_kg_triangles,
+        "kg_top_objects": q_kg_top_objects,
         "sim_cluster_assign": q_sim_cluster_assign,
         "sim_group_centroids": q_sim_group_centroids,
         "ta_unigram_nll": q_ta_unigram_nll,
@@ -1530,6 +1540,18 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e1.b = e2.a
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "kg_top_objects": f"""
+            WITH agg AS (
+              SELECT pred, obj, count(*) AS n_mentions
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')
+              GROUP BY pred, obj)
+            SELECT pred, obj, n_mentions,
+                   CAST(row_number() OVER (
+                     PARTITION BY pred
+                     ORDER BY n_mentions DESC, obj ASC) AS INT) AS rank
+            FROM agg
+            QUALIFY rank <= 3
         """,
         "ta_unigram_nll": """
             WITH toks AS (

@@ -20,7 +20,7 @@ declarative DataFrame code shaped for 10^12-edge tables:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -136,6 +136,30 @@ def pagerank(
         )
     ranks.pinned_caches = [e, nodes]
     return ranks
+
+
+def top_objects(
+    triples: DataFrame,
+    k: int = 3,
+    pred: str = "pred",
+    obj: str = "obj",
+    conv: str = "conv_id",
+) -> DataFrame:
+    """Heavy-hitter objects per predicate: (pred, obj, n_mentions,
+    rank ≤ k), rank by (mentions desc, obj asc — deterministic).
+
+    Aggregate-THEN-rank: the mention stream collapses map-side to one
+    (pred, obj) row per pair before any window touches it, so the
+    window sort runs over the distinct-pair frame — orders of magnitude
+    smaller than the mentions, and the per-pred partitions it sorts are
+    object-vocabulary-bounded. The naive single window over raw
+    mentions would shuffle and sort the full 10^12-row stream."""
+    agg = triples.groupBy(pred, obj).agg(F.count("*").alias("n_mentions"))
+    w = Window.partitionBy(pred).orderBy(F.desc("n_mentions"), F.asc(obj))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def comention_edges(

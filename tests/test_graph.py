@@ -190,3 +190,19 @@ def test_unigram_nll_matches_numpy(spark):
     assert out.loc[4, "n_tokens"] == 1
     # rare-token doc scores worse than common-token doc
     assert out.loc[4, "nll"] > out.loc[2, "nll"]
+
+
+def test_top_objects_agg_then_rank(spark, tiny):
+    from crfsuite_spark.kg.graph import top_objects
+
+    out = top_objects(tiny, k=2).toPandas()
+    # "knows" mention counts: b=2 (a->b twice), c=2 (a->c, b->c), a=1,
+    # d=1; b/c tie at 2 -> obj asc puts b first
+    knows = out[out["pred"] == "knows"].sort_values("rank")
+    assert list(knows["obj"]) == ["b", "c"]
+    assert list(knows["n_mentions"]) == [2, 2]
+    # the window must rank the AGGREGATED frame: partial aggregation
+    # appears before the Window sort in the plan
+    plan = top_objects(tiny, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower() and "Window" in plan
+    assert plan.lower().index("partial") > plan.index("Window")  # bottom-up print: agg below window
