@@ -105,20 +105,54 @@ def quality_score(col) -> Column:
     return (len_score * 0.3 + noise_score * 0.4 + stop_score * 0.3)
 
 
+# every ASCII char the fingerprint normalization deletes (all of
+# 0x01-0x7F except [a-z0-9 ]); the regex pass only mops up non-ASCII
+_FP_ASCII_BAD = "".join(
+    chr(c) for c in range(1, 128)
+    if not (48 <= c <= 57 or 97 <= c <= 122 or c == 32)
+)
+
+
+def _fp_normalized(col) -> Column:
+    """lower → drop every non-[a-z0-9 ] char → collapse space runs —
+    the fingerprint normalization, shaped for throughput at corpus
+    scale. Java's regexp_replace costs ~1 µs PER MATCH (measured: a
+    ~300-char doc with ~30 punctuation chars pays ~27 µs — 15 s for
+    500k docs at sf10, 75% of the whole text-stats query), so the hot
+    deletions go through ``translate`` (per-char map lookup, no
+    matcher): the regex that guarantees the full Unicode semantics
+    then finds ZERO matches on ASCII text and runs at its cheap
+    no-match rate. The space collapse matches only runs of ≥2 (single
+    spaces — the common case — don't fire the matcher). Byte-identical
+    output to the naive two-regex form (the DuckDB oracle keeps that
+    form and stays green); measured 15 s → ~1.5 s at sf10."""
+    c = F.col(col) if isinstance(col, str) else col
+    ascii_clean = F.translate(F.lower(c), _FP_ASCII_BAD, "")
+    # ASCII-pure after the translate (octet_length == char_length — no
+    # regex needed to test it) means the translate already deleted
+    # everything the class would; the negated-class regex only ever
+    # runs on strings that actually contain non-ASCII. This matters
+    # beyond match counts: on this engine a NEGATED class scan is
+    # ~50-100× slower than a positive-class scan even with zero
+    # matches (measured 15 s vs 0.3 s over 500k×300 chars — consistent
+    # with a quadratic charAt path under the matcher), so it must stay
+    # off the common-case row entirely.
+    norm = F.when(
+        F.octet_length(ascii_clean) == F.length(ascii_clean), ascii_clean
+    ).otherwise(F.regexp_replace(ascii_clean, r"[^a-z0-9 ]+", ""))
+    return F.trim(F.regexp_replace(norm, r"  +", " "))
+
+
 def fingerprint(col) -> Column:
     """Deterministic 64-bit content fingerprint over normalized text
     (case/whitespace/punct-insensitive)."""
-    c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""), r"\s+", " ")
-    return F.xxhash64(F.trim(norm))
+    return F.xxhash64(_fp_normalized(col))
 
 
 def md5_fingerprint(col) -> Column:
     """md5 hex of normalized text — portable across engines (used by the
     DuckDB oracle checks, which lack xxhash64)."""
-    c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""), r"\s+", " ")
-    return F.md5(F.trim(norm))
+    return F.md5(_fp_normalized(col))
 
 
 def winnow_fingerprints(col: str, k: int = 5, w: int = 4) -> Column:
@@ -168,9 +202,12 @@ def mean_word_length(col) -> Column:
 
 def sentence_count(col) -> Column:
     """Terminal-punctuation count (. ! ?) as the sentence proxy the C4
-    'at least 3 sentences' rule uses."""
+    'at least 3 sentences' rule uses. Counted as a length delta over
+    ``translate`` (delete .!? and diff) — exactly the negated-class
+    regex count, without the negated-class scan (see _fp_normalized's
+    note; the DuckDB oracle keeps the regex form and matches)."""
     c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
-    return F.length(F.regexp_replace(c, r"[^.!?]", "")).cast("int")
+    return (F.length(c) - F.length(F.translate(c, ".!?", ""))).cast("int")
 
 
 def c4_keep(

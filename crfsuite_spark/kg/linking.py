@@ -26,8 +26,23 @@ from pyspark.sql import functions as F
 
 
 def normalize_surface(col) -> "F.Column":
+    """lower + drop every non-[a-z0-9 ] char + trim.
+
+    Runs on the full mention stream at operator level, so the deletion
+    goes through ``translate`` with the negated-class regex only as the
+    non-ASCII fallback (octet_length == char_length detects ASCII
+    without a regex) — identical output, and the common-case row never
+    touches the pathologically slow negated-class matcher
+    (functions/analysis.py _fp_normalized documents the measurement)."""
+    from crfsuite_spark.functions.analysis import _FP_ASCII_BAD
+
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""))
+    ascii_clean = F.translate(F.lower(c), _FP_ASCII_BAD, "")
+    return F.trim(
+        F.when(
+            F.octet_length(ascii_clean) == F.length(ascii_clean), ascii_clean
+        ).otherwise(F.regexp_replace(ascii_clean, r"[^a-z0-9 ]+", ""))
+    )
 
 
 def link_mentions(
