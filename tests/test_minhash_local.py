@@ -123,6 +123,56 @@ def test_fuzzy_best_parity(spark):
     pd.testing.assert_frame_equal(dist, loc)
 
 
+def test_link_mentions_paths_agree_randomized(spark):
+    """End-to-end randomized cross-path check: for several seeded
+    corpora of misspelled/unknown surfaces, the default (driver-mirror)
+    path and the fully-distributed path (fuzzy_collect_threshold=0)
+    produce identical (surface, canonical_id, link_method) sets, and
+    canonicalize_surrogates agrees across its two paths on top."""
+    from crfsuite_spark.kg.linking import canonicalize_surrogates, link_mentions
+
+    aliases = [
+        ("acme corporation", "org:acme", 5.0),
+        ("acme corp", "org:acme", 4.0),
+        ("zeta systems", "org:zeta", 3.0),
+        ("dave miller", "per:dave", 2.0),
+        ("miller holdings", "org:miller", 1.0),
+    ]
+    alias_df = spark.createDataFrame(
+        [(a, c, w, "x", "t") for a, c, w in aliases],
+        "alias string, canonical_id string, weight double, canonical_name string, entity_type string",
+    )
+    alpha = string.ascii_lowercase + " "
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        surfaces = []
+        for a, _, _ in aliases * 3:
+            # perturb: drop/substitute a char, vary case, append noise
+            s = list(a)
+            op = rng.randrange(4)
+            if op == 0 and len(s) > 3:
+                del s[rng.randrange(len(s))]
+            elif op == 1:
+                s[rng.randrange(len(s))] = rng.choice(alpha)
+            elif op == 2:
+                s.append(rng.choice(alpha))
+            surfaces.append("".join(s).title())
+        surfaces += ["".join(rng.choice(alpha) for _ in range(8)) for _ in range(5)]
+        rng.shuffle(surfaces)
+        m = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+        key = lambda rows: sorted(
+            (r["surface"], r["canonical_id"], r["link_method"]) for r in rows
+        )
+        a_rows = link_mentions(m, alias_df, fuzzy=True, jaccard_threshold=0.4)
+        b_rows = link_mentions(m, alias_df, fuzzy=True, jaccard_threshold=0.4,
+                               fuzzy_collect_threshold=0)
+        assert key(a_rows.collect()) == key(b_rows.collect()), f"seed {seed}"
+        ca = canonicalize_surrogates(a_rows, jaccard_threshold=0.5)
+        cb = canonicalize_surrogates(b_rows, jaccard_threshold=0.5,
+                                     driver_threshold=0)
+        assert key(ca.collect()) == key(cb.collect()), f"canon seed {seed}"
+
+
 def test_pair_cap_returns_none():
     texts = ["same text here"] * 100  # every row collides in every band
     ids = [f"i{i}" for i in range(100)]
