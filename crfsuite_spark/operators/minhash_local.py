@@ -113,6 +113,66 @@ def xxh64_bytes(data: bytes, seed: int = SEED) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+def xxh64_windows(win: "np.ndarray", seed: int = SEED) -> "np.ndarray":
+    """Vectorized XXH64 over ``[n, k]`` uint8 byte windows (k < 32) —
+    one hash per row, bit-identical to :func:`xxh64_bytes` on each
+    row's bytes (parity-tested). This is the throughput core of the
+    numpy signature impl: all n shingles of a document hash in a few
+    numpy passes instead of n matcher/HOF evaluations."""
+    n, k = win.shape
+    assert k < 32, "vectorized path covers the <32-byte (no-stripe) case"
+    u64 = np.uint64
+    P1, P2, P3, P4, P5 = (u64(_P1), u64(_P2), u64(_P3), u64(_P4), u64(_P5))
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    with np.errstate(over="ignore"):
+        h = np.full(n, u64((seed + _P5 + k) & _M64), dtype=u64)
+        off = 0
+        while off + 8 <= k:
+            lane = np.ascontiguousarray(win[:, off:off + 8]).view("<u8").ravel()
+            h ^= rotl(lane * P2, 31) * P1
+            h = rotl(h, 27) * P1 + P4
+            off += 8
+        if off + 4 <= k:
+            lane = np.ascontiguousarray(win[:, off:off + 4]).view("<u4").ravel().astype(u64)
+            h ^= lane * P1
+            h = rotl(h, 23) * P2 + P3
+            off += 4
+        while off < k:
+            h ^= win[:, off].astype(u64) * P5
+            h = rotl(h, 11) * P1
+            off += 1
+        h ^= h >> u64(33)
+        h *= P2
+        h ^= h >> u64(29)
+        h *= P3
+        h ^= h >> u64(32)
+    return h
+
+
+def shingle_hash_array(text: str, k: int, memo: dict | None = None) -> "np.ndarray":
+    """int64 array of distinct hashed char-k-gram values for one
+    string, first-occurrence order — shingle_hash_set's xxhash64
+    variant, vectorized for ASCII text (the common case). Non-ASCII
+    strings take the scalar per-shingle path (substr semantics are by
+    code point, so fixed-width byte windows only exist for ASCII)."""
+    import pandas as pd
+
+    if len(text) < k:
+        v = xxh64_bytes(text.encode("utf-8")) % MERSENNE
+        return np.array([v], dtype=np.int64)
+    if text.isascii() and k < 32:
+        arr = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(arr, k)
+        u = xxh64_windows(win)
+        s = u.view(np.int64) % np.int64(MERSENNE)  # pmod == floor-mod
+        return pd.unique(s)
+    memo = {} if memo is None else memo
+    return np.array(shingle_hash_set(text, k, "xxhash64", memo), dtype=np.int64)
+
+
 def xxh64_longs(values: Sequence[int], seed: int = SEED) -> int:
     """Spark ``xxhash64(c1, ..., cn)`` over long columns: per-column
     hashLong chained through the running hash (lsh_band_buckets'

@@ -67,6 +67,56 @@ def test_signature_parity(spark, hash_fn):
         assert [row[f"mh{j}"] for j in range(8)] == list(mh[i]), t
 
 
+def test_xxh64_windows_matches_scalar():
+    import numpy as np
+
+    rng = random.Random(9)
+    for k in (1, 3, 4, 5, 8, 11, 16, 31):
+        data = bytes(rng.randrange(256) for _ in range(200 + k))
+        arr = np.frombuffer(data, dtype=np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(arr, k)
+        got = ml.xxh64_windows(win).view(np.int64)
+        exp = [ml.xxh64_bytes(data[i:i + k]) for i in range(len(data) - k + 1)]
+        assert got.tolist() == exp, f"k={k}"
+
+
+@pytest.mark.parametrize("texts", [
+    ["hello world text", "aa", "", "x" * 40, "abc abc abc abc"],
+    ["naïve café ünïcode", "mixed ascii and ünïcode", "日本語テキスト"],
+])
+def test_numpy_signature_impl_parity(spark, texts):
+    """impl='numpy' is bit-identical to the HOF path: same __hs arrays
+    (order included), same signatures — ASCII vector path and
+    non-ASCII scalar fallback both covered; NULL text drops in both."""
+    rows = [(str(i), t) for i, t in enumerate(texts)] + [("null", None)]
+    df = spark.createDataFrame(rows, "id string, text string")
+    hof = (minhash_signature(df, "id", "text", 8, 3)
+           .toPandas().sort_values("id").reset_index(drop=True))
+    npy = (minhash_signature(df, "id", "text", 8, 3, impl="numpy")
+           .toPandas().sort_values("id").reset_index(drop=True))
+    assert list(hof["id"]) == list(npy["id"])  # NULL dropped in both
+    for i in range(len(hof)):
+        assert list(hof.loc[i, "__hs"]) == list(npy.loc[i, "__hs"]), texts
+        for j in range(8):
+            assert hof.loc[i, f"mh{j}"] == npy.loc[i, f"mh{j}"]
+
+
+def test_self_pairs_numpy_impl_parity(spark):
+    rng = random.Random(12)
+    base = _rand_strings(25, 13, maxlen=30)
+    texts = [b + " tail" for b in base] + [b + " tail2" for b in base if rng.random() < 0.6]
+    ids = [f"d{i:03d}" for i in range(len(texts))]
+    df = spark.createDataFrame(list(zip(ids, texts)), "id string, text string")
+    outs = []
+    for impl in ("hof", "numpy"):
+        o = minhash_self_pairs(df, "id", "text", 16, 8, 5, 0.5, impl=impl)
+        outs.append(o.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        for c in o.pinned_caches:
+            c.unpersist()
+    assert len(outs[0]) > 0
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 def test_self_pairs_parity(spark):
     # near-dup-rich corpus: templated strings with small perturbations
     rng = random.Random(5)
