@@ -92,13 +92,21 @@ def minhash_signature(
     keep_shingles: bool = True,
     num_partitions: int | None = None,
     hash_fn: str = "xxhash64",
-    impl: str = "hof",
+    impl: str = "auto",
 ) -> DataFrame:
     """One row per id with mh0..mh{n-1} signature columns
     (+ ``__hs``, the hashed shingle set, when ``keep_shingles``).
 
-    Entirely map-side: ``array_min(transform(h, h -> (a*h+b) mod p))``
-    per hash function — no explode, no groupBy, no shuffle.
+    Entirely map-side — no explode, no groupBy, no shuffle — in one of
+    three bit-identical impls (parity-tested in test_minhash_local.py):
+    ``"hof"`` pure-JVM ``array_min(transform(h, h -> (a*h+b) mod p))``,
+    ``"arrow"`` JVM shingle hashes + numpy affine mins, ``"numpy"``
+    everything vectorized inside one mapInPandas (xxhash64 only).
+    ``"auto"`` (default) picks numpy for xxhash64 — the HOF form
+    evaluates ~(len + n_hashes·n_shingles) interpreted closures per
+    document and the signature stage dominated the sf10 dedup run
+    (43.0 s vs 6.8 s warm, 500k docs / 32 hashes) — and hof otherwise
+    (md5_32 keeps the JVM form the DuckDB oracle mirrors).
 
     ``num_partitions``: explicitly widen the input first. Use when the
     source collapses to fewer splits than cores (small local files; at
@@ -108,6 +116,8 @@ def minhash_signature(
     """
     if num_partitions:
         df = df.repartition(num_partitions)
+    if impl == "auto":
+        impl = "numpy" if hash_fn == "xxhash64" else "hof"
     if impl == "numpy":
         # Full-numpy signature stage: shingling + XXH64 + affine mins
         # all inside one mapInPandas, no HOF lambdas. The HOF path
@@ -139,13 +149,13 @@ def minhash_signature(
         def np_sig_fn(batches):
             memo: dict = {}
             for pdf in batches:
-                texts = pdf[text_col]
+                texts = pdf["__mh_text"]
                 keep = texts.notna().to_numpy()
                 if not keep.any():
                     continue
                 sub = pdf.loc[keep]
                 hss = [
-                    shingle_hash_array(t, k, memo) for t in sub[text_col]
+                    shingle_hash_array(t, k, memo) for t in sub["__mh_text"]
                 ]
                 mh = np.empty((len(sub), n_hashes), dtype=np.int64)
                 for i, hs in enumerate(hss):
@@ -157,7 +167,12 @@ def minhash_signature(
                     out[f"mh{j}"] = mh[:, j]
                 yield out
 
-        return df.select(id_col, text_col).mapInPandas(np_sig_fn, schema)
+        # text aliased to a private name so id_col == text_col (e.g.
+        # minhash_join signing a bare key column) stays unambiguous in
+        # the pandas batch
+        sel = df.select(F.col(id_col).alias(id_col),
+                        F.col(text_col).alias("__mh_text"))
+        return sel.mapInPandas(np_sig_fn, schema)
     base = df.select(
         id_col, shingle_hashes(text_col, shingle_size, hash_fn).alias("__hs")
     ).where(F.size("__hs") > 0)
@@ -300,7 +315,7 @@ def minhash_self_pairs(
     seed: int = 42,
     num_partitions: int | None = None,
     hash_fn: str = "xxhash64",
-    impl: str = "hof",
+    impl: str = "auto",
     estimate_margin: float | None = 0.25,
 ) -> DataFrame:
     """Near-duplicate candidate pairs within one table:
