@@ -1095,6 +1095,32 @@ def q_w2_ngram_trigram(spark, sf):
     return ev.select("user_id", "event_id", tri.alias("trigram"))
 
 
+def q_kg_communities(spark, sf):
+    """Fixed-3-iteration deterministic label propagation over the
+    undirected gold entity graph: (entity, community). Max-count
+    neighbor label, ties -> smallest label — a pure function of the
+    edge set, so the oracle chains the same iterations as SQL CTEs."""
+    from crfsuite_spark.kg.graph import label_propagation
+
+    out = label_propagation(_gold_triples(spark), n_iters=3)
+    out2 = out.select("entity", "community")
+    out2.pinned_caches = out.pinned_caches
+    return out2
+
+
+def q_ds_temperature_mix(spark, sf):
+    """Temperature-based domain rebalancing (XLM-R sampling rule,
+    alpha=0.5): keep-rate sqrt(n_min/n_lang) per language, portable
+    md5 hash threshold. sqrt and divide are IEEE-correctly-rounded,
+    so the integer thresholds are bit-identical in the DuckDB oracle."""
+    from crfsuite_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf, "documents")
+    return temperature_mix(d, "doc_id", "lang", alpha=0.5).select(
+        "doc_id", "lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_window_lag_lead": q_w1_window_lag_lead,
@@ -1124,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_support": q_kg_triple_support,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_communities": q_kg_communities,
+        "ds_temperature_mix": q_ds_temperature_mix,
         "kg_k_hop": q_kg_k_hop,
         "kg_temporal_triples": q_kg_temporal_triples,
         "kg_edge_merge": q_kg_edge_merge,
@@ -1420,6 +1448,35 @@ def _pagerank_oracle_sql(gold: str, n_iters=3, damping=0.85) -> str:
         """
 
 
+def _label_prop_oracle_sql(gold: str, n_iters=3) -> str:
+    """DuckDB SQL reproducing q_kg_communities: the same fixed-iteration
+    synchronous min-tie-break label propagation, one CTE pair
+    (neighbor-label counts, winner) per iteration."""
+    ctes = [
+        f"t AS (SELECT * FROM read_parquet('{gold}'))",
+        "e AS (SELECT subj AS a, obj AS b FROM t "
+        "UNION ALL SELECT obj AS a, subj AS b FROM t)",
+        "sym AS (SELECT DISTINCT a, b FROM e WHERE a <> b)",
+        "l0 AS (SELECT DISTINCT a AS entity, a AS community FROM sym)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT sym.a AS entity, l{i-1}.community AS lab, "
+            f"count(*) AS cnt FROM sym JOIN l{i-1} ON l{i-1}.entity = sym.b "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT entity, lab AS community FROM ("
+            f"SELECT entity, lab, row_number() OVER (PARTITION BY entity "
+            f"ORDER BY cnt DESC, lab ASC) AS rn FROM c{i}) WHERE rn = 1)"
+        )
+    body = ",\n            ".join(ctes)
+    return f"""
+            WITH {body}
+            SELECT entity, community FROM l{n_iters}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tests", "fixtures")
@@ -1463,6 +1520,21 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"
         ),
+        "kg_communities": _label_prop_oracle_sql(
+            f"{fixtures}/gold_triples_synthetic.parquet"
+        ),
+        # rate = sqrt(n_min/n_lang): division, sqrt, the *1e6 multiply
+        # and floor are all IEEE-correctly-rounded, so the integer
+        # thresholds match Spark's bit-for-bit (pow would not)
+        "ds_temperature_mix": """
+            WITH c AS (SELECT lang AS dom, count(*) AS n FROM documents GROUP BY lang),
+            mn AS (SELECT min(n) AS nmin FROM c),
+            r AS (SELECT dom,
+                         CAST(floor(least(1.0, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS thresh
+                  FROM c CROSS JOIN mn)
+            SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.dom
+            WHERE ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':42')), 1, 8))::BIGINT % 1000000 < r.thresh
+        """,
         "kg_temporal_triples": f"""
             WITH t AS (
               SELECT g.*, s.ts

@@ -282,3 +282,64 @@ def k_hop(
         frontier = nxt.select("entity")
     out.pinned_caches = pinned
     return out
+
+
+def label_propagation(
+    triples: DataFrame,
+    n_iters: int = 3,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) over the undirected distinct entity graph: (entity,
+    community), community = the propagated label (an entity id).
+
+    Deterministic variant — the classic LPA breaks count ties randomly
+    and updates asynchronously, which is useless for reproducible
+    curation runs and impossible to oracle; here every node
+    SIMULTANEOUSLY adopts its neighbors' most frequent label, ties →
+    lexicographically smallest label, so the result is a pure function
+    of (edge set, n_iters) and the driver oracle chains the same
+    iterations as SQL CTEs. Self-loops are dropped (a node's own label
+    only re-enters through a neighbor).
+
+    Scale shape: each iteration is ONE join of the symmetrized edge
+    frame against the (node, label) frame on the uniform node key +
+    TWO partial-aggregated groupBys (the (node, label) count collapses
+    map-side; min_by picks the winner) — no windows, no sorts, the
+    same per-iteration cost as :func:`pagerank`. The symmetrized edge
+    frame is persisted (scanned once per iteration; release via
+    ``out.pinned_caches``). Fixed small n_iters is the production norm
+    (GraphFrames' own LPA is maxIter-bounded): at 10^12 edges each
+    iteration is a full shuffle of the edge table, and 3-5 rounds give
+    stable coarse communities on short-diameter entity graphs."""
+    e = triples.select(F.col(subj).alias("a"), F.col(obj).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("a").alias("entity")).distinct().select(
+        "entity", F.col("entity").alias("community")
+    )
+    for _ in range(n_iters):
+        counts = (
+            sym.join(
+                labels.select(
+                    F.col("entity").alias("b"),
+                    F.col("community").alias("nbr_label"),
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("entity"), F.col("nbr_label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = counts.groupBy("entity").agg(
+            F.min_by(
+                "nbr_label",
+                F.struct((-F.col("cnt")).alias("nc"), F.col("nbr_label").alias("lb")),
+            ).alias("community")
+        )
+    labels.pinned_caches = [sym]
+    return labels

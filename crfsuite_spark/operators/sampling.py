@@ -72,6 +72,79 @@ def stratified_hash_sample(
     return df.where(_portable_hash_expr(id_col, _SCALE, seed) < thresh)
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    alpha: float = 0.5,
+    scale: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-LLM
+    sampling rule, XLM-R / mT5: resampled share q_d ∝ p_d^alpha):
+    downsample each domain with keep-rate
+    ``r_d = scale · (n_min / n_d)^(1 - alpha)`` so kept domain sizes
+    are proportional to ``n_d^alpha``. alpha = 1 keeps everything,
+    alpha = 0 levels every domain down to the smallest, alpha ∈ (0, 1)
+    flattens the head while keeping it largest. Pure subsampling — the
+    smallest domain is kept whole (times ``scale``), never upsampled,
+    so the output is a deterministic subset (rerun-, retry- and
+    AQE-stable via the portable hash threshold).
+
+    Shape: ONE partial-aggregated ``groupBy(domain).count()`` (domain
+    vocabulary is tiny), a 1-row global min joined back by cross-join
+    (both frames are domain-sized — the planner broadcasts), then a
+    map-side hash filter over the corpus: the corpus itself never
+    shuffles.
+
+    Determinism across engines: rates use ``sqrt`` chains, not
+    ``pow`` — for the default alpha = 0.5 the rate is
+    ``sqrt(n_min / n_d)``, and IEEE-754 requires division and sqrt to
+    be correctly rounded, so the integer threshold
+    ``floor(r_d · 10^6)`` is bit-identical in Spark and DuckDB (the
+    driver oracle replays it). ``pow`` carries no such guarantee, so
+    non-(0.5/1) alphas compute the exponent driver-side on the SAME
+    collected counts (domain-sized; exact reproducibility then holds
+    per-platform rather than per-IEEE)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.count("*").alias("__n")
+    )
+    if alpha in (0.5, 1.0):
+        mn = counts.agg(F.min("__n").alias("__nmin"))
+        ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+        r = F.sqrt(ratio) if alpha == 0.5 else F.lit(1.0)
+        rates = counts.crossJoin(mn).select(
+            "__dom",
+            F.floor(
+                F.least(F.lit(1.0), r * F.lit(float(scale))) * F.lit(_SCALE)
+            ).alias("__thresh"),
+        )
+    else:
+        rows = counts.collect()
+        nmin = min(r2["__n"] for r2 in rows)
+        spark = df.sparkSession
+        rates = spark.createDataFrame(
+            [
+                (
+                    r2["__dom"],
+                    int(
+                        min(1.0, scale * (nmin / r2["__n"]) ** (1.0 - alpha))
+                        * _SCALE
+                    ),
+                )
+                for r2 in rows
+            ],
+            ["__dom", "__thresh"],
+        )
+    out = df.join(
+        F.broadcast(rates),
+        df[domain_col] == rates["__dom"],
+    ).where(_portable_hash_expr(id_col, _SCALE, seed) < F.col("__thresh"))
+    return out.drop("__dom", "__thresh")
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str = "doc_id",

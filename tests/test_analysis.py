@@ -368,3 +368,94 @@ def test_decontaminate_ngram_overlap(spark):
     clean = decontaminate(docs, bench, n=8).toPandas()
     assert sorted(clean["doc_id"]) == [2, 3, 4]
     assert list(clean.columns) == ["doc_id", "text"]
+
+
+def _skewed_domains(spark):
+    # 1600 web / 400 books / 100 code — 16:4:1 skew
+    return spark.range(0, 2100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1600, "web")
+        .when(F.col("id") < 2000, "books")
+        .otherwise("code")
+        .alias("domain"),
+    )
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    """alpha=0.5 keep-rates are sqrt(n_min/n_d): code (smallest) kept
+    whole, web kept at 1/4, books at 1/2 — realized counts within hash
+    noise; output identical across partitionings (retry/AQE-stable)."""
+    from crfsuite_spark.operators.sampling import temperature_mix
+
+    df = _skewed_domains(spark)
+    out = temperature_mix(df, "doc_id", "domain", alpha=0.5)
+    rows = out.groupBy("domain").count().collect()
+    got = {r["domain"]: r["count"] for r in rows}
+    # expected: code 100 (rate 1.0 exactly), web ~400, books ~200
+    assert got["code"] == 100
+    assert abs(got["web"] - 400) < 60
+    assert abs(got["books"] - 200) < 45
+    ids = {r["doc_id"] for r in out.collect()}
+    ids_b = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df.repartition(17), "doc_id", "domain", alpha=0.5
+        ).collect()
+    }
+    assert ids == ids_b
+
+
+def test_temperature_mix_alpha_extremes(spark):
+    """alpha=1 is a no-op (every domain rate 1.0); alpha=0 levels every
+    domain down to ~n_min; alpha outside [0,1] raises."""
+    import pytest as _pytest
+
+    from crfsuite_spark.operators.sampling import temperature_mix
+
+    df = _skewed_domains(spark)
+    assert temperature_mix(df, "doc_id", "domain", alpha=1.0).count() == 2100
+    flat = temperature_mix(df, "doc_id", "domain", alpha=0.0)
+    got = {r["domain"]: r["count"]
+           for r in flat.groupBy("domain").count().collect()}
+    assert got["code"] == 100
+    assert abs(got["web"] - 100) < 40
+    assert abs(got["books"] - 100) < 35
+    with _pytest.raises(ValueError):
+        temperature_mix(df, "doc_id", "domain", alpha=1.5)
+
+
+def test_temperature_mix_general_alpha_driver_path(spark):
+    """Non-sqrt alphas go through the driver-computed thresholds: same
+    contract (smallest domain whole, monotone rates), and the kept set
+    is a SUBSET of a higher-alpha run with the same seed (thresholds
+    shrink monotonically as alpha drops — nested-sample property)."""
+    from crfsuite_spark.operators.sampling import temperature_mix
+
+    df = _skewed_domains(spark)
+    a7 = {r["doc_id"] for r in
+          temperature_mix(df, "doc_id", "domain", alpha=0.7).collect()}
+    a3 = {r["doc_id"] for r in
+          temperature_mix(df, "doc_id", "domain", alpha=0.3).collect()}
+    assert a3 <= a7
+    out = temperature_mix(df, "doc_id", "domain", alpha=0.3)
+    got = {r["domain"]: r["count"]
+           for r in out.groupBy("domain").count().collect()}
+    assert got["code"] == 100
+    # rates: web (16/1)^-0.7 ~ 0.1436 -> ~230; books (4/1)^-0.7 ~ 0.379 -> ~151
+    assert abs(got["web"] - 1600 * (1 / 16) ** 0.7) < 50
+    assert abs(got["books"] - 400 * (1 / 4) ** 0.7) < 40
+
+
+def test_temperature_mix_scale_factor(spark):
+    """scale < 1 subsamples every domain by the same factor on top of
+    the temperature rates (the 'take a 10% pilot of the mixed corpus'
+    knob), preserving the mix ratios."""
+    from crfsuite_spark.operators.sampling import temperature_mix
+
+    df = _skewed_domains(spark)
+    out = temperature_mix(df, "doc_id", "domain", alpha=0.5, scale=0.5)
+    got = {r["domain"]: r["count"]
+           for r in out.groupBy("domain").count().collect()}
+    assert abs(got["code"] - 50) < 25
+    assert abs(got["web"] - 200) < 45
+    assert abs(got["books"] - 100) < 35

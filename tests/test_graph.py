@@ -206,3 +206,82 @@ def test_top_objects_agg_then_rank(spark, tiny):
     plan = top_objects(tiny, k=2)._jdf.queryExecution().executedPlan().toString()
     assert "partial" in plan.lower() and "Window" in plan
     assert plan.lower().index("partial") > plan.index("Window")  # bottom-up print: agg below window
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two 3-cliques joined by one bridge edge: LPA must give each
+    clique its own min-label community (the bridge's single vote never
+    outnumbers two intra-clique votes), matching a hand-run of the
+    synchronous min-tie-break update."""
+    from crfsuite_spark.kg.graph import label_propagation
+
+    rows = [
+        ("c1", 1, "a1", "r", "a2"),
+        ("c1", 2, "a1", "r", "a3"),
+        ("c1", 3, "a2", "r", "a3"),
+        ("c1", 4, "b1", "r", "b2"),
+        ("c1", 5, "b1", "r", "b3"),
+        ("c1", 6, "b2", "r", "b3"),
+        ("c1", 7, "a3", "r", "b1"),  # bridge
+    ]
+    out = label_propagation(_triples(spark, rows), n_iters=4)
+    got = {r["entity"]: r["community"] for r in out.collect()}
+    for c in out.pinned_caches:
+        c.unpersist()
+    # the a-clique settles on one community, the b-side (including the
+    # bridge node) on another — and the exact labels must match an
+    # independent pure-Python run of the same synchronous update:
+    assert got["a1"] == got["a2"] == got["a3"]
+    assert got["b1"] == got["b2"] == got["b3"]
+    assert got["a1"] != got["b1"]
+    edges = {("a1","a2"),("a1","a3"),("a2","a3"),
+             ("b1","b2"),("b1","b3"),("b2","b3"),("a3","b1")}
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b)); sym.add((b, a))
+    nodes = {a for a, _ in sym}
+    lab = {n: n for n in nodes}
+    for _ in range(4):
+        new = {}
+        for n in nodes:
+            votes = {}
+            for a, b in sym:
+                if a == n:
+                    votes[lab[b]] = votes.get(lab[b], 0) + 1
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        lab = new
+    assert got == lab
+
+
+def test_label_propagation_tie_breaks_min_label(spark):
+    """A path x - m - y: m's neighbors vote x and y once each — the
+    deterministic rule must pick min(x, y), every iteration, both
+    endpoints keep flip-flopping onto m's label."""
+    from crfsuite_spark.kg.graph import label_propagation
+
+    rows = [("c1", 1, "m", "r", "x"), ("c1", 2, "m", "r", "y")]
+    out = label_propagation(_triples(spark, rows), n_iters=1)
+    got = {r["entity"]: r["community"] for r in out.collect()}
+    for c in out.pinned_caches:
+        c.unpersist()
+    # after 1 sync round: m sees {x, y} -> x; x and y each see only m -> m
+    assert got == {"m": "x", "x": "m", "y": "m"}
+
+
+def test_label_propagation_drops_self_loops(spark):
+    from crfsuite_spark.kg.graph import label_propagation
+
+    rows = [("c1", 1, "z", "r", "z"), ("c1", 2, "p", "r", "q")]
+    out = label_propagation(_triples(spark, rows), n_iters=2)
+    got = {r["entity"]: r["community"] for r in out.collect()}
+    for c in out.pinned_caches:
+        c.unpersist()
+    # z only self-loops: it has no neighbors, so it never enters the
+    # node set at all (consistent with the oracle CTE chain)
+    assert "z" not in got
+    # synchronous LPA 2-cycles on a bare edge (p takes q's label while
+    # q takes p's, and back): after an even iteration count each node
+    # carries its own label again — faithful to the update rule, and
+    # the driver oracle replays the identical dynamics
+    assert got == {"p": "p", "q": "q"}
