@@ -656,20 +656,15 @@ def q_ev_run_groups(spark, sf):
 # rows-only queries (non-SQL-expressible: CRF decode, LSH, KG pipeline)
 # --------------------------------------------------------------------------
 
-def q_crf_decode_synthetic(spark, sf):
-    """Batched Viterbi decode of deterministic synthetic transcripts with a
-    lexicon-seeded model (exact-value parity proven in tests/ via the
-    enumeration oracle; driver does a rows-only check here)."""
-    from crfsuite_spark.datagen.transcripts import generate
-    from crfsuite_spark.kg.pipeline import featurize_transcripts
-    from crfsuite_spark.decode.tagger import decode
-    from crfsuite_spark.train.model import CRFModel
+def _synthetic_lexicon_model():
+    """Deterministic lexicon model over the seed-42 synthetic corpus:
+    gold (token -> label) votes, shared by both decode-path queries."""
     import numpy as np
 
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.train.model import CRFModel
+
     data = generate(n_convs=20, turns_per_conv=8, seed=42)
-    tdf = spark.createDataFrame(data.transcripts)
-    feat = featurize_transcripts(tdf)
-    # deterministic lexicon model: gold (token -> label) votes
     votes = data.tokens.groupby(["token", "label"]).size().reset_index(name="n")
     labels = sorted(data.tokens["label"].unique())
     l2i = {l: i for i, l in enumerate(labels)}
@@ -681,8 +676,34 @@ def q_crf_decode_synthetic(spark, sf):
     state_w = np.log1p(state_w) * 2
     model = CRFModel(labels=labels, attrs=attrs, state_w=state_w,
                      trans_w=np.zeros((len(labels), len(labels))))
+    return data, model
+
+
+def q_crf_decode_synthetic(spark, sf):
+    """Batched Viterbi decode of deterministic synthetic transcripts with a
+    lexicon-seeded model, canonical path (explode → window templates →
+    Arrow decode); oracled against the independently-derived gold
+    fixture (tools/make_gold_fixtures.py plain-pandas argmax)."""
+    from crfsuite_spark.kg.pipeline import featurize_transcripts
+    from crfsuite_spark.decode.tagger import decode
+
+    data, model = _synthetic_lexicon_model()
+    tdf = spark.createDataFrame(data.transcripts)
+    feat = featurize_transcripts(tdf)
     return decode(feat, model, ["conv_id", "turn_idx"], "token_idx",
                   with_marginal=False)
+
+
+def q_crf_decode_fused(spark, sf):
+    """Same decode through the fused ZERO-shuffle path (decode/fused.py:
+    tokenize + templates + Viterbi in one Arrow pass over unexploded
+    turns) — checked against the same independent gold fixture, so the
+    driver gate proves both decode paths emit identical labels."""
+    from crfsuite_spark.decode.fused import decode_fused
+
+    data, model = _synthetic_lexicon_model()
+    tdf = spark.createDataFrame(data.transcripts)
+    return decode_fused(tdf, model, seq_cols=["conv_id", "turn_idx"])
 
 
 def q_kg_triples_synthetic(spark, sf):
@@ -1173,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": q_ev_sessionize,
         "ev_run_groups": q_ev_run_groups,
         "crf_decode_synthetic": q_crf_decode_synthetic,
+        "crf_decode_fused": q_crf_decode_fused,
         "kg_triples_synthetic": q_kg_triples_synthetic,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1487,6 +1509,10 @@ def oracle_sql() -> dict[str, str]:
         # generator's own gold triple set) and checked in as parquet
         "crf_decode_synthetic": f"""
             SELECT conv_id, turn_idx, token_idx, token, pos, label
+            FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')
+        """,
+        "crf_decode_fused": f"""
+            SELECT conv_id, turn_idx, token_idx, token, label
             FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')
         """,
         "kg_triples_synthetic": f"""

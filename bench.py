@@ -218,10 +218,12 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
 
         transcripts = spark.read.parquet(tpath)
         model = lexicon_model()
-        # streaming_spans toggles the shuffle-free span pass; measured at
-        # 3.6M turns it wins where the host is bandwidth-bound (16 cores:
-        # 142->118 s) and loses slightly where not (8 cores: 185->194 s),
-        # so the bench default keeps the JVM shuffle path
+        # tagging goes through the fused zero-shuffle decode by default
+        # (PipelineConfig.fused_decode; decode/fused.py — sf10: 36->8.7 s
+        # for the tag stage, identical triples). streaming_spans toggles
+        # the shuffle-free span pass; with the fused tagger it's a wash
+        # at 32 cores (24.6 vs 25.2 s at 3.6M turns), so the default
+        # keeps the JVM shuffle path for spans
         cfg = PipelineConfig(
             streaming_spans=os.environ.get("SPARK_GRAFT_STREAM_SPANS") == "1"
         )

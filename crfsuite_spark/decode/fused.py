@@ -1,0 +1,334 @@
+"""Fused zero-shuffle decode: tokenize + window templates + Viterbi in
+ONE Arrow pass over the unexploded transcript table.
+
+The canonical decode path (functions/tokenize.py → functions/
+templates.py → decode/tagger.py) explodes turns into token rows and
+pays one hash Exchange of the whole token stream so the window
+lag/leads and the Arrow UDF see sequence-contiguous rows. But a
+*sequence is one transcript row* (key = conv_id, turn_idx — the
+input-table shape from BASELINE.json:input_hint): everything the
+templates need is already co-located inside the row's own text. This
+module exploits that: ``mapInPandas`` directly over the transcript
+table tokenizes, builds the window templates, resolves attributes
+against the broadcast model and runs the batched Viterbi (kernel K9)
+inside a single Arrow hop — ZERO Exchange (plan-asserted,
+tests/test_plans.py). At 10^12-turn scale this removes the only
+shuffle of the token stream — the dominant cost of the tagging stage
+(~31 M exploded token rows at sf10, measured 81 % of kg_pipeline) —
+and parallelism is the parquet-split parallelism of the input. Hot
+conversations spread across splits row-by-row, so the largest skew
+unit is one turn, strictly smaller than the canonical path's
+per-sequence shuffle key.
+
+No per-token Python, and no per-token feature strings either. Per
+Arrow batch the tokens are factorized (``pd.factorize``) and every
+template is resolved per *distinct* value (unigram templates) or per
+*distinct* window combination (n-gram templates); the resolved model
+weight-rows are then gathered back to token positions with pure numpy
+indexing. The per-distinct work is bounded by batch vocabulary — not
+token count (Zipf) — and a process-lifetime memo carries resolved
+attribute rows across batches, so steady-state batches only format
+strings for never-seen-before combinations.
+
+Label output is bit-identical to the canonical path
+(tests/test_fused_decode.py asserts exact frame equality, marginals
+included). Reference parity: same template semantics as
+crf_cbind_attributes (R/feature_engineering.R:48-111) and the same
+tagging contract as predict.crf (src/rcpp_crfsuite.cpp:176-255);
+unknown attributes drop exactly like crfsuite.hpp:403-410.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from crfsuite_spark.datagen.transcripts import FUNC_WORDS, VERB_WORDS
+from crfsuite_spark.decode.tagger import viterbi_outputs
+from crfsuite_spark.functions.tokenize import _PREPS
+from crfsuite_spark.train.model import CRFModel
+
+# closed POS tag set, selection order = functions/tokenize.pos_column
+_POS_TAGS = np.array(["Punc", "V", "Prep", "Art", "NNP", "Num", "N"], dtype=object)
+_PUNCT = [".", ",", "?", ":", "!", ";"]
+
+FUSED_TERMS = ("token", "pos")
+
+
+def _pos_ids_of_uniq(uniq: np.ndarray) -> np.ndarray:
+    """POS tag index per distinct token — vectorized twin of
+    functions/tokenize.pos_column (same predicates, same order)."""
+    u = pd.Series(uniq, dtype=object)
+    low = u.str.lower()
+    conds = [
+        u.isin(_PUNCT).to_numpy(),
+        low.isin(sorted(VERB_WORDS)).to_numpy(),
+        low.isin(sorted(_PREPS)).to_numpy(),
+        low.isin(sorted(FUNC_WORDS - _PREPS)).to_numpy(),
+        u.str.match(r"[A-Z]", na=False).to_numpy(),
+        u.str.fullmatch(r"[0-9]+", na=False).to_numpy(),
+    ]
+    return np.select(conds, np.arange(6), default=6).astype(np.int64)
+
+
+def _shift_ids(ids: np.ndarray, seq_of: np.ndarray, k: int) -> np.ndarray:
+    """ids shifted by window offset k within sequences; -1 outside."""
+    n = len(ids)
+    if k == 0:
+        return ids
+    out = np.full(n, -1, dtype=np.int64)
+    kk = abs(k)
+    if kk >= n:
+        return out
+    same = seq_of[kk:] == seq_of[:-kk]
+    if k > 0:  # lead: value comes from position i + k
+        np.copyto(out[:-kk], ids[kk:], where=same)
+    else:  # lag
+        np.copyto(out[kk:], ids[:-kk], where=same)
+    return out
+
+
+# memo entries are ~100 B each; 4M ≈ 400 MB/worker upper bound. An
+# open-vocabulary corpus (random ids, hashes) would otherwise grow the
+# memo without bound over a long-lived executor — on reset the next
+# batch simply re-resolves its distinct strings against the broadcast.
+_MEMO_CAP = 4_000_000
+
+
+def _rows_for(strings, attr2row: dict, memo: dict) -> np.ndarray:
+    """Model weight-row per attribute string (-1 = unknown, dropped —
+    crfsuite.hpp:403-410). Loop is per DISTINCT string only; `memo`
+    lives for the worker process, so repeated vocabulary across Arrow
+    batches costs one dict hit."""
+    if len(memo) > _MEMO_CAP:
+        memo.clear()
+    out = np.empty(len(strings), dtype=np.int64)
+    mget, aget = memo.get, attr2row.get
+    for i, s in enumerate(strings):
+        r = mget(s)
+        if r is None:
+            r = aget(s, -1)
+            memo[s] = r
+        out[i] = r
+    return out
+
+
+def _build_templates(terms, from_offset, to_offset, ngram_max, sep):
+    """(singles, ngrams) descriptors with the exact attribute names
+    cbind_attributes generates (templates.py:50-73)."""
+    singles = []  # (term, offset, column name)
+    ngrams = []  # (term, joined name, offsets tuple)
+    for term in terms:
+        level1 = []
+        for off in range(from_offset, to_offset + 1):
+            name = f"{term}[t{'' if off == 0 else ('%+d' % off)}]"
+            level1.append((name, off))
+            singles.append((term, off, name))
+        for size in range(2, min(ngram_max, len(level1)) + 1):
+            for combo in combinations(level1, size):
+                ngrams.append(
+                    (
+                        term,
+                        sep.join(n for n, _ in combo),
+                        tuple(o for _, o in combo),
+                    )
+                )
+    return singles, ngrams
+
+
+def decode_fused(
+    transcripts: DataFrame,
+    model: CRFModel,
+    seq_cols: list[str] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    terms: list[str] = ("token", "pos"),
+    from_offset: int = -2,
+    to_offset: int = 2,
+    ngram_max: int = 2,
+    sep: str = "-",
+    bos_eos: bool = True,
+    with_marginal: bool = False,
+) -> DataFrame:
+    """Viterbi-tag every turn straight off the transcript table.
+
+    Output: one row per token — ``*seq_cols, token_idx, token, label
+    [, marginal, seq_prob]`` — identical (values AND schema) to the
+    canonical ``tokenize → cbind_attributes → decode`` chain with
+    ``passthrough_cols=[*seq_cols, "token_idx", "token"]``.
+
+    Only derivable terms are supported (``token``, ``pos``): both are
+    pure functions of the row's text, which is what makes the fusion
+    legal. Callers with exotic terms or pre-built token tables use the
+    canonical :func:`crfsuite_spark.decode.tagger.decode`.
+    """
+    unsupported = set(terms) - set(FUSED_TERMS)
+    if unsupported:
+        raise ValueError(
+            f"decode_fused only derives terms {FUSED_TERMS}; got {sorted(unsupported)}"
+        )
+    terms = list(terms)
+    seq_cols = list(seq_cols)
+    spark = transcripts.sparkSession
+    sc = spark.sparkContext
+
+    singles, ngrams = _build_templates(terms, from_offset, to_offset, ngram_max, sep)
+    attr2row = model.attr2id
+    # positional features resolve driver-side once: tiny, fixed names
+    bos_rows = [attr2row.get(f"BOS+{k}", -1) for k in (0, 1)] if bos_eos else []
+    eos_rows = [attr2row.get(f"EOS-{k}", -1) for k in (0, 1)] if bos_eos else []
+    bc = sc.broadcast(
+        (
+            attr2row,
+            model.state_w,
+            model.trans_w,
+            np.array(model.labels, dtype=object),
+        )
+    )
+
+    types = {f.name: f.dataType.simpleString() for f in transcripts.schema.fields}
+    out_schema = ", ".join(f"`{c}` {types[c]}" for c in seq_cols)
+    out_schema += ", token_idx int, token string, label string"
+    if with_marginal:
+        out_schema += ", marginal double, seq_prob double"
+    out_cols = [*seq_cols, "token_idx", "token", "label"] + (
+        ["marginal", "seq_prob"] if with_marginal else []
+    )
+
+    def run(batches):
+        attr2row, state_w, trans_w, labels = bc.value
+        memo: dict = {}  # attr string -> weight row, process-lifetime
+
+        def empty():
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                yield empty()
+                continue
+            # --- tokenize (posexplode(split) twin, tokenize.py:46-50):
+            # token_idx = position in the raw split, empties dropped
+            splits = pdf[text_col].fillna("").str.split(" ")
+            lens_raw = splits.str.len().to_numpy(dtype=np.int64)
+            total = int(lens_raw.sum())
+            if total == 0:
+                yield empty()
+                continue
+            flat = np.concatenate(splits.to_numpy())
+            row_of = np.repeat(np.arange(n_rows), lens_raw)
+            starts_raw = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(lens_raw[:-1], out=starts_raw[1:])
+            orig_pos = np.arange(total, dtype=np.int64) - starts_raw[row_of]
+            keep = flat != ""
+            tok = flat[keep]
+            token_idx = orig_pos[keep]
+            seq_row = row_of[keep]
+            n_tok = len(tok)
+            if n_tok == 0:
+                yield empty()
+                continue
+            # dense sequence index per token (rows with zero tokens
+            # vanish, exactly like the explode-side filter)
+            per_row = np.bincount(seq_row, minlength=n_rows)
+            nz = per_row > 0
+            lengths = per_row[nz]
+            row2seq = np.full(n_rows, -1, dtype=np.int64)
+            row2seq[nz] = np.arange(int(nz.sum()))
+            seq_of = row2seq[seq_row]
+
+            # --- factorize once; POS derives per distinct token
+            codes, uniq = pd.factorize(tok)
+            codes = codes.astype(np.int64, copy=False)
+            uniq = np.asarray(uniq, dtype=object)
+            term_ids = {}
+            term_uniq = {}
+            if "token" in terms:
+                term_ids["token"] = codes
+                term_uniq["token"] = uniq
+            if "pos" in terms:
+                term_ids["pos"] = _pos_ids_of_uniq(uniq)[codes]
+                term_uniq["pos"] = _POS_TAGS
+
+            shifted = {
+                (term, off): _shift_ids(term_ids[term], seq_of, off)
+                for term, off, _ in singles
+            }
+
+            A, L = state_w.shape
+            S = np.zeros((n_tok, L), dtype=np.float64)
+            # --- unigram templates: one lookup per distinct value
+            for term, off, name in singles:
+                vals = term_uniq[term]
+                rows = _rows_for(
+                    [name + "=" + v for v in vals], attr2row, memo
+                )
+                vid = shifted[(term, off)]
+                valid = vid >= 0
+                r = rows[vid[valid]]
+                hit = r >= 0
+                if hit.any():
+                    # indices are unique within one template: plain
+                    # fancy-index add, no np.add.at needed
+                    S[np.flatnonzero(valid)[hit]] += state_w[r[hit]]
+            # --- n-gram templates: one lookup per distinct combination
+            for term, name, offs in ngrams:
+                vu = term_uniq[term]
+                vt = len(vu)
+                vids = [shifted[(term, o)] for o in offs]
+                valid = vids[0] >= 0
+                for v in vids[1:]:
+                    valid &= v >= 0
+                if not valid.any():
+                    continue
+                if vt ** len(offs) >= 2**62:  # radix overflow guard
+                    raise ValueError(
+                        f"batch vocabulary {vt} too large for "
+                        f"{len(offs)}-gram radix coding"
+                    )
+                code = vids[0][valid]
+                for v in vids[1:]:
+                    code = code * vt + v[valid]
+                up, inv = np.unique(code, return_inverse=True)
+                digits = []
+                c = up
+                for _ in offs:
+                    digits.append(c % vt)
+                    c = c // vt
+                digits.reverse()
+                names = [
+                    name + "=" + sep.join(vu[d[i]] for d in digits)
+                    for i in range(len(up))
+                ]
+                rows = _rows_for(names, attr2row, memo)
+                r = rows[inv]
+                hit = r >= 0
+                if hit.any():
+                    S[np.flatnonzero(valid)[hit]] += state_w[r[hit]]
+            # --- BOS/EOS positional features (W5)
+            if bos_eos:
+                starts_seq = np.zeros(len(lengths), dtype=np.int64)
+                np.cumsum(lengths[:-1], out=starts_seq[1:])
+                rn0 = np.arange(n_tok, dtype=np.int64) - starts_seq[seq_of]
+                rem = lengths[seq_of] - 1 - rn0
+                for k, row in enumerate(bos_rows):
+                    if row >= 0:
+                        S[rn0 == k] += state_w[row]
+                for k, row in enumerate(eos_rows):
+                    if row >= 0:
+                        S[rem == k] += state_w[row]
+
+            cols = viterbi_outputs(S, lengths, trans_w, labels, with_marginal)
+            out = pd.DataFrame(index=pd.RangeIndex(n_tok))
+            for c in seq_cols:
+                out[c] = pdf[c].to_numpy()[seq_row]
+            out["token_idx"] = token_idx
+            out["token"] = tok
+            for name_, vals_ in cols.items():
+                out[name_] = vals_
+            yield out
+
+    pruned = transcripts.select(*seq_cols, text_col)
+    return pruned.mapInPandas(run, out_schema)

@@ -78,18 +78,82 @@ def _decode_frame(
             [np.asarray(v, dtype=np.float64) for v in pdf[embeddings_col]]
         ).reshape(N, -1)
         S += E @ emb_w
-    # pad [B, T_max, L]
-    T_max = int(lengths.max())
-    starts = bounds[:-1]
+    cols = viterbi_outputs(S, lengths, trans_w, labels, with_marginal)
+    out = pd.DataFrame(index=pdf.index)
+    for name, vals in cols.items():
+        out[name] = vals
+    return out
+
+
+# padded-positions budget per Viterbi tensor (cells = B * T_max; bytes
+# ≈ cells * L * 8 * ~3 incl. DP arrays). One pathological long turn in
+# a batch of short ones would otherwise inflate the padding for ALL of
+# them: 20k sequences padded to a single 5k-token straggler is a 6 GB
+# tensor. Length-bucketing below keeps every tensor under the budget
+# with bit-identical output (sequences are independent).
+_PAD_CELL_BUDGET = 2_000_000
+
+
+def viterbi_outputs(
+    S: np.ndarray,
+    lengths: np.ndarray,
+    trans_w: np.ndarray,
+    labels: np.ndarray,
+    with_marginal: bool,
+) -> dict[str, np.ndarray]:
+    """Pad concatenated per-token state scores ``S`` [N, L] into the
+    [B, T_max, L] tensor, run the batched Viterbi (K9) and optional
+    marginals/seq-prob (K6/K10/K11), and return flat per-token output
+    columns. Shared by the canonical attrs-column decode above and the
+    fused zero-shuffle decode (decode/fused.py) so both paths stay
+    numerically single-sourced. Batches whose padded area exceeds
+    ``_PAD_CELL_BUDGET`` are split into length-sorted buckets, each
+    padded to its own T_max — same results, bounded memory."""
+    N, L = S.shape
+    lengths = np.asarray(lengths, dtype=np.int64)
+    B = len(lengths)
+    T_all = int(lengths.max()) if B else 0
+    if B and B * T_all > _PAD_CELL_BUDGET and B > 1:
+        starts = np.zeros(B, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        order = np.argsort(lengths, kind="stable")
+        out: dict[str, np.ndarray] = {}
+        lo = 0
+        while lo < B:
+            # grow the bucket while area stays under budget (ascending
+            # lengths: the bucket's T_max is its last member's length)
+            hi = lo + 1
+            while (
+                hi < B
+                and (hi + 1 - lo) * int(lengths[order[hi]]) <= _PAD_CELL_BUDGET
+            ):
+                hi += 1
+            sel = order[lo:hi]
+            lens_b = lengths[sel]
+            # token indices of the bucket's sequences, in bucket order
+            tok_sel = (
+                np.repeat(starts[sel] - np.concatenate(([0], np.cumsum(lens_b[:-1]))), lens_b)
+                + np.arange(int(lens_b.sum()))
+            )
+            res = viterbi_outputs(S[tok_sel], lens_b, trans_w, labels, with_marginal)
+            for k, v in res.items():
+                if k not in out:
+                    out[k] = np.empty(N, dtype=v.dtype)
+                out[k][tok_sel] = v
+            lo = hi
+        return out
+    starts = np.zeros(B, dtype=np.int64)
+    if B > 1:
+        np.cumsum(lengths[:-1], out=starts[1:])
     seq_of_tok = np.repeat(np.arange(B), lengths)
     pos_in_seq = np.arange(N) - starts[seq_of_tok]
+    T_max = T_all
     state = np.zeros((B, T_max, L), dtype=np.float64)
     state[seq_of_tok, pos_in_seq] = S
     # K9 batched Viterbi
     paths = crf.viterbi_batch(state, trans_w, lengths)
     flat_labels = paths[seq_of_tok, pos_in_seq]
-    out = pd.DataFrame(index=pdf.index)
-    out["label"] = labels[flat_labels]
+    out = {"label": labels[flat_labels]}
     if with_marginal:
         p_state, _, log_norm = crf.marginals_batch(state, trans_w, lengths)
         out["marginal"] = p_state[seq_of_tok, pos_in_seq, flat_labels]

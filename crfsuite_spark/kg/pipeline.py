@@ -1,9 +1,11 @@
 """End-to-end KG-construction pipeline (the north-star job).
 
 transcripts (conv_id, turn_idx, role, text, tool, ts)
-  → tokenize (JVM explode, exact offsets)
-  → window feature templates (one shuffle, no UDFs)
-  → batched CRF Viterbi decode (broadcast weights, Arrow UDF)
+  → FUSED tagging (default): tokenize + window templates + batched
+    Viterbi in ONE zero-shuffle Arrow pass over the unexploded turn
+    rows (decode/fused.py) — the token stream never shuffles
+    (fallback: tokenize → window templates → decode, one Exchange,
+    for terms that aren't derivable from the row's own text)
   → BIO span assembly (window change-points)
   → relation assembly (turn-local joins)
   → entity linking (broadcast alias join + MinHash-LSH fallback)
@@ -22,6 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crfsuite_spark.decode.fused import FUSED_TERMS, decode_fused
 from crfsuite_spark.decode.tagger import decode
 from crfsuite_spark.functions.templates import cbind_attributes
 from crfsuite_spark.functions.tokenize import tokenize
@@ -58,6 +61,12 @@ class PipelineConfig:
     # frame comes straight from decode() — extract_triples callers with
     # arbitrary token frames (e.g. gold labels) must leave this False.
     streaming_spans: bool = False
+    # fuse tokenize+templates+Viterbi into one zero-shuffle Arrow pass
+    # over the unexploded transcript table (decode/fused.py) — label-
+    # bit-identical to the canonical explode→window→decode chain, but
+    # the token stream never shuffles. Auto-falls back to the canonical
+    # path when terms aren't text-derivable (anything beyond token/pos).
+    fused_decode: bool = True
 
 
 def featurize_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -74,6 +83,19 @@ def tag_transcripts(
     transcripts: DataFrame, model: CRFModel, cfg: PipelineConfig | None = None
 ) -> DataFrame:
     cfg = cfg or PipelineConfig()
+    # preferred path: fuse tokenize+templates+Viterbi into ONE Arrow
+    # pass over the turn rows — zero Exchange, the token stream never
+    # shuffles (decode/fused.py; label-bit-identical by test). Legal
+    # whenever every template term derives from the row's own text.
+    if cfg.fused_decode and set(cfg.terms) <= set(FUSED_TERMS):
+        src = transcripts
+        if cfg.num_partitions:
+            src = src.repartition(cfg.num_partitions)
+        return decode_fused(
+            src, model, seq_cols=SEQ_COLS, terms=cfg.terms,
+            from_offset=cfg.from_offset, to_offset=cfg.to_offset,
+            ngram_max=cfg.ngram_max, with_marginal=cfg.with_marginal,
+        )
     feat = featurize_transcripts(transcripts, cfg)
     # downstream (span assembly → relations → linking) only consumes the
     # sequence key, order, token text and the predicted label — trimming
