@@ -212,24 +212,22 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     # --- flagship: full KG pipeline over the transcript slice ---
     def kg():
         from crfsuite_spark.datagen.transcripts import build_alias_dict
-        from crfsuite_spark.kg.pipeline import (
-            PipelineConfig, extract_triples, tag_transcripts,
-        )
+        from crfsuite_spark.kg.pipeline import PipelineConfig, run_pipeline
 
         transcripts = spark.read.parquet(tpath)
         model = lexicon_model()
-        # tagging goes through the fused zero-shuffle decode by default
-        # (PipelineConfig.fused_decode; decode/fused.py — sf10: 36->8.7 s
-        # for the tag stage, identical triples). streaming_spans toggles
-        # the shuffle-free span pass; with the fused tagger it's a wash
-        # at 32 cores (24.6 vs 25.2 s at 3.6M turns), so the default
-        # keeps the JVM shuffle path for spans
+        # run_pipeline takes the fully-fused path by default: tokenize +
+        # templates + Viterbi + span assembly + relation grammar in ONE
+        # zero-Exchange Arrow pass (decode/fused.py emit='relations');
+        # the token stream never exists as Spark rows. Parity-tested
+        # against the staged chain; SPARK_GRAFT_FUSED=0 benches the
+        # staged path (explode -> window shuffle -> decode -> spans).
         cfg = PipelineConfig(
-            streaming_spans=os.environ.get("SPARK_GRAFT_STREAM_SPANS") == "1"
+            fused_decode=os.environ.get("SPARK_GRAFT_FUSED", "1") != "0",
+            streaming_spans=os.environ.get("SPARK_GRAFT_STREAM_SPANS") == "1",
         )
-        decoded = tag_transcripts(transcripts, model, cfg)
         alias = spark.createDataFrame(build_alias_dict())
-        triples = extract_triples(decoded, alias, cfg, predicate_map=None)
+        triples = run_pipeline(transcripts, model, alias, cfg, predicate_map=None)
         extras["n_triples"] = triples.count()
 
     # Median of 3 in-process runs, individual draws in extras. At sf0.1

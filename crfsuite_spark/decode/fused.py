@@ -139,6 +139,86 @@ def _build_templates(terms, from_offset, to_offset, ngram_max, sep):
     return singles, ngrams
 
 
+def _spans_from_labels(
+    lab_id, seq_of, token_idx, tok,
+    et_id_of, et_str_of, is_o, is_b, is_i, continues, n_et,
+):
+    """BIO runs over ordered whole-sequence token arrays → span arrays
+    (seq, span_id, etype, start_tok, end_tok, surface). Semantics are
+    kg/spans.py:assemble_spans for B-/I-/O label sets: change-point
+    starts, per-sequence running-sum numbering. Label-level predicates
+    arrive precomputed (L-sized), so the hot path is pure gathers."""
+    valid = ~is_o[lab_id]
+    if not valid.any():
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=object), z, z, np.empty(0, dtype=object)
+    n = len(lab_id)
+    first_in_seq = np.ones(n, dtype=bool)
+    first_in_seq[1:] = seq_of[1:] != seq_of[:-1]
+    cont = np.zeros(n, dtype=bool)
+    m = ~first_in_seq
+    if m.any():
+        cont[1:][m[1:]] = continues[lab_id[:-1][m[1:]], lab_id[1:][m[1:]]]
+    is_start = valid & (is_b[lab_id] | (is_i[lab_id] & ~cont))
+    gcum = np.cumsum(is_start.astype(np.int64))
+    seq_first = np.flatnonzero(first_in_seq)
+    base = gcum[seq_first] - is_start[seq_first]
+    vidx = np.flatnonzero(valid)
+    key = gcum[vidx] * np.int64(n_et) + et_id_of[lab_id[vidx]]
+    brk = np.ones(len(vidx), dtype=bool)
+    brk[1:] = (key[1:] != key[:-1]) | (vidx[1:] != vidx[:-1] + 1)
+    s_pos = np.flatnonzero(brk)
+    first = vidx[s_pos]
+    last = vidx[np.append(s_pos[1:] - 1, len(vidx) - 1)]
+    span_seq = seq_of[first]
+    span_id = gcum[first] - base[span_seq]
+    etype = et_str_of[lab_id[first]]
+    start_tok = token_idx[first]
+    end_tok = token_idx[last]
+    # per-SPAN loop (mention count ≪ token count); run rows are adjacent
+    surface = np.array(
+        [" ".join(tok[a : b + 1]) for a, b in zip(first, last)], dtype=object
+    )
+    return span_seq, span_id, etype, start_tok, end_tok, surface
+
+
+def _relations_from_spans(span_seq, etype, start_tok, end_tok, surface):
+    """Turn-local nearest-entity grammar (kg/spans.py:
+    assemble_relations): subject = entity span with the greatest
+    end_tok before the REL span, object = smallest start_tok after it.
+    Span arrays arrive sorted by (seq, start) and spans are disjoint,
+    so per-seq end_toks are sorted too — both lookups are one
+    searchsorted over (seq << 32 | tok) composite keys."""
+    is_rel = etype == "REL"
+    if not is_rel.any() or is_rel.all():
+        z = np.empty(0, dtype=np.int64)
+        o = np.empty(0, dtype=object)
+        return z, o, o, o, o, o
+    ent = ~is_rel
+    shift = np.int64(1) << 32
+    e_seq = span_seq[ent]
+    ekey_end = e_seq * shift + end_tok[ent]
+    ekey_start = e_seq * shift + start_tok[ent]
+    r_seq = span_seq[is_rel]
+    si = np.searchsorted(ekey_end, r_seq * shift + start_tok[is_rel], side="left") - 1
+    subj_ok = si >= 0
+    subj_ok &= e_seq[np.maximum(si, 0)] == r_seq
+    oi = np.searchsorted(ekey_start, r_seq * shift + end_tok[is_rel], side="right")
+    obj_ok = oi < len(e_seq)
+    obj_ok &= e_seq[np.minimum(oi, len(e_seq) - 1)] == r_seq
+    keep = subj_ok & obj_ok
+    e_surface = surface[ent]
+    e_type = etype[ent]
+    return (
+        r_seq[keep],
+        e_surface[si[keep]],
+        e_type[si[keep]],
+        e_surface[oi[keep]],
+        e_type[oi[keep]],
+        surface[is_rel][keep],
+    )
+
+
 def decode_fused(
     transcripts: DataFrame,
     model: CRFModel,
@@ -151,13 +231,27 @@ def decode_fused(
     sep: str = "-",
     bos_eos: bool = True,
     with_marginal: bool = False,
+    emit: str = "tokens",
 ) -> DataFrame:
     """Viterbi-tag every turn straight off the transcript table.
 
-    Output: one row per token — ``*seq_cols, token_idx, token, label
-    [, marginal, seq_prob]`` — identical (values AND schema) to the
-    canonical ``tokenize → cbind_attributes → decode`` chain with
+    ``emit="tokens"`` (default): one row per token — ``*seq_cols,
+    token_idx, token, label [, marginal, seq_prob]`` — identical
+    (values AND schema) to the canonical ``tokenize →
+    cbind_attributes → decode`` chain with
     ``passthrough_cols=[*seq_cols, "token_idx", "token"]``.
+
+    ``emit="spans"``: BIO span assembly also happens inside the same
+    Arrow pass (the sequences are already whole and ordered in numpy);
+    one row per mention span, identical to
+    ``kg.spans.assemble_spans(decode output)`` for B-/I-/O label sets
+    — and the 31M-token intermediate never exists as Spark rows.
+
+    ``emit="relations"``: the turn-local nearest-entity grammar runs
+    in the pass too; one row per (subject, REL, object) candidate,
+    identical to ``assemble_relations(assemble_spans(...))`` minus the
+    predicate-map column (applied JVM-side by the pipeline so the map
+    stays a Catalyst literal). All three modes are zero-Exchange.
 
     Only derivable terms are supported (``token``, ``pos``): both are
     pure functions of the row's text, which is what makes the fusion
@@ -169,6 +263,10 @@ def decode_fused(
         raise ValueError(
             f"decode_fused only derives terms {FUSED_TERMS}; got {sorted(unsupported)}"
         )
+    if emit not in ("tokens", "spans", "relations"):
+        raise ValueError(f"unknown emit mode {emit!r}")
+    if emit != "tokens" and with_marginal:
+        raise ValueError("with_marginal only applies to emit='tokens'")
     terms = list(terms)
     seq_cols = list(seq_cols)
     spark = transcripts.sparkSession
@@ -188,14 +286,41 @@ def decode_fused(
         )
     )
 
+    # label-level predicates for span/relation assembly (L-sized)
+    labels_list = list(model.labels)
+    et_str_of = np.array([l.rpartition("-")[2] for l in labels_list], dtype=object)
+    et_id_of = pd.factorize(et_str_of)[0].astype(np.int64)
+    n_et = int(et_id_of.max()) + 1 if len(et_id_of) else 1
+    is_o = np.array([l == "O" for l in labels_list])
+    is_b = np.array([l.startswith("B-") for l in labels_list])
+    is_i = np.array([l.startswith("I-") for l in labels_list])
+    # continues[p, c]: current token continues a run after prev label p
+    # (prev is B-x or I-x of the SAME type — spans.py:43-45)
+    continues = (is_b | is_i)[:, None] & (et_str_of[:, None] == et_str_of[None, :])
+
     types = {f.name: f.dataType.simpleString() for f in transcripts.schema.fields}
     out_schema = ", ".join(f"`{c}` {types[c]}" for c in seq_cols)
-    out_schema += ", token_idx int, token string, label string"
-    if with_marginal:
-        out_schema += ", marginal double, seq_prob double"
-    out_cols = [*seq_cols, "token_idx", "token", "label"] + (
-        ["marginal", "seq_prob"] if with_marginal else []
-    )
+    if emit == "tokens":
+        out_schema += ", token_idx int, token string, label string"
+        if with_marginal:
+            out_schema += ", marginal double, seq_prob double"
+        out_cols = [*seq_cols, "token_idx", "token", "label"] + (
+            ["marginal", "seq_prob"] if with_marginal else []
+        )
+    elif emit == "spans":
+        out_schema += (
+            ", span_id bigint, entity_type string, surface string"
+            ", start_tok int, end_tok int"
+        )
+        out_cols = [*seq_cols, "span_id", "entity_type", "surface",
+                    "start_tok", "end_tok"]
+    else:
+        out_schema += (
+            ", subj_surface string, subj_type string, obj_surface string"
+            ", obj_type string, rel_surface string"
+        )
+        out_cols = [*seq_cols, "subj_surface", "subj_type",
+                    "obj_surface", "obj_type", "rel_surface"]
 
     def run(batches):
         attr2row, state_w, trans_w, labels = bc.value
@@ -320,15 +445,63 @@ def decode_fused(
                     if row >= 0:
                         S[rem == k] += state_w[row]
 
-            cols = viterbi_outputs(S, lengths, trans_w, labels, with_marginal)
-            out = pd.DataFrame(index=pd.RangeIndex(n_tok))
+            cols = viterbi_outputs(
+                S, lengths, trans_w, labels, with_marginal,
+                with_ids=(emit != "tokens"),
+            )
+            if emit == "tokens":
+                out = pd.DataFrame(index=pd.RangeIndex(n_tok))
+                for c in seq_cols:
+                    out[c] = pdf[c].to_numpy()[seq_row]
+                out["token_idx"] = token_idx
+                out["token"] = tok
+                for name_, vals_ in cols.items():
+                    out[name_] = vals_
+                yield out
+                continue
+            span_seq, span_id, etype_a, st, en, surf = _spans_from_labels(
+                cols["label_id"], seq_of, token_idx, tok,
+                et_id_of, et_str_of, is_o, is_b, is_i, continues, n_et,
+            )
+            seq2row = np.flatnonzero(nz)
+            if emit == "spans":
+                rows = seq2row[span_seq]
+                out = pd.DataFrame(index=pd.RangeIndex(len(span_seq)))
+                for c in seq_cols:
+                    out[c] = pdf[c].to_numpy()[rows]
+                out["span_id"] = span_id
+                out["entity_type"] = etype_a
+                out["surface"] = surf
+                out["start_tok"] = st
+                out["end_tok"] = en
+                yield out
+                continue
+            r_seq, ssur, styp, osur, otyp, rsur = _relations_from_spans(
+                span_seq, etype_a, st, en, surf
+            )
+            rows = seq2row[r_seq]
+            out = pd.DataFrame(index=pd.RangeIndex(len(r_seq)))
             for c in seq_cols:
-                out[c] = pdf[c].to_numpy()[seq_row]
-            out["token_idx"] = token_idx
-            out["token"] = tok
-            for name_, vals_ in cols.items():
-                out[name_] = vals_
+                out[c] = pdf[c].to_numpy()[rows]
+            out["subj_surface"] = ssur
+            out["subj_type"] = styp
+            out["obj_surface"] = osur
+            out["obj_type"] = otyp
+            out["rel_surface"] = rsur
             yield out
 
     pruned = transcripts.select(*seq_cols, text_col)
     return pruned.mapInPandas(run, out_schema)
+
+
+def decode_spans_fused(transcripts: DataFrame, model: CRFModel, **kw) -> DataFrame:
+    """Transcripts → mention spans in one zero-shuffle Arrow pass
+    (assemble_spans semantics; see :func:`decode_fused` emit='spans')."""
+    return decode_fused(transcripts, model, emit="spans", **kw)
+
+
+def decode_relations_fused(transcripts: DataFrame, model: CRFModel, **kw) -> DataFrame:
+    """Transcripts → (subject, REL, object) candidate rows in one
+    zero-shuffle Arrow pass (assemble_relations semantics minus the
+    predicate column; see :func:`decode_fused` emit='relations')."""
+    return decode_fused(transcripts, model, emit="relations", **kw)

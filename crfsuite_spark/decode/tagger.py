@@ -100,6 +100,7 @@ def viterbi_outputs(
     trans_w: np.ndarray,
     labels: np.ndarray,
     with_marginal: bool,
+    with_ids: bool = False,
 ) -> dict[str, np.ndarray]:
     """Pad concatenated per-token state scores ``S`` [N, L] into the
     [B, T_max, L] tensor, run the batched Viterbi (K9) and optional
@@ -135,7 +136,9 @@ def viterbi_outputs(
                 np.repeat(starts[sel] - np.concatenate(([0], np.cumsum(lens_b[:-1]))), lens_b)
                 + np.arange(int(lens_b.sum()))
             )
-            res = viterbi_outputs(S[tok_sel], lens_b, trans_w, labels, with_marginal)
+            res = viterbi_outputs(
+                S[tok_sel], lens_b, trans_w, labels, with_marginal, with_ids
+            )
             for k, v in res.items():
                 if k not in out:
                     out[k] = np.empty(N, dtype=v.dtype)
@@ -154,6 +157,8 @@ def viterbi_outputs(
     paths = crf.viterbi_batch(state, trans_w, lengths)
     flat_labels = paths[seq_of_tok, pos_in_seq]
     out = {"label": labels[flat_labels]}
+    if with_ids:
+        out["label_id"] = flat_labels.astype(np.int64)
     if with_marginal:
         p_state, _, log_norm = crf.marginals_batch(state, trans_w, lengths)
         out["marginal"] = p_state[seq_of_tok, pos_in_seq, flat_labels]

@@ -1,13 +1,16 @@
 """End-to-end KG-construction pipeline (the north-star job).
 
 transcripts (conv_id, turn_idx, role, text, tool, ts)
-  → FUSED tagging (default): tokenize + window templates + batched
-    Viterbi in ONE zero-shuffle Arrow pass over the unexploded turn
-    rows (decode/fused.py) — the token stream never shuffles
-    (fallback: tokenize → window templates → decode, one Exchange,
-    for terms that aren't derivable from the row's own text)
-  → BIO span assembly (window change-points)
-  → relation assembly (turn-local joins)
+  → FUSED extraction (run_pipeline default): tokenize + window
+    templates + batched Viterbi + BIO span assembly + the turn-local
+    relation grammar ALL in ONE zero-Exchange Arrow pass over the
+    unexploded turn rows (decode/fused.py emit='relations') — the
+    token stream never exists as Spark rows; every stage is
+    parity-tested against the staged chain below
+  → [staged fallback: tokenize explode → window templates (one
+    Exchange) → Arrow decode → span assembly (window change-points)
+    → relation assembly (turn-local joins) — used for non-derivable
+    terms, marginal output, or arbitrary token tables]
   → entity linking (broadcast alias join + MinHash-LSH fallback)
   → canonicalization (connected components over co-reference edges)
   → (subj, pred, obj) triple materialization (bucketed, manifest-committed,
@@ -24,7 +27,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from crfsuite_spark.decode.fused import FUSED_TERMS, decode_fused
+from crfsuite_spark.decode.fused import (
+    FUSED_TERMS,
+    decode_fused,
+    decode_relations_fused,
+)
 from crfsuite_spark.decode.tagger import decode
 from crfsuite_spark.functions.templates import cbind_attributes
 from crfsuite_spark.functions.tokenize import tokenize
@@ -130,13 +137,26 @@ def extract_triples(
         spans, seq_cols=SEQ_COLS, predicate_map=predicate_map
     ).persist()
     rels.count()
-    # link distinct surfaces once (the mention stream repeats surfaces
-    # heavily at transcript scale), then broadcast the tiny link table back.
-    # PERSIST the distinct set: the linking stages (exact agg, miss
-    # derivation, LSH fuzzy chain, final join) each walk their input
-    # lineage — without the cache every walk re-runs the 2x-rels
-    # union+distinct shuffle (measured 10x the whole link stage at 3.6M
-    # turns). The set is tiny (distinct surfaces), the cache is cheap.
+    # the span cache only exists to fan the decode pass out into the
+    # relation aggregation — once rels is materialized nothing reads it
+    # again (rels and linked stay cached: the returned lazy plan scans
+    # them, and they are tiny relative to the token stream)
+    out = _link_and_join(rels, alias_dict, cfg)
+    spans.unpersist()
+    return out
+
+
+def _link_and_join(rels: DataFrame, alias_dict: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Relation rows (persisted) → linked (subj, pred, obj) triples.
+
+    Shared tail of the canonical and fused pipelines: link distinct
+    surfaces once (the mention stream repeats surfaces heavily at
+    transcript scale), then broadcast the tiny link table back.
+    PERSIST the distinct set: the linking stages (exact agg, miss
+    derivation, LSH fuzzy chain, final join) each walk their input
+    lineage — without the cache every walk re-runs the 2x-rels
+    union+distinct shuffle (measured 10x the whole link stage at 3.6M
+    turns). The set is tiny (distinct surfaces), the cache is cheap."""
     surfaces = (
         rels.select(F.col("subj_surface").alias("surface"))
         .unionByName(rels.select(F.col("obj_surface").alias("surface")))
@@ -168,11 +188,6 @@ def extract_triples(
             "obj_surface",
         )
     )
-    # the span cache only exists to fan the decode pass out into the
-    # relation aggregation — once rels is materialized nothing reads it
-    # again (rels and linked stay cached: the returned lazy plan scans
-    # them, and they are tiny relative to the token stream)
-    spans.unpersist()
     return out.select(
         "conv_id", "turn_idx", "subj", "pred", "obj",
         "subj_surface", "obj_surface", "rel_surface", "subj_type", "obj_type",
@@ -184,6 +199,40 @@ def run_pipeline(
     model: CRFModel,
     alias_dict: DataFrame,
     cfg: PipelineConfig | None = None,
+    predicate_map: dict[str, str] | None = None,
 ) -> DataFrame:
+    cfg = cfg or PipelineConfig()
+    # fully-fused fast path: tokenize + templates + Viterbi + span
+    # assembly + the turn-local relation grammar ALL inside one
+    # zero-Exchange Arrow pass (decode/fused.py emit='relations') —
+    # parity-tested against the staged chain. The only shuffles left
+    # in the whole pipeline are the tiny distinct-surface aggregations
+    # inside linking; the token stream never exists as Spark rows.
+    if (
+        cfg.fused_decode
+        and set(cfg.terms) <= set(FUSED_TERMS)
+        and not cfg.with_marginal
+    ):
+        from crfsuite_spark.kg.spans import default_predicate_map, predicate_column
+
+        src = transcripts
+        if cfg.num_partitions:
+            src = src.repartition(cfg.num_partitions)
+        raw = decode_relations_fused(
+            src, model, seq_cols=SEQ_COLS, terms=cfg.terms,
+            from_offset=cfg.from_offset, to_offset=cfg.to_offset,
+            ngram_max=cfg.ngram_max,
+        )
+        pred_map = (
+            predicate_map if predicate_map is not None else default_predicate_map()
+        )
+        rels = raw.withColumn(
+            "pred", predicate_column(pred_map, "related_to")
+        ).select(
+            *SEQ_COLS, "subj_surface", "subj_type", "pred",
+            "obj_surface", "obj_type", "rel_surface",
+        ).persist()
+        rels.count()
+        return _link_and_join(rels, alias_dict, cfg)
     decoded = tag_transcripts(transcripts, model, cfg)
-    return extract_triples(decoded, alias_dict, cfg)
+    return extract_triples(decoded, alias_dict, cfg, predicate_map=predicate_map)

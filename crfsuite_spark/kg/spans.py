@@ -172,6 +172,20 @@ def default_predicate_map() -> dict[str, str]:
     return dict(PRED_BY_PHRASE)
 
 
+def predicate_column(pred_map: dict[str, str], default_pred: str) -> "F.Column":
+    """rel_surface → predicate id via a literal map (small,
+    constant-folded by Catalyst); shared by assemble_relations and the
+    fused relation path so the lookup semantics stay single-sourced."""
+    if pred_map:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in pred_map.items() for x in kv]
+        )
+        return F.coalesce(
+            mapping.getItem(F.lower(F.col("rel_surface"))), F.lit(default_pred)
+        )
+    return F.lit(default_pred)
+
+
 def assemble_relations(
     spans: DataFrame,
     seq_cols: list[str] = ("conv_id", "turn_idx"),
@@ -227,16 +241,7 @@ def assemble_relations(
             F.col("__obj.ent_type").alias("obj_type"),
         )
     )
-    # predicate lookup via a literal map (small, constant-folded)
-    if pred_map:
-        mapping = F.create_map(
-            *[F.lit(x) for kv in pred_map.items() for x in kv]
-        )
-        pred = F.coalesce(
-            mapping.getItem(F.lower(F.col("rel_surface"))), F.lit(default_pred)
-        )
-    else:
-        pred = F.lit(default_pred)
+    pred = predicate_column(pred_map, default_pred)
     return out.withColumn("pred", pred).select(
         *seq_cols, "subj_surface", "subj_type", "pred",
         "obj_surface", "obj_type", "rel_surface",

@@ -193,3 +193,67 @@ def test_pipeline_triples_identical_through_fused(spark, synth, lexicon_model):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(out["canon"], out["fused"])
+
+
+def _norm(df):
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_fused_spans_match_assemble_spans(spark, synth, trained_model):
+    from crfsuite_spark.decode.fused import decode_spans_fused
+    from crfsuite_spark.kg.spans import assemble_spans
+
+    transcripts = spark.createDataFrame(synth.transcripts)
+    cfg = PipelineConfig(fused_decode=False)
+    canon = assemble_spans(tag_transcripts(transcripts, trained_model, cfg)).toPandas()
+    fused = decode_spans_fused(
+        transcripts, trained_model, seq_cols=SEQ_COLS, terms=cfg.terms,
+        from_offset=cfg.from_offset, to_offset=cfg.to_offset,
+        ngram_max=cfg.ngram_max,
+    ).toPandas()
+    pd.testing.assert_frame_equal(_norm(canon), _norm(fused[canon.columns]))
+
+
+def test_fused_relations_match_assemble_relations(spark, synth, trained_model):
+    from crfsuite_spark.decode.fused import decode_relations_fused
+    from crfsuite_spark.kg.spans import assemble_relations, assemble_spans
+
+    transcripts = spark.createDataFrame(synth.transcripts)
+    cfg = PipelineConfig(fused_decode=False)
+    decoded = tag_transcripts(transcripts, trained_model, cfg)
+    canon = (
+        assemble_relations(assemble_spans(decoded))
+        .toPandas()
+        .drop(columns=["pred"])
+    )
+    fused = decode_relations_fused(
+        transcripts, trained_model, seq_cols=SEQ_COLS, terms=cfg.terms,
+        from_offset=cfg.from_offset, to_offset=cfg.to_offset,
+        ngram_max=cfg.ngram_max,
+    ).toPandas()
+    pd.testing.assert_frame_equal(_norm(canon), _norm(fused[canon.columns]))
+
+
+def test_fused_relations_zero_exchange_plan(spark, synth, lexicon_model):
+    from crfsuite_spark.decode.fused import decode_relations_fused
+
+    transcripts = spark.createDataFrame(synth.transcripts)
+    out = decode_relations_fused(transcripts, lexicon_model, seq_cols=SEQ_COLS)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_run_pipeline_fused_matches_staged(spark, synth, lexicon_model):
+    from crfsuite_spark.datagen.transcripts import build_alias_dict
+    from crfsuite_spark.kg.pipeline import run_pipeline
+
+    transcripts = spark.createDataFrame(synth.transcripts)
+    alias = spark.createDataFrame(build_alias_dict())
+    staged = run_pipeline(
+        transcripts, lexicon_model, alias, PipelineConfig(fused_decode=False)
+    ).toPandas()
+    fused = run_pipeline(
+        transcripts, lexicon_model, alias, PipelineConfig(fused_decode=True)
+    ).toPandas()
+    assert list(staged.columns) == list(fused.columns)
+    pd.testing.assert_frame_equal(_norm(staged), _norm(fused))
