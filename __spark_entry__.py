@@ -706,6 +706,30 @@ def q_crf_decode_fused(spark, sf):
     return decode_fused(tdf, model, seq_cols=["conv_id", "turn_idx"])
 
 
+def q_kg_spans_fused(spark, sf):
+    """Mention spans straight from the fused zero-shuffle pass
+    (decode/fused.py emit='spans'); the oracle derives the same spans
+    in DuckDB SQL (lag change-points + running sum + ordered
+    string_agg) from the independent gold decode fixture."""
+    from crfsuite_spark.decode.fused import decode_spans_fused
+
+    data, model = _synthetic_lexicon_model()
+    tdf = spark.createDataFrame(data.transcripts)
+    return decode_spans_fused(tdf, model, seq_cols=["conv_id", "turn_idx"])
+
+
+def q_kg_relations_fused(spark, sf):
+    """(subject, REL, object) rows from the fused pass
+    (emit='relations', turn-local nearest-entity grammar); oracle =
+    the same grammar as DuckDB arg_max/arg_min FILTER aggregates over
+    the gold-fixture spans."""
+    from crfsuite_spark.decode.fused import decode_relations_fused
+
+    data, model = _synthetic_lexicon_model()
+    tdf = spark.createDataFrame(data.transcripts)
+    return decode_relations_fused(tdf, model, seq_cols=["conv_id", "turn_idx"])
+
+
 def q_kg_triples_synthetic(spark, sf):
     """Full KG path from gold labels: spans → relations → linking →
     (subj, pred, obj). Exact parity vs gold triples asserted in tests/."""
@@ -1195,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_run_groups": q_ev_run_groups,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
+        "kg_spans_fused": q_kg_spans_fused,
+        "kg_relations_fused": q_kg_relations_fused,
         "kg_triples_synthetic": q_kg_triples_synthetic,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1514,6 +1540,78 @@ def oracle_sql() -> dict[str, str]:
         "crf_decode_fused": f"""
             SELECT conv_id, turn_idx, token_idx, token, label
             FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')
+        """,
+        # spans derived from the gold labels with the assemble_spans
+        # recipe expressed in SQL: window lag change-points, a running
+        # sum for span numbering, ordered string_agg for the surface
+        "kg_spans_fused": f"""
+            WITH t AS (
+              SELECT *, regexp_extract(label, '([^-]*)$', 1) AS etype,
+                     lag(label) OVER w AS prev_lab,
+                     CASE WHEN label = 'O' THEN 0
+                          WHEN label LIKE 'B-%' THEN 1
+                          WHEN lag(label) OVER w IS NULL THEN 1
+                          WHEN lag(label) OVER w = 'B-' || regexp_extract(label, '([^-]*)$', 1)
+                            OR lag(label) OVER w = 'I-' || regexp_extract(label, '([^-]*)$', 1)
+                          THEN 0 ELSE 1 END AS is_start
+              FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')
+              WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY token_idx)
+            ),
+            n AS (
+              SELECT *, CAST(sum(is_start) OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY token_idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+              FROM t
+            )
+            SELECT conv_id, turn_idx, span_id, etype AS entity_type,
+                   string_agg(token, ' ' ORDER BY token_idx) AS surface,
+                   min(token_idx) AS start_tok, max(token_idx) AS end_tok
+            FROM n WHERE label <> 'O'
+            GROUP BY conv_id, turn_idx, span_id, etype
+        """,
+        # the turn-local nearest-entity grammar as FILTERed arg_max /
+        # arg_min over the same derived spans
+        "kg_relations_fused": f"""
+            WITH t AS (
+              SELECT *, regexp_extract(label, '([^-]*)$', 1) AS etype,
+                     CASE WHEN label = 'O' THEN 0
+                          WHEN label LIKE 'B-%' THEN 1
+                          WHEN lag(label) OVER w IS NULL THEN 1
+                          WHEN lag(label) OVER w = 'B-' || regexp_extract(label, '([^-]*)$', 1)
+                            OR lag(label) OVER w = 'I-' || regexp_extract(label, '([^-]*)$', 1)
+                          THEN 0 ELSE 1 END AS is_start
+              FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')
+              WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY token_idx)
+            ),
+            spans AS (
+              SELECT conv_id, turn_idx,
+                     sum(is_start) OVER (PARTITION BY conv_id, turn_idx
+                       ORDER BY token_idx ROWS UNBOUNDED PRECEDING) AS span_id,
+                     etype, token, token_idx, label
+              FROM t
+            ),
+            g AS (
+              SELECT conv_id, turn_idx, span_id, etype,
+                     string_agg(token, ' ' ORDER BY token_idx) AS surface,
+                     min(token_idx) AS start_tok, max(token_idx) AS end_tok
+              FROM spans WHERE label <> 'O'
+              GROUP BY conv_id, turn_idx, span_id, etype
+            ),
+            rels AS (SELECT * FROM g WHERE etype = 'REL'),
+            ents AS (SELECT * FROM g WHERE etype <> 'REL')
+            SELECT r.conv_id, r.turn_idx,
+                   arg_max(e.surface, e.end_tok)
+                     FILTER (e.end_tok < r.start_tok) AS subj_surface,
+                   arg_max(e.etype, e.end_tok)
+                     FILTER (e.end_tok < r.start_tok) AS subj_type,
+                   arg_min(e.surface, e.start_tok)
+                     FILTER (e.start_tok > r.end_tok) AS obj_surface,
+                   arg_min(e.etype, e.start_tok)
+                     FILTER (e.start_tok > r.end_tok) AS obj_type,
+                   r.surface AS rel_surface
+            FROM rels r JOIN ents e USING (conv_id, turn_idx)
+            GROUP BY r.conv_id, r.turn_idx, r.span_id, r.surface
+            HAVING subj_surface IS NOT NULL AND obj_surface IS NOT NULL
         """,
         "kg_triples_synthetic": f"""
             SELECT conv_id, turn_idx, subj, pred, obj
