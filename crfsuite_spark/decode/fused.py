@@ -274,6 +274,22 @@ def decode_fused(
 
     singles, ngrams = _build_templates(terms, from_offset, to_offset, ngram_max, sep)
     attr2row = model.attr2id
+    # model-driven template pruning: a template whose name matches NO
+    # stored attribute can only ever resolve to misses (the reference
+    # scores only model-present attributes, crfsuite.hpp:403-410), so
+    # skip its shifts/gathers entirely. Models pruned by feature
+    # minfreq routinely drop whole templates; output is identical by
+    # construction (parity tests cover both full and unigram models).
+    present = {a.split("=", 1)[0] for a in model.attrs}
+    singles = [s for s in singles if s[2] in present]
+    ngrams = [g for g in ngrams if g[1] in present]
+    # shifts needed by surviving templates (an n-gram may need an
+    # offset whose own single template was pruned)
+    needed_shifts = sorted(
+        {(t, o) for t, o, _ in singles}
+        | {(t, o) for t, _, offs in ngrams for o in offs}
+    )
+    used_terms = {t for t, _ in needed_shifts}
     # positional features resolve driver-side once: tiny, fixed names
     bos_rows = [attr2row.get(f"BOS+{k}", -1) for k in (0, 1)] if bos_eos else []
     eos_rows = [attr2row.get(f"EOS-{k}", -1) for k in (0, 1)] if bos_eos else []
@@ -370,16 +386,16 @@ def decode_fused(
             uniq = np.asarray(uniq, dtype=object)
             term_ids = {}
             term_uniq = {}
-            if "token" in terms:
+            if "token" in used_terms:
                 term_ids["token"] = codes
                 term_uniq["token"] = uniq
-            if "pos" in terms:
+            if "pos" in used_terms:
                 term_ids["pos"] = _pos_ids_of_uniq(uniq)[codes]
                 term_uniq["pos"] = _POS_TAGS
 
             shifted = {
                 (term, off): _shift_ids(term_ids[term], seq_of, off)
-                for term, off, _ in singles
+                for term, off in needed_shifts
             }
 
             A, L = state_w.shape
