@@ -744,6 +744,27 @@ def q_kg_triples_synthetic(spark, sf):
     )
 
 
+def q_kg_triples_fused_e2e(spark, sf):
+    """TEXT → triples end-to-end through run_pipeline's fully-fused
+    default (one zero-Exchange Arrow pass → exact alias linking →
+    broadcast joins), value-hash-checked against a DuckDB mirror that
+    rebuilds every stage from the independent argmax-decode fixture:
+    spans (window SQL) → relations (arg_max/arg_min grammar) →
+    predicate map → normalized exact dictionary linking with
+    surrogate ids. Exact-link config so the whole chain is
+    SQL-expressible (the fuzzy/canonicalize stages have their own
+    oracles: kg_triples_synthetic, kg_link_dup_mentions)."""
+    from crfsuite_spark.kg.pipeline import PipelineConfig, run_pipeline
+
+    data, model = _synthetic_lexicon_model()
+    tdf = spark.createDataFrame(data.transcripts)
+    alias = spark.createDataFrame(data.alias_dict)
+    cfg = PipelineConfig(fuzzy_linking=False, canonicalize=False)
+    return run_pipeline(tdf, model, alias, cfg).select(
+        "conv_id", "turn_idx", "subj", "pred", "obj"
+    )
+
+
 def _gold_triples(spark):
     fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tests", "fixtures")
@@ -1222,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_spans_fused": q_kg_spans_fused,
         "kg_relations_fused": q_kg_relations_fused,
         "kg_triples_synthetic": q_kg_triples_synthetic,
+        "kg_triples_fused_e2e": q_kg_triples_fused_e2e,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
@@ -1525,6 +1547,84 @@ def _label_prop_oracle_sql(gold: str, n_iters=3) -> str:
         """
 
 
+def _triples_e2e_oracle_sql(fixtures: str) -> str:
+    """DuckDB mirror of the full exact-link pipeline from the argmax
+    decode fixture: spans → relation grammar → predicate map →
+    normalized exact alias linking with unk:<norm> surrogates."""
+    from crfsuite_spark.kg.spans import default_predicate_map
+
+    pred_rows = ", ".join(
+        "('{}', '{}')".format(k.replace("'", "''"), v.replace("'", "''"))
+        for k, v in sorted(default_predicate_map().items())
+    )
+    norm = "trim(regexp_replace(lower({col}), '[^a-z0-9 ]+', ''))"
+    return f"""
+        WITH t AS (
+          SELECT *, regexp_extract(label, '([^-]*)$', 1) AS etype,
+                 CASE WHEN label = 'O' THEN 0
+                      WHEN label LIKE 'B-%' THEN 1
+                      WHEN lag(label) OVER w IS NULL THEN 1
+                      WHEN lag(label) OVER w = 'B-' || regexp_extract(label, '([^-]*)$', 1)
+                        OR lag(label) OVER w = 'I-' || regexp_extract(label, '([^-]*)$', 1)
+                      THEN 0 ELSE 1 END AS is_start
+          FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')
+          WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY token_idx)
+        ),
+        spans AS (
+          SELECT conv_id, turn_idx,
+                 sum(is_start) OVER (PARTITION BY conv_id, turn_idx
+                   ORDER BY token_idx ROWS UNBOUNDED PRECEDING) AS span_id,
+                 etype, token, token_idx, label
+          FROM t
+        ),
+        g AS (
+          SELECT conv_id, turn_idx, span_id, etype,
+                 string_agg(token, ' ' ORDER BY token_idx) AS surface,
+                 min(token_idx) AS start_tok, max(token_idx) AS end_tok
+          FROM spans WHERE label <> 'O'
+          GROUP BY conv_id, turn_idx, span_id, etype
+        ),
+        rels AS (SELECT * FROM g WHERE etype = 'REL'),
+        ents AS (SELECT * FROM g WHERE etype <> 'REL'),
+        r AS (
+          SELECT r.conv_id, r.turn_idx, r.span_id,
+                 arg_max(e.surface, e.end_tok)
+                   FILTER (e.end_tok < r.start_tok) AS subj_surface,
+                 arg_min(e.surface, e.start_tok)
+                   FILTER (e.start_tok > r.end_tok) AS obj_surface,
+                 r.surface AS rel_surface
+          FROM rels r JOIN ents e USING (conv_id, turn_idx)
+          GROUP BY r.conv_id, r.turn_idx, r.span_id, r.surface
+          HAVING subj_surface IS NOT NULL AND obj_surface IS NOT NULL
+        ),
+        r2 AS (
+          SELECT conv_id, turn_idx,
+                 {norm.format(col='subj_surface')} AS subj_norm,
+                 {norm.format(col='obj_surface')} AS obj_norm,
+                 lower(rel_surface) AS rel_low
+          FROM r
+        ),
+        d AS (
+          SELECT {norm.format(col='alias')} AS norm, canonical_id,
+                 row_number() OVER (
+                   PARTITION BY {norm.format(col='alias')}
+                   ORDER BY coalesce(weight, -1e308) DESC, canonical_id
+                 ) AS rn
+          FROM read_parquet('{fixtures}/alias_dict_synthetic.parquet')
+        ),
+        link AS (SELECT norm, canonical_id FROM d WHERE rn = 1),
+        pm(phrase, mapped) AS (VALUES {pred_rows})
+        SELECT r2.conv_id, r2.turn_idx,
+               coalesce(ls.canonical_id, 'unk:' || r2.subj_norm) AS subj,
+               coalesce(pm.mapped, 'related_to') AS pred,
+               coalesce(lo.canonical_id, 'unk:' || r2.obj_norm) AS obj
+        FROM r2
+        LEFT JOIN link ls ON ls.norm = r2.subj_norm
+        LEFT JOIN link lo ON lo.norm = r2.obj_norm
+        LEFT JOIN pm ON pm.phrase = r2.rel_low
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tests", "fixtures")
@@ -1617,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, subj, pred, obj
             FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')
         """,
+        "kg_triples_fused_e2e": _triples_e2e_oracle_sql(fixtures),
         "kg_triple_support": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
             g AS (

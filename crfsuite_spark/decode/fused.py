@@ -97,6 +97,10 @@ def _shift_ids(ids: np.ndarray, seq_of: np.ndarray, k: int) -> np.ndarray:
 # batch simply re-resolves its distinct strings against the broadcast.
 _MEMO_CAP = 4_000_000
 
+# n-gram combos pack into one int64 as mixed-radix digits while
+# vocab^k fits; beyond that the exact row-wise unique path takes over
+_RADIX_LIMIT = 2**62
+
 
 def _rows_for(strings, attr2row: dict, memo: dict) -> np.ndarray:
     """Model weight-row per attribute string (-1 = unknown, dropped —
@@ -290,6 +294,9 @@ def decode_fused(
         | {(t, o) for t, _, offs in ngrams for o in offs}
     )
     used_terms = {t for t, _ in needed_shifts}
+    # captured by value so the closure ships it to workers (and tests
+    # can monkeypatch the module constant driver-side)
+    radix_limit = _RADIX_LIMIT
     # positional features resolve driver-side once: tiny, fixed names
     bos_rows = [attr2row.get(f"BOS+{k}", -1) for k in (0, 1)] if bos_eos else []
     eos_rows = [attr2row.get(f"EOS-{k}", -1) for k in (0, 1)] if bos_eos else []
@@ -424,21 +431,27 @@ def decode_fused(
                     valid &= v >= 0
                 if not valid.any():
                     continue
-                if vt ** len(offs) >= 2**62:  # radix overflow guard
-                    raise ValueError(
-                        f"batch vocabulary {vt} too large for "
-                        f"{len(offs)}-gram radix coding"
-                    )
-                code = vids[0][valid]
-                for v in vids[1:]:
-                    code = code * vt + v[valid]
-                up, inv = np.unique(code, return_inverse=True)
-                digits = []
-                c = up
-                for _ in offs:
-                    digits.append(c % vt)
-                    c = c // vt
-                digits.reverse()
+                if vt ** len(offs) < radix_limit:
+                    # radix coding: one 1-D unique over composed int64s
+                    code = vids[0][valid]
+                    for v in vids[1:]:
+                        code = code * vt + v[valid]
+                    up, inv = np.unique(code, return_inverse=True)
+                    digits = []
+                    c = up
+                    for _ in offs:
+                        digits.append(c % vt)
+                        c = c // vt
+                    digits.reverse()
+                else:
+                    # huge batch vocabulary (vt^k would overflow int64):
+                    # exact row-wise unique instead — slower (lexsort)
+                    # but can't fail mid-job at scale
+                    stacked = np.stack([v[valid] for v in vids], axis=1)
+                    uprows, inv = np.unique(stacked, axis=0, return_inverse=True)
+                    inv = inv.ravel()
+                    digits = [uprows[:, j] for j in range(len(offs))]
+                    up = np.arange(len(uprows))
                 names = [
                     name + "=" + sep.join(vu[d[i]] for d in digits)
                     for i in range(len(up))

@@ -176,6 +176,20 @@ def test_viterbi_outputs_length_bucketing_bit_identical(monkeypatch):
     np.testing.assert_array_equal(dense["seq_prob"], bucketed["seq_prob"])
 
 
+def test_fused_rowwise_unique_fallback_matches_radix(spark, synth, trained_model, monkeypatch):
+    """Forcing the exact row-wise unique path (the guard against
+    vocab^k int64 overflow on huge batches) must give identical labels
+    to radix coding."""
+    from crfsuite_spark.decode import fused as fused_mod
+
+    transcripts = spark.createDataFrame(synth.transcripts.head(60))
+    cfg = PipelineConfig(fused_decode=False)
+    baseline = _fused(transcripts, trained_model, cfg)
+    monkeypatch.setattr(fused_mod, "_RADIX_LIMIT", 1)
+    forced = _fused(transcripts, trained_model, cfg)
+    pd.testing.assert_frame_equal(baseline, forced)
+
+
 def test_pipeline_triples_identical_through_fused(spark, synth, lexicon_model):
     from crfsuite_spark.datagen.transcripts import build_alias_dict
 

@@ -81,6 +81,13 @@ def main() -> None:
     )
     print(f"gold_turn_ts_synthetic: {len(ts)} rows")
 
+    # the generator's alias dictionary, checked in so the e2e oracle
+    # (kg_triples_fused_e2e) can replicate exact linking in DuckDB SQL
+    data.alias_dict.to_parquet(
+        os.path.join(FIXTURES, "alias_dict_synthetic.parquet"), index=False
+    )
+    print(f"alias_dict_synthetic: {len(data.alias_dict)} rows")
+
 
 if __name__ == "__main__":
     main()
