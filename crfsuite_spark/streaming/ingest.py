@@ -67,14 +67,17 @@ def stream_triples(
 
     Returns the started StreamingQuery; caller awaits termination.
     """
-    from crfsuite_spark.kg.pipeline import extract_triples, tag_transcripts
+    from crfsuite_spark.kg.pipeline import run_pipeline
     from crfsuite_spark.kg.triples import materialize
 
     def process_batch(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
             return
-        decoded = tag_transcripts(batch_df, model)
-        triples = extract_triples(decoded, alias_dict)
+        # run_pipeline takes the fused zero-shuffle extraction path
+        # (decode/fused.py emit='relations'), so each micro-batch is
+        # one Arrow pass + tiny linking — parity-tested vs the staged
+        # chain, and the batch/stream equality test covers it here
+        triples = run_pipeline(batch_df, model, alias_dict)
         # bucket manifests are per-epoch subdirs: a replayed epoch is a no-op
         materialize(
             triples, f"{out_path}/epoch={epoch_id}",
@@ -112,13 +115,12 @@ def stream_edge_table(
     edge table always equals the one-pass aggregate over every
     transcript ever streamed (asserted in test_streaming.py)."""
     from crfsuite_spark.kg.lifecycle import commit_edge_batch
-    from crfsuite_spark.kg.pipeline import extract_triples, tag_transcripts
+    from crfsuite_spark.kg.pipeline import run_pipeline
 
     def process_batch(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
             return
-        decoded = tag_transcripts(batch_df, model)
-        triples = extract_triples(decoded, alias_dict)
+        triples = run_pipeline(batch_df, model, alias_dict)
         mentions = triples.join(
             batch_df.select("conv_id", "turn_idx", "ts"),
             ["conv_id", "turn_idx"],

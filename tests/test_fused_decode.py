@@ -155,6 +155,76 @@ def test_tag_transcripts_routes_fused_and_falls_back(spark, synth, lexicon_model
     assert "Exchange" in canon_plan  # the canonical single token shuffle
 
 
+def test_fused_randomized_parity_decks(spark):
+    """Property test (fixed seed decks): random corpora — mixed-case
+    words, digits, punctuation, unicode, multi-spaces, empty/NULL
+    turns — decoded with random-weight models (random attr subsets,
+    nonzero transitions) must match the canonical chain exactly:
+    labels, spans, and relations."""
+    import numpy as np
+
+    from crfsuite_spark.decode.fused import decode_relations_fused
+    from crfsuite_spark.kg.spans import assemble_relations, assemble_spans
+    from crfsuite_spark.train.model import CRFModel
+
+    labels = ["O", "B-PER", "I-PER", "B-ORG", "I-ORG", "B-REL", "I-REL"]
+    alphabet = [
+        "Alice", "bob", "Acme", "visits", "the", "12", "x", "éclair",
+        ".", ",", "-", "a=b", "ACME", "woRks", "at",
+    ]
+    for deck in range(6):
+        rng = np.random.default_rng(1000 + deck)
+        rows = []
+        for conv in range(6):
+            for turn in range(5):
+                n = int(rng.integers(0, 9))
+                toks = list(rng.choice(alphabet, size=n))
+                text = None if n == 0 and rng.random() < 0.5 else " ".join(toks)
+                if text and rng.random() < 0.3:
+                    text = text.replace(" ", "  ", 1)  # token_idx gap
+                rows.append((f"c{conv}", turn, "user", text, None, None))
+        transcripts = spark.createDataFrame(
+            pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            ).astype({"turn_idx": "int32"})
+        )
+        cfg = PipelineConfig(fused_decode=False)
+        # model: random subset of the attrs this corpus actually
+        # generates, plus never-matching ones; normal weights
+        feat = featurize_transcripts(transcripts, cfg)
+        from pyspark.sql import functions as F
+
+        all_attrs = [
+            r[0]
+            for r in feat.select(F.explode("attrs").alias("a")).distinct().collect()
+        ]
+        k = max(1, int(len(all_attrs) * 0.6))
+        idx = rng.permutation(len(all_attrs))[:k]
+        attrs = sorted([all_attrs[i] for i in idx] + ["token[t]=neverseen"])
+        model = CRFModel(
+            labels=labels,
+            attrs=attrs,
+            state_w=rng.normal(size=(len(attrs), len(labels))),
+            trans_w=rng.normal(size=(len(labels), len(labels))),
+        )
+        canon = _canon(transcripts, model, cfg)
+        fused = _fused(transcripts, model, cfg)
+        pd.testing.assert_frame_equal(canon, fused), deck
+        decoded = tag_transcripts(transcripts, model, cfg)
+        canon_rel = (
+            assemble_relations(assemble_spans(decoded)).toPandas().drop(columns=["pred"])
+        )
+        fused_rel = decode_relations_fused(
+            transcripts, model, seq_cols=SEQ_COLS, terms=cfg.terms,
+            from_offset=cfg.from_offset, to_offset=cfg.to_offset,
+            ngram_max=cfg.ngram_max,
+        ).toPandas()
+        pd.testing.assert_frame_equal(
+            _norm(canon_rel), _norm(fused_rel[canon_rel.columns])
+        ), deck
+
+
 def test_viterbi_outputs_length_bucketing_bit_identical(monkeypatch):
     """One pathological long sequence must not inflate the padded
     tensor for the whole batch: the bucketed path (tiny forced budget)
