@@ -816,6 +816,25 @@ def q_kg_k_hop(spark, sf):
     return k_hop(t, seeds, k=2)
 
 
+def q_kg_match_patterns(spark, sf):
+    """Conjunctive triple-pattern (SPARQL-style BGP) query compiled to
+    a Catalyst join chain (kg/query.py): employees of acquired orgs
+    and the org's location, minus self-acquisitions. Constants reach
+    the scans as pushed filters; the oracle is the literal three-way
+    SQL self-join."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    return match_patterns(
+        _gold_triples(spark),
+        [
+            ("?person", "works_at", "?org"),
+            ("?buyer", "acquired", "?org"),
+            ("?org", "located_in", "?city"),
+        ],
+        filters=["person <> buyer"],
+    )
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1219,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "ds_temperature_mix": q_ds_temperature_mix,
         "kg_k_hop": q_kg_k_hop,
+        "kg_match_patterns": q_kg_match_patterns,
         "kg_temporal_triples": q_kg_temporal_triples,
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
@@ -1741,6 +1761,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT CASE WHEN is_out = 1 THEN nbr END) AS out_neighbors,
                    count(DISTINCT CASE WHEN is_out = 0 THEN nbr END) AS in_neighbors
             FROM u GROUP BY entity
+        """,
+        "kg_match_patterns": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
+            SELECT DISTINCT t1.subj AS person, t1.obj AS org,
+                   t2.subj AS buyer, t3.obj AS city
+            FROM t t1
+            JOIN t t2 ON t2.obj = t1.obj
+            JOIN t t3 ON t3.subj = t1.obj
+            WHERE t1.pred = 'works_at' AND t2.pred = 'acquired'
+              AND t3.pred = 'located_in' AND t1.subj <> t2.subj
         """,
         "kg_pagerank": _pagerank_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"

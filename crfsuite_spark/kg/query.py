@@ -1,0 +1,138 @@
+"""Conjunctive triple-pattern matching (SPARQL-style basic graph
+patterns) compiled to Catalyst join chains.
+
+The reference engine (bnosac/crfsuite) stops at producing annotated
+tokens/chunks; querying the *materialized* triple table is part of this
+engine's KG-construction tier.  Semantics follow the public SPARQL 1.1
+spec restricted to conjunctive basic graph patterns with DISTINCT
+projection and post-match FILTERs — a pattern is a (subj, pred, obj)
+triple of terms where a term starting with ``?`` is a variable and
+anything else is a constant.
+
+Spark-first compilation:
+
+- Each pattern is ONE filtered scan of the triple frame: constants
+  become scan predicates (pushed to parquet, so a constant-predicate
+  pattern over a pred-partitioned table prunes to that predicate's
+  files), variables become column renames, a variable repeated WITHIN
+  a pattern becomes a same-row equality filter.
+- Patterns are joined most-constrained-first (constant count desc),
+  greedily picking a next pattern that shares a variable with the
+  already-bound set so every join is an equi-join on those shared
+  variables; disconnected pattern groups fall back to an explicit
+  cross join (their true semantics).  Join *strategy* is left to AQE,
+  which sees runtime sizes after the constant filters — a fully-bound
+  or two-constant pattern collapses to a few rows and broadcasts
+  itself without any driver-side guess here.
+- No UDFs, no collect: the whole query is one declarative plan, so at
+  100 TB it inherits partition pruning, AQE skew splitting, and
+  whole-stage codegen for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SLOTS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _compile_pattern(triples: DataFrame, pattern, idx: int):
+    """One pattern → (frame-with-variable-columns, n_constants).
+
+    A pattern with no variables compiles to an existence probe: a
+    one-row marker frame if the triple is present, empty otherwise
+    (its cross join then keeps or annihilates the other bindings —
+    exactly SPARQL's semantics for a fully-ground pattern).
+    """
+    if len(pattern) != 3:
+        raise ValueError(f"pattern {pattern!r} is not a (subj, pred, obj) triple")
+    df = triples
+    var_slot: dict[str, str] = {}
+    n_consts = 0
+    for slot, term in zip(_SLOTS, pattern):
+        if _is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"empty variable name in pattern {pattern!r}")
+            if name in var_slot:  # repeated var within the pattern
+                df = df.filter(F.col(slot) == F.col(var_slot[name]))
+            else:
+                var_slot[name] = slot
+        else:
+            df = df.filter(F.col(slot) == F.lit(term))
+            n_consts += 1
+    if not var_slot:
+        marker = df.select(F.lit(1).alias(f"__ground_{idx}")).limit(1)
+        return marker, n_consts
+    return (
+        df.select(*[F.col(slot).alias(name) for name, slot in var_slot.items()]),
+        n_consts,
+    )
+
+
+def match_patterns(
+    triples: DataFrame,
+    patterns,
+    select: list[str] | None = None,
+    filters: list[str] | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """Match a conjunctive basic graph pattern against a triple frame.
+
+    Parameters
+    ----------
+    triples : frame with ``subj``/``pred``/``obj`` string columns (the
+        shape ``kg.triples.read_triples`` / ``kg.pipeline`` produce).
+    patterns : list of ``(subj, pred, obj)`` terms; ``"?x"`` binds a
+        variable, any other string matches that constant.
+    select : variable names (without ``?``) to project; default = every
+        variable in first-appearance order.
+    filters : optional SQL boolean expressions over the bound variables
+        (SPARQL FILTER analogue), e.g. ``["person <> org"]``.
+    distinct : set semantics on the projected rows (SPARQL
+        ``SELECT DISTINCT``); pass False to keep binding multiplicity.
+
+    >>> match_patterns(t, [("?p", "works_at", "?org"),
+    ...                    ("?org", "located_in", "?city")])
+    DataFrame[p, org, city]
+    """
+    if not patterns:
+        raise ValueError("need at least one pattern")
+    compiled = [_compile_pattern(triples, p, i) for i, p in enumerate(patterns)]
+
+    order = sorted(range(len(compiled)), key=lambda i: (-compiled[i][1], i))
+    acc = compiled[order[0]][0]
+    bound = set(acc.columns)
+    remaining = order[1:]
+    while remaining:
+        pick = next(
+            (j for j in remaining if set(compiled[j][0].columns) & bound),
+            remaining[0],
+        )
+        remaining = [j for j in remaining if j != pick]
+        frame = compiled[pick][0]
+        shared = sorted(set(frame.columns) & bound)
+        acc = acc.join(frame, on=shared) if shared else acc.crossJoin(frame)
+        bound |= set(frame.columns)
+
+    for expr in filters or []:
+        acc = acc.filter(F.expr(expr))
+
+    # Variables in first-appearance order across the ORIGINAL pattern
+    # list (not join order), marker columns dropped.
+    all_vars: list[str] = []
+    for pat in patterns:
+        for term in pat:
+            if _is_var(term) and term[1:] not in all_vars:
+                all_vars.append(term[1:])
+    out_cols = select if select is not None else all_vars
+    unknown = [c for c in out_cols if c not in bound]
+    if unknown:
+        raise ValueError(f"select names unbound variables: {unknown}")
+    acc = acc.select(*out_cols) if out_cols else acc.select(F.lit(1).alias("__match"))
+    return acc.distinct() if distinct else acc
