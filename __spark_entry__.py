@@ -835,6 +835,20 @@ def q_kg_match_patterns(spark, sf):
     )
 
 
+def q_kg_match_optional(spark, sf):
+    """BGP with a SPARQL OPTIONAL block (kg/query.py): every
+    employment edge, left-extended with the org's location when one is
+    asserted (NULL city otherwise — rows never drop). Oracle = the
+    literal LEFT JOIN."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    return match_patterns(
+        _gold_triples(spark),
+        [("?person", "works_at", "?org")],
+        optional=[("?org", "located_in", "?city")],
+    )
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1239,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_temperature_mix": q_ds_temperature_mix,
         "kg_k_hop": q_kg_k_hop,
         "kg_match_patterns": q_kg_match_patterns,
+        "kg_match_optional": q_kg_match_optional,
         "kg_temporal_triples": q_kg_temporal_triples,
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
@@ -1771,6 +1786,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN t t3 ON t3.subj = t1.obj
             WHERE t1.pred = 'works_at' AND t2.pred = 'acquired'
               AND t3.pred = 'located_in' AND t1.subj <> t2.subj
+        """,
+        "kg_match_optional": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
+            SELECT DISTINCT w.subj AS person, w.obj AS org, l.obj AS city
+            FROM (SELECT * FROM t WHERE pred = 'works_at') w
+            LEFT JOIN (SELECT * FROM t WHERE pred = 'located_in') l
+              ON l.subj = w.obj
         """,
         "kg_pagerank": _pagerank_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"

@@ -80,6 +80,7 @@ def match_patterns(
     patterns,
     select: list[str] | None = None,
     filters: list[str] | None = None,
+    optional: list | None = None,
     distinct: bool = True,
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple frame.
@@ -94,6 +95,13 @@ def match_patterns(
         variable in first-appearance order.
     filters : optional SQL boolean expressions over the bound variables
         (SPARQL FILTER analogue), e.g. ``["person <> org"]``.
+    optional : patterns applied as SPARQL ``OPTIONAL`` blocks — each is
+        a LEFT join on its variables shared with the required block
+        (new variables stay NULL where the pattern has no match; rows
+        are never removed).  Each optional pattern must share at least
+        one variable with the required patterns, and is joined in list
+        order (later optionals may join on variables earlier ones
+        bound).
     distinct : set semantics on the projected rows (SPARQL
         ``SELECT DISTINCT``); pass False to keep binding multiplicity.
 
@@ -123,10 +131,23 @@ def match_patterns(
     for expr in filters or []:
         acc = acc.filter(F.expr(expr))
 
+    for k, pat in enumerate(optional or []):
+        frame, _ = _compile_pattern(triples, pat, len(patterns) + k)
+        shared = sorted(set(frame.columns) & bound)
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat!r} shares no variable with the "
+                "required patterns (an unanchored OPTIONAL is a cross "
+                "product — express that as a required pattern instead)"
+            )
+        acc = acc.join(frame, on=shared, how="left")
+        bound |= set(frame.columns)
+
     # Variables in first-appearance order across the ORIGINAL pattern
-    # list (not join order), marker columns dropped.
+    # list (required, then optional; not join order), marker columns
+    # dropped.
     all_vars: list[str] = []
-    for pat in patterns:
+    for pat in list(patterns) + list(optional or []):
         for term in pat:
             if _is_var(term) and term[1:] not in all_vars:
                 all_vars.append(term[1:])

@@ -116,6 +116,46 @@ def test_filters_and_multiplicity(triples):
     assert rows(dup) == [("initech",), ("initech",)]
 
 
+def test_optional_pattern_left_join(triples):
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        optional=[("?p", "visited", "?city")],
+    )
+    assert out.columns == ["p", "org", "city"]
+    assert rows(out) == [
+        ("ada", "acme", "oslo"),
+        ("bob", "acme", None),
+        ("cyd", "initech", None),
+    ]
+
+
+def test_optional_chain_binds_through_earlier_optional(triples):
+    # second optional joins on a variable the FIRST optional bound
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        optional=[
+            ("?org", "acquired", "?other"),
+            ("?other", "located_in", "?city"),
+        ],
+    )
+    assert rows(out) == [
+        ("ada", "acme", "initech", "oslo"),
+        ("bob", "acme", "initech", "oslo"),
+        ("cyd", "initech", None, None),
+    ]
+
+
+def test_optional_unanchored_raises(triples):
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_patterns(
+            triples,
+            [("?p", "works_at", "?org")],
+            optional=[("?a", "located_in", "?b")],
+        )
+
+
 def test_select_unbound_variable_raises(triples):
     with pytest.raises(ValueError, match="unbound"):
         match_patterns(triples, [("?a", "works_at", "?b")], select=["nope"])
