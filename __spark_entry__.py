@@ -849,6 +849,19 @@ def q_kg_match_optional(spark, sf):
     )
 
 
+def q_kg_property_path(spark, sf):
+    """Bounded single-predicate transitive closure (SPARQL
+    ``acquired{1,3}``) by semi-naive delta expansion (kg/graph.py);
+    the oracle chains the same rounds as SQL CTEs with NOT EXISTS as
+    the min-hops claim."""
+    from crfsuite_spark.kg.graph import property_path
+
+    out = property_path(_gold_triples(spark), "acquired", max_hops=3)
+    res = out.select("src", "dst", "hops")
+    res.pinned_caches = out.pinned_caches
+    return res
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1254,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_k_hop": q_kg_k_hop,
         "kg_match_patterns": q_kg_match_patterns,
         "kg_match_optional": q_kg_match_optional,
+        "kg_property_path": q_kg_property_path,
         "kg_temporal_triples": q_kg_temporal_triples,
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
@@ -1553,6 +1567,35 @@ def _pagerank_oracle_sql(gold: str, n_iters=3, damping=0.85) -> str:
         """
 
 
+def _property_path_oracle_sql(gold: str, pred: str, max_hops=3) -> str:
+    """DuckDB SQL reproducing q_kg_property_path: the same semi-naive
+    rounds as CTEs — each round joins only the previous DELTA against
+    the edge set, with NOT EXISTS against the running closure as the
+    min-hops claim."""
+    ctes = [
+        f"t AS (SELECT * FROM read_parquet('{gold}'))",
+        f"e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t "
+        f"WHERE pred = '{pred}')",
+        "r1 AS (SELECT src, dst, 1 AS hops FROM e)",
+        "d1 AS (SELECT src, dst FROM e)",
+    ]
+    for h in range(2, max_hops + 1):
+        ctes.append(
+            f"d{h} AS (SELECT DISTINCT d.src, e.dst FROM d{h-1} d "
+            f"JOIN e ON e.src = d.dst WHERE NOT EXISTS ("
+            f"SELECT 1 FROM r{h-1} r WHERE r.src = d.src AND r.dst = e.dst))"
+        )
+        ctes.append(
+            f"r{h} AS (SELECT * FROM r{h-1} "
+            f"UNION ALL SELECT src, dst, {h} AS hops FROM d{h})"
+        )
+    body = ",\n            ".join(ctes)
+    return f"""
+            WITH {body}
+            SELECT src, dst, hops FROM r{max_hops}
+        """
+
+
 def _label_prop_oracle_sql(gold: str, n_iters=3) -> str:
     """DuckDB SQL reproducing q_kg_communities: the same fixed-iteration
     synchronous min-tie-break label propagation, one CTE pair
@@ -1794,6 +1837,9 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM t WHERE pred = 'located_in') l
               ON l.subj = w.obj
         """,
+        "kg_property_path": _property_path_oracle_sql(
+            f"{fixtures}/gold_triples_synthetic.parquet", "acquired"
+        ),
         "kg_pagerank": _pagerank_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"
         ),

@@ -284,6 +284,56 @@ def k_hop(
     return out
 
 
+def property_path(
+    triples: DataFrame,
+    pred: str,
+    max_hops: int = 2,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Bounded transitive closure over ONE predicate (the SPARQL
+    property-path ``pred{1,k}`` analogue): (src, dst, hops) for every
+    pair connected by 1..max_hops edges of ``pred``, hops = MINIMUM
+    path length (cycles may close back onto src).
+
+    Semi-naive evaluation — round h+1 expands only the pairs first
+    DISCOVERED at round h (not the whole closure), so each round is
+    one equi-join of the delta against the (persisted, pred-filtered,
+    distinct) edge set on the uniform dst=src key plus one anti-join
+    for the min-hops claim. That delta-only frontier is what keeps the
+    k rounds near-linear in the closure size at 100 TB; the naive
+    re-join of the full closure every round is quadratic. The pred
+    filter reaches the scan, so a pred-partitioned table reads one
+    predicate's slice. Unpersist via ``out.pinned_caches``."""
+    edges = (
+        triples.filter(F.col("pred") == F.lit(pred))
+        .select(F.col(subj).alias("src"), F.col(obj).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    pinned = [edges]
+    out = edges.select("src", "dst", F.lit(1).alias("hops")).persist()
+    pinned.append(out)
+    delta = out.select("src", "dst")
+    for h in range(2, max_hops + 1):
+        step = edges.select(
+            F.col("src").alias("dst"), F.col("dst").alias("nxt")
+        )
+        delta = (
+            delta.join(step, "dst")
+            .select("src", F.col("nxt").alias("dst"))
+            .distinct()
+            .join(out.select("src", "dst"), ["src", "dst"], "left_anti")
+            .persist()
+        )
+        pinned.append(delta)
+        out = out.unionByName(
+            delta.select("src", "dst", F.lit(h).alias("hops"))
+        )
+    out.pinned_caches = pinned
+    return out
+
+
 def label_propagation(
     triples: DataFrame,
     n_iters: int = 3,

@@ -12,6 +12,7 @@ from crfsuite_spark.kg.graph import (
     entity_degrees,
     k_hop,
     pagerank,
+    property_path,
     triple_support,
 )
 
@@ -124,6 +125,42 @@ def test_k_hop_min_hop_claim(spark):
     for c in out.pinned_caches:
         c.unpersist()
     assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 2}
+
+
+def test_property_path_min_hops_and_pred_isolation(spark):
+    # chain a->b->c->d on 'owns'; decoy edge b->z on another predicate
+    # must not leak into the closure
+    rows = [
+        ("c1", 1, "a", "owns", "b"),
+        ("c1", 2, "b", "owns", "c"),
+        ("c1", 3, "c", "owns", "d"),
+        ("c1", 4, "b", "rents", "z"),
+        # shortcut a->c makes (a,c) hops=1 and (a,d) hops=2 (min claim)
+        ("c1", 5, "a", "owns", "c"),
+    ]
+    out = property_path(_triples(spark, rows), "owns", max_hops=3)
+    got = {(r["src"], r["dst"]): r["hops"] for r in out.collect()}
+    for c in out.pinned_caches:
+        c.unpersist()
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1, ("a", "c"): 1,
+        ("a", "d"): 2, ("b", "d"): 2,
+    }
+    assert ("b", "z") not in got
+
+
+def test_property_path_cycle_closes_to_self(spark):
+    rows = [
+        ("c1", 1, "x", "owns", "y"),
+        ("c1", 2, "y", "owns", "x"),
+    ]
+    out = property_path(_triples(spark, rows), "owns", max_hops=2)
+    got = {(r["src"], r["dst"]): r["hops"] for r in out.collect()}
+    for c in out.pinned_caches:
+        c.unpersist()
+    assert got == {
+        ("x", "y"): 1, ("y", "x"): 1, ("x", "x"): 2, ("y", "y"): 2,
+    }
 
 
 def test_k_hop_multi_seed_frame(spark, tiny):
