@@ -862,6 +862,16 @@ def q_kg_property_path(spark, sf):
     return res
 
 
+def q_kg_negative_samples(spark, sf):
+    """KG-embedding training negatives (kg/negatives.py): k=2
+    type-consistent corrupt tails per gold mention, portable-md5 draw
+    with the n-1 skip trick; the oracle replays pool indexing, draw,
+    shift, and join verbatim in SQL."""
+    from crfsuite_spark.kg.negatives import negative_samples
+
+    return negative_samples(_gold_triples(spark), k=2, seed=42)
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1268,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_patterns": q_kg_match_patterns,
         "kg_match_optional": q_kg_match_optional,
         "kg_property_path": q_kg_property_path,
+        "kg_negative_samples": q_kg_negative_samples,
         "kg_temporal_triples": q_kg_temporal_triples,
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
@@ -1840,6 +1851,30 @@ def oracle_sql() -> dict[str, str]:
         "kg_property_path": _property_path_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet", "acquired"
         ),
+        "kg_negative_samples": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            pool AS (
+              SELECT ent, etype,
+                     row_number() OVER (PARTITION BY etype ORDER BY ent) - 1 AS idx
+              FROM (SELECT DISTINCT obj AS ent, split_part(obj, ':', 1) AS etype FROM t)),
+            cnt AS (SELECT etype, count(*) AS n FROM pool GROUP BY etype),
+            ex AS (
+              SELECT b.*, split_part(b.obj, ':', 1) AS etype, c.n,
+                     p.idx AS true_idx, r.i AS neg_rank
+              FROM t b
+              JOIN cnt c ON c.etype = split_part(b.obj, ':', 1)
+              JOIN pool p ON p.etype = c.etype AND p.ent = b.obj
+              CROSS JOIN (SELECT unnest(range(2)) AS i) r
+              WHERE c.n > 1),
+            d AS (
+              SELECT *, ('0x' || substr(md5(concat_ws(':', subj, pred, obj,
+                     CAST(neg_rank AS VARCHAR), '42')), 1, 8))::BIGINT % (n - 1) AS raw
+              FROM ex),
+            s AS (SELECT *, raw + CASE WHEN raw >= true_idx THEN 1 ELSE 0 END AS neg_idx FROM d)
+            SELECT s.conv_id, s.turn_idx, s.subj, s.pred, s.obj,
+                   s.neg_rank, p2.ent AS neg_obj
+            FROM s JOIN pool p2 ON p2.etype = s.etype AND p2.idx = s.neg_idx
+        """,
         "kg_pagerank": _pagerank_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"
         ),
