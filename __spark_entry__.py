@@ -872,6 +872,22 @@ def q_kg_negative_samples(spark, sf):
     return negative_samples(_gold_triples(spark), k=2, seed=42)
 
 
+def q_kg_match_union(spark, sf):
+    """SPARQL UNION of pattern groups (kg/query.py): employment and
+    visit edges as one frame, NULL-padded where a branch doesn't bind
+    the other branch's variable. Oracle = the literal UNION ALL +
+    outer DISTINCT."""
+    from crfsuite_spark.kg.query import match_union
+
+    return match_union(
+        _gold_triples(spark),
+        [
+            [("?p", "works_at", "?org")],
+            [("?p", "visited", "?city")],
+        ],
+    )
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1277,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_k_hop": q_kg_k_hop,
         "kg_match_patterns": q_kg_match_patterns,
         "kg_match_optional": q_kg_match_optional,
+        "kg_match_union": q_kg_match_union,
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_temporal_triples": q_kg_temporal_triples,
@@ -1847,6 +1864,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM t WHERE pred = 'works_at') w
             LEFT JOIN (SELECT * FROM t WHERE pred = 'located_in') l
               ON l.subj = w.obj
+        """,
+        "kg_match_union": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
+            SELECT DISTINCT * FROM (
+              SELECT subj AS p, obj AS org, CAST(NULL AS VARCHAR) AS city
+              FROM t WHERE pred = 'works_at'
+              UNION ALL
+              SELECT subj AS p, CAST(NULL AS VARCHAR) AS org, obj AS city
+              FROM t WHERE pred = 'visited')
         """,
         "kg_property_path": _property_path_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet", "acquired"

@@ -157,3 +157,53 @@ def match_patterns(
         raise ValueError(f"select names unbound variables: {unknown}")
     acc = acc.select(*out_cols) if out_cols else acc.select(F.lit(1).alias("__match"))
     return acc.distinct() if distinct else acc
+
+
+def match_union(
+    triples: DataFrame,
+    groups,
+    select: list[str] | None = None,
+    filters: list[str] | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL ``UNION`` of conjunctive pattern groups: each group is a
+    ``patterns`` list for :func:`match_patterns`; the result is the
+    bag union of the groups' bindings with SPARQL's NULL-padding for
+    variables a group does not bind (an unbound variable, not an
+    error). ``filters``/``select``/``distinct`` apply to the union —
+    a filter referencing a variable some group leaves NULL simply
+    fails for those rows, exactly SPARQL's error-is-false rule.
+
+    Spark-first: the groups are independent join chains unioned by
+    name — no shared state, so at scale each branch schedules as its
+    own stage graph and the union is a zero-shuffle concatenation.
+    """
+    if not groups:
+        raise ValueError("need at least one pattern group")
+    parts = [match_patterns(triples, g, distinct=False) for g in groups]
+    all_vars: list[str] = []
+    for p in parts:
+        for c in p.columns:
+            if c not in all_vars:
+                all_vars.append(c)
+    aligned = [
+        p.select(
+            *[
+                F.col(v) if v in p.columns
+                else F.lit(None).cast("string").alias(v)
+                for v in all_vars
+            ]
+        )
+        for p in parts
+    ]
+    acc = aligned[0]
+    for p in aligned[1:]:
+        acc = acc.unionByName(p)
+    for expr in filters or []:
+        acc = acc.filter(F.expr(expr))
+    out_cols = select if select is not None else all_vars
+    unknown = [c for c in out_cols if c not in all_vars]
+    if unknown:
+        raise ValueError(f"select names unbound variables: {unknown}")
+    acc = acc.select(*out_cols)
+    return acc.distinct() if distinct else acc

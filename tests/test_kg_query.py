@@ -7,7 +7,7 @@ pushed-filter plan assertion over a parquet-backed triple table.
 import pytest
 from pyspark.sql import functions as F
 
-from crfsuite_spark.kg.query import match_patterns
+from crfsuite_spark.kg.query import match_patterns, match_union
 
 TRIPLES = [
     # (subj, pred, obj)
@@ -28,7 +28,10 @@ def triples(spark):
 
 
 def rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
 
 
 def test_two_hop_join(triples):
@@ -154,6 +157,41 @@ def test_optional_unanchored_raises(triples):
             [("?p", "works_at", "?org")],
             optional=[("?a", "located_in", "?b")],
         )
+
+
+def test_union_null_pads_unshared_variables(triples):
+    out = match_union(
+        triples,
+        [
+            [("?p", "works_at", "?org")],
+            [("?p", "visited", "?city")],
+        ],
+    )
+    assert out.columns == ["p", "org", "city"]
+    assert rows(out) == [
+        ("ada", "acme", None),
+        ("ada", None, "oslo"),
+        ("bob", "acme", None),
+        ("cyd", "initech", None),
+    ]
+
+
+def test_union_bag_semantics_and_filter(triples):
+    # same group twice, distinct=False -> duplicates survive;
+    # a filter on a NULL-padded variable drops those rows (SPARQL
+    # error-is-false)
+    out = match_union(
+        triples,
+        [[("?p", "works_at", "?org")], [("?p", "works_at", "?org")]],
+        distinct=False,
+    )
+    assert out.count() == 6
+    filt = match_union(
+        triples,
+        [[("?p", "works_at", "?org")], [("?p", "visited", "?city")]],
+        filters=["city = 'oslo'"],
+    )
+    assert rows(filt) == [("ada", None, "oslo")]
 
 
 def test_select_unbound_variable_raises(triples):
