@@ -159,6 +159,21 @@ def test_optional_unanchored_raises(triples):
         )
 
 
+def test_mention_duplicates_collapse_per_scan(spark):
+    # the graph is a SET of triples: provenance duplicates of the same
+    # edge must not multiply through joins even with distinct=False
+    dup = spark.createDataFrame(
+        [("a", "works_at", "x")] * 1000 + [("x", "located_in", "b")] * 1000,
+        ["subj", "pred", "obj"],
+    )
+    out = match_patterns(
+        dup,
+        [("?p", "works_at", "?org"), ("?org", "located_in", "?city")],
+        distinct=False,
+    )
+    assert out.collect() == [("a", "x", "b")]
+
+
 def test_union_null_pads_unshared_variables(triples):
     out = match_union(
         triples,
