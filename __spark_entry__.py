@@ -888,6 +888,16 @@ def q_kg_match_union(spark, sf):
     )
 
 
+def q_kg_train_split(spark, sf):
+    """FB15k-protocol train/valid/test split (kg/splits.py): portable
+    triple-keyed md5 draw + training-entity closure filter on the
+    evaluation slices; the oracle replays draw, thresholds, and the
+    two IN-subquery semi-joins."""
+    from crfsuite_spark.kg.splits import split_triples
+
+    return split_triples(_gold_triples(spark), weights=(0.6, 0.2, 0.2), seed=42)
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1296,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_union": q_kg_match_union,
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
+        "kg_train_split": q_kg_train_split,
         "kg_temporal_triples": q_kg_temporal_triples,
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
@@ -1864,6 +1875,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM t WHERE pred = 'works_at') w
             LEFT JOIN (SELECT * FROM t WHERE pred = 'located_in') l
               ON l.subj = w.obj
+        """,
+        "kg_train_split": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            g AS (SELECT *, ('0x' || substr(md5(concat_ws(':', subj, pred, obj, '42')), 1, 8))::BIGINT % 1000000 AS d FROM t),
+            s AS (SELECT conv_id, turn_idx, subj, pred, obj,
+                         CASE WHEN d < 600000 THEN 'train'
+                              WHEN d < 800000 THEN 'valid'
+                              ELSE 'test' END AS split
+                  FROM g),
+            ents AS (SELECT subj AS ent FROM s WHERE split = 'train'
+                     UNION SELECT obj FROM s WHERE split = 'train')
+            SELECT * FROM s WHERE split = 'train'
+            UNION ALL
+            SELECT * FROM s WHERE split <> 'train'
+              AND subj IN (SELECT ent FROM ents)
+              AND obj IN (SELECT ent FROM ents)
         """,
         "kg_match_union": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
