@@ -898,6 +898,23 @@ def q_kg_train_split(spark, sf):
     return split_triples(_gold_triples(spark), weights=(0.6, 0.2, 0.2), seed=42)
 
 
+def q_kg_sample_neighbors(spark, sf):
+    """GraphSAGE-style layered fanout sampling (kg/graph.py): from the
+    acquiring orgs, ≤3 out-neighbors at layer 1, ≤2 at layer 2,
+    md5-ranked per node; the oracle replays both layers as
+    row_number-over-draw CTEs."""
+    from crfsuite_spark.kg.graph import sample_neighbors
+
+    t = _gold_triples(spark)
+    seeds = t.filter(F.col("pred") == "acquired").select(
+        F.col("subj").alias("entity")
+    ).distinct()
+    out = sample_neighbors(t, seeds, fanouts=(3, 2), seed=42)
+    res = out.select("layer", "src", "dst")
+    res.pinned_caches = out.pinned_caches
+    return res
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1307,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_train_split": q_kg_train_split,
+        "kg_sample_neighbors": q_kg_sample_neighbors,
         "kg_temporal_triples": q_kg_temporal_triples,
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
@@ -1875,6 +1893,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM t WHERE pred = 'works_at') w
             LEFT JOIN (SELECT * FROM t WHERE pred = 'located_in') l
               ON l.subj = w.obj
+        """,
+        "kg_sample_neighbors": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+            f0 AS (SELECT DISTINCT subj AS src FROM t WHERE pred = 'acquired'),
+            l1 AS (
+              SELECT 1 AS layer, src, dst FROM (
+                SELECT f0.src, e.dst,
+                       row_number() OVER (PARTITION BY f0.src ORDER BY
+                         ('0x' || substr(md5(concat_ws(':', f0.src, e.dst, '1', '42')), 1, 8))::BIGINT,
+                         e.dst) AS rk
+                FROM f0 JOIN e ON e.src = f0.src)
+              WHERE rk <= 3),
+            f1 AS (SELECT DISTINCT dst AS src FROM l1),
+            l2 AS (
+              SELECT 2 AS layer, src, dst FROM (
+                SELECT f1.src, e.dst,
+                       row_number() OVER (PARTITION BY f1.src ORDER BY
+                         ('0x' || substr(md5(concat_ws(':', f1.src, e.dst, '2', '42')), 1, 8))::BIGINT,
+                         e.dst) AS rk
+                FROM f1 JOIN e ON e.src = f1.src)
+              WHERE rk <= 2)
+            SELECT * FROM l1 UNION ALL SELECT * FROM l2
         """,
         "kg_train_split": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),

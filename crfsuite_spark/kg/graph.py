@@ -334,6 +334,69 @@ def property_path(
     return out
 
 
+def sample_neighbors(
+    triples: DataFrame,
+    seeds: DataFrame,
+    fanouts=(10, 5),
+    seed: int = 42,
+) -> DataFrame:
+    """Layered neighbor sampling for GNN mini-batch training (the
+    GraphSAGE protocol, Hamilton et al. 2017): starting from ``seeds``
+    (a one-column frame named ``entity``, like ``kg/graph.py:k_hop``),
+    layer ``l`` keeps at most ``fanouts[l]`` out-neighbors per frontier
+    node over the DISTINCT directed edge set; the next frontier is the
+    sampled neighbors. Returns (layer, src, dst) sampled edges —
+    layers are 1-based, nodes reached twice are expanded each time
+    they re-enter the frontier (the GraphSAGE computation graph, not a
+    BFS visited-set walk).
+
+    The per-node choice ranks each node's adjacency by a portable md5
+    hash of (src, dst, layer, seed) — deterministic under retries and
+    bit-reproducible in the SQL oracle, unlike ``rand()``-ordered
+    sampling. The rank is a window over src, so the unit of skew is
+    one node's out-degree: the hub-node sort the fanout cap exists to
+    bound is paid once per layer and never materializes more than the
+    adjacency Spark would scan anyway. Frontier and sampled frames are
+    node/edge-id-narrow; each layer is persisted because layer l+1
+    both expands and returns it (unpersist via ``out.pinned_caches``).
+    """
+    if not fanouts:
+        raise ValueError("need at least one fanout")
+    edges = (
+        triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    pinned = [edges]
+    frontier = seeds.select(F.col("entity").alias("src")).distinct()
+    layers = []
+    for lvl, fanout in enumerate(fanouts, start=1):
+        draw = F.expr(
+            "CAST(conv(substr(md5(concat_ws(':', src, dst, "
+            f"'{lvl}', '{seed}')), 1, 8), 16, 10) AS BIGINT)"
+        )
+        picked = (
+            frontier.join(edges, "src")
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("src").orderBy(draw.asc(), F.col("dst"))
+                ),
+            )
+            .filter(F.col("__rk") <= fanout)
+            .select(F.lit(lvl).alias("layer"), "src", "dst")
+            .persist()
+        )
+        pinned.append(picked)
+        layers.append(picked)
+        frontier = picked.select(F.col("dst").alias("src")).distinct()
+    out = layers[0]
+    for nxt in layers[1:]:
+        out = out.unionByName(nxt)
+    out.pinned_caches = pinned
+    return out
+
+
 def label_propagation(
     triples: DataFrame,
     n_iters: int = 3,

@@ -90,3 +90,4 @@ def negative_samples(
         ["etype", "neg_idx"],
     )
     return out.select(*triples.columns, "neg_rank", "neg_obj")
+

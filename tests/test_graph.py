@@ -13,6 +13,7 @@ from crfsuite_spark.kg.graph import (
     k_hop,
     pagerank,
     property_path,
+    sample_neighbors,
     triple_support,
 )
 
@@ -161,6 +162,60 @@ def test_property_path_cycle_closes_to_self(spark):
     assert got == {
         ("x", "y"): 1, ("y", "x"): 1, ("x", "x"): 2, ("y", "y"): 2,
     }
+
+
+def _fanout_mirror(edges, frontier, lvl, fanout, seed):
+    import hashlib
+
+    out = []
+    for src in sorted(frontier):
+        nbrs = sorted(d for s, d in edges if s == src)
+        ranked = sorted(
+            nbrs,
+            key=lambda d: (
+                int(
+                    hashlib.md5(f"{src}:{d}:{lvl}:{seed}".encode()).hexdigest()[:8],
+                    16,
+                ),
+                d,
+            ),
+        )
+        out += [(lvl, src, d) for d in ranked[:fanout]]
+    return out
+
+
+def test_sample_neighbors_matches_mirror_and_caps_fanout(spark):
+    edges = [("h", f"n{i}") for i in range(1, 7)]
+    edges += [("n1", f"m{i}") for i in range(1, 5)]
+    edges += [("n2", "m1"), ("n3", "m9")]
+    rows = [("c1", i, s, "r", d) for i, (s, d) in enumerate(edges)]
+    t = _triples(spark, rows)
+    seeds = spark.createDataFrame([("h",)], "entity string")
+    out = sample_neighbors(t, seeds, fanouts=(3, 2), seed=5)
+    got = sorted((r["layer"], r["src"], r["dst"]) for r in out.collect())
+    for c in out.pinned_caches:
+        c.unpersist()
+    eset = set(edges)
+    l1 = _fanout_mirror(eset, {"h"}, 1, 3, 5)
+    l2 = _fanout_mirror(eset, {d for _, _, d in l1}, 2, 2, 5)
+    assert got == sorted(l1 + l2)
+    # caps hold
+    assert len([g for g in l1]) == 3
+    from collections import Counter
+
+    per_src = Counter((g[1]) for g in l2)
+    assert all(v <= 2 for v in per_src.values())
+
+
+def test_sample_neighbors_deterministic(spark, tiny):
+    seeds = tiny.select(F.col("subj").alias("entity")).distinct()
+    runs = []
+    for _ in range(2):
+        out = sample_neighbors(tiny, seeds, (2,), seed=3)
+        runs.append(sorted(map(tuple, out.collect())))
+        for c in out.pinned_caches:
+            c.unpersist()
+    assert runs[0] == runs[1]
 
 
 def test_k_hop_multi_seed_frame(spark, tiny):
