@@ -915,6 +915,37 @@ def q_kg_sample_neighbors(spark, sf):
     return res
 
 
+def q_kg_infer_rules(spark, sf):
+    """Bounded forward-chaining inference (kg/rules.py, textbook
+    semi-naive evaluation): colleague_of from shared employers +
+    transitive subsidiary_of over acquisitions, 3 rounds, derived
+    facts only with their first-derivation round. The oracle unrolls
+    the same rounds as naive SQL CTEs — semi-naive and naive stage
+    identically (both compute T_P up-arrow r), which this green hash
+    proves cross-engine."""
+    from crfsuite_spark.kg.rules import Rule, infer
+
+    rules = [
+        Rule(
+            body=(("?x", "works_at", "?o"), ("?y", "works_at", "?o")),
+            head=("?x", "colleague_of", "?y"),
+            filters=("x < y",),
+        ),
+        Rule(body=(("?x", "acquired", "?y"),),
+             head=("?x", "subsidiary_of", "?y")),
+        Rule(
+            body=(("?x", "subsidiary_of", "?y"),
+                  ("?y", "subsidiary_of", "?z")),
+            head=("?x", "subsidiary_of", "?z"),
+        ),
+    ]
+    out = infer(_gold_triples(spark), rules, max_rounds=3,
+                include_base=False)
+    res = out.select("subj", "pred", "obj", "round")
+    res.pinned_caches = out.pinned_caches
+    return res
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1325,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "kg_train_split": q_kg_train_split,
         "kg_sample_neighbors": q_kg_sample_neighbors,
+        "kg_infer_rules": q_kg_infer_rules,
         "kg_temporal_triples": q_kg_temporal_triples,
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
@@ -1893,6 +1925,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM t WHERE pred = 'works_at') w
             LEFT JOIN (SELECT * FROM t WHERE pred = 'located_in') l
               ON l.subj = w.obj
+        """,
+        "kg_infer_rules": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            w AS (SELECT DISTINCT subj AS p, obj AS o FROM t WHERE pred = 'works_at'),
+            col AS (SELECT DISTINCT a.p AS subj, 'colleague_of' AS pred,
+                           b.p AS obj, 1 AS round
+                    FROM w a JOIN w b ON a.o = b.o WHERE a.p < b.p),
+            e AS (SELECT DISTINCT subj AS s, obj AS o FROM t WHERE pred = 'acquired'),
+            n2 AS (SELECT DISTINCT a.s, b.o FROM e a JOIN e b ON b.s = a.o
+                   WHERE NOT EXISTS (SELECT 1 FROM e x WHERE x.s = a.s AND x.o = b.o)),
+            s2 AS (SELECT * FROM e UNION ALL SELECT * FROM n2),
+            n3 AS (SELECT DISTINCT a.s, b.o FROM s2 a JOIN s2 b ON b.s = a.o
+                   WHERE NOT EXISTS (SELECT 1 FROM s2 x WHERE x.s = a.s AND x.o = b.o)),
+            sub AS (
+              SELECT s AS subj, 'subsidiary_of' AS pred, o AS obj, 1 AS round FROM e
+              UNION ALL SELECT s, 'subsidiary_of', o, 2 FROM n2
+              UNION ALL SELECT s, 'subsidiary_of', o, 3 FROM n3)
+            SELECT * FROM col UNION ALL SELECT * FROM sub
         """,
         "kg_sample_neighbors": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),

@@ -94,6 +94,7 @@ def match_patterns(
     optional: list | None = None,
     distinct: bool = True,
     assume_distinct: bool = False,
+    sources: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple frame.
 
@@ -118,6 +119,10 @@ def match_patterns(
         ``SELECT DISTINCT``); pass False to keep binding multiplicity.
     assume_distinct : skip the per-pattern-scan dedup (see module
         docstring) when ``triples`` is already a distinct triple set.
+    sources : override the frame ONE pattern position scans (same
+        length as ``patterns``, None entries fall back to ``triples``)
+        — the hook semi-naive rule evaluation uses to point one body
+        position at the last round's delta (``kg/rules.py``).
 
     >>> match_patterns(t, [("?p", "works_at", "?org"),
     ...                    ("?org", "located_in", "?city")])
@@ -125,8 +130,13 @@ def match_patterns(
     """
     if not patterns:
         raise ValueError("need at least one pattern")
+    if sources is not None and len(sources) != len(patterns):
+        raise ValueError("sources must have one entry per pattern")
     compiled = [
-        _compile_pattern(triples, p, i, assume_distinct)
+        _compile_pattern(
+            triples if sources is None or sources[i] is None else sources[i],
+            p, i, assume_distinct,
+        )
         for i, p in enumerate(patterns)
     ]
 

@@ -1,0 +1,74 @@
+"""CONSTRUCT + bounded forward chaining (kg/rules.py)."""
+
+import pytest
+
+from crfsuite_spark.kg.rules import Rule, construct, infer
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    rows = [
+        ("ada", "works_at", "acme"),
+        ("bob", "works_at", "acme"),
+        ("cyd", "works_at", "initech"),
+        # acquisition chain a -> b -> c -> d
+        ("org_a", "acquired", "org_b"),
+        ("org_b", "acquired", "org_c"),
+        ("org_c", "acquired", "org_d"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+COLLEAGUE = Rule(
+    body=(("?x", "works_at", "?o"), ("?y", "works_at", "?o")),
+    head=("?x", "colleague_of", "?y"),
+    filters=("x < y",),
+)
+SUB_BASE = Rule(
+    body=(("?x", "acquired", "?y"),),
+    head=("?x", "subsidiary_of", "?y"),
+)
+SUB_TRANS = Rule(
+    body=(("?x", "subsidiary_of", "?y"), ("?y", "subsidiary_of", "?z")),
+    head=("?x", "subsidiary_of", "?z"),
+)
+
+
+def test_construct_colleague(facts):
+    out = construct(facts, COLLEAGUE.body, COLLEAGUE.head,
+                    filters=COLLEAGUE.filters)
+    assert sorted(map(tuple, out.collect())) == [
+        ("ada", "colleague_of", "bob"),
+    ]
+
+
+def test_infer_transitive_rounds_and_fixpoint(facts):
+    out = infer(facts, [SUB_BASE, SUB_TRANS], max_rounds=10,
+                include_base=False)
+    got = {(r["subj"], r["obj"]): r["round"] for r in out.collect()}
+    for c in out.pinned_caches:
+        c.unpersist()
+    # chain of 4: direct pairs round 1, 2-hops round 2, 3-hop round 3;
+    # fixpoint exits before the max_rounds=10 bound
+    assert got == {
+        ("org_a", "org_b"): 1, ("org_b", "org_c"): 1, ("org_c", "org_d"): 1,
+        ("org_a", "org_c"): 2, ("org_b", "org_d"): 2,
+        ("org_a", "org_d"): 3,
+    }
+
+
+def test_infer_include_base_and_multi_rule(facts):
+    out = infer(facts, [COLLEAGUE, SUB_BASE], max_rounds=2)
+    rows = [(r["subj"], r["pred"], r["obj"], r["round"]) for r in out.collect()]
+    for c in out.pinned_caches:
+        c.unpersist()
+    assert ("ada", "works_at", "acme", 0) in rows
+    assert ("ada", "colleague_of", "bob", 1) in rows
+    assert ("org_a", "subsidiary_of", "org_b", 1) in rows
+    # non-recursive heads derive exactly once
+    assert len([r for r in rows if r[1] == "colleague_of"]) == 1
+
+
+def test_rule_head_must_be_bound():
+    with pytest.raises(ValueError, match="not bound"):
+        Rule(body=(("?x", "p", "?y"),), head=("?x", "q", "?z"))
