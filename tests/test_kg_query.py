@@ -214,6 +214,70 @@ def test_select_unbound_variable_raises(triples):
         match_patterns(triples, [("?a", "works_at", "?b")], select=["nope"])
 
 
+def _brute_force_bgp(tset, patterns):
+    """Reference evaluator: extend bindings triple-by-triple."""
+    bindings = [{}]
+    for s, p, o in patterns:
+        nxt = []
+        for b in bindings:
+            for ts, tp, to in tset:
+                b2 = dict(b)
+                ok = True
+                for term, val in ((s, ts), (p, tp), (o, to)):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if b2.get(v, val) != val:
+                            ok = False
+                            break
+                        b2[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(b2)
+        bindings = nxt
+    return bindings
+
+
+def test_fuzz_bgp_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(20260818)
+    ents = ["a", "b", "c", "d", "e"]
+    preds = ["p", "q", "r"]
+    for trial in range(12):
+        tset = {
+            (rng.choice(ents), rng.choice(preds), rng.choice(ents))
+            for _ in range(rng.randint(4, 15))
+        }
+        t = spark.createDataFrame(sorted(tset), ["subj", "pred", "obj"])
+        n_pat = rng.randint(1, 3)
+        vars_ = ["?x", "?y", "?z", "?w"]
+        patterns = []
+        for _ in range(n_pat):
+            pat = tuple(
+                rng.choice(vars_) if rng.random() < 0.6
+                else rng.choice(ents if i != 1 else preds)
+                for i in range(3)
+            )
+            patterns.append(pat)
+        pat_vars = []
+        for pat in patterns:
+            for term in pat:
+                if term.startswith("?") and term[1:] not in pat_vars:
+                    pat_vars.append(term[1:])
+        exp_bindings = _brute_force_bgp(tset, patterns)
+        exp = sorted({tuple(b[v] for v in pat_vars) for b in exp_bindings})
+        if pat_vars:
+            got = rows(match_patterns(t, patterns))
+        else:
+            got = match_patterns(t, patterns).count()
+            exp = 1 if exp_bindings else 0
+            assert got == exp, (trial, patterns)
+            continue
+        assert got == exp, (trial, patterns, sorted(tset))
+
+
 def test_constant_filters_pushed_to_parquet_scan(spark, tmp_path, triples):
     """Constants must reach the scan: the parquet read of each pattern
     shows PushedFilters on pred (and subj/obj when constant), so a

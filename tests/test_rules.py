@@ -69,6 +69,76 @@ def test_infer_include_base_and_multi_rule(facts):
     assert len([r for r in rows if r[1] == "colleague_of"]) == 1
 
 
+def _py_infer(base, rules, max_rounds):
+    """Reference: NAIVE datalog with round tagging (semi-naive must
+    stage identically)."""
+    from tests.test_kg_query import _brute_force_bgp
+
+    total = set(base)
+    rounds = {}
+    for rnd in range(1, max_rounds + 1):
+        new = set()
+        for rule in rules:
+            for b in _brute_force_bgp(total, rule.body):
+                fact = tuple(
+                    b[t[1:]] if t.startswith("?") else t for t in rule.head
+                )
+                if fact not in total:
+                    new.add(fact)
+        if not new:
+            break
+        for f in new:
+            rounds[f] = rnd
+        total |= new
+    return rounds
+
+
+def test_fuzz_infer_vs_naive_datalog(spark):
+    import random
+
+    rng = random.Random(987)
+    ents = ["a", "b", "c", "d"]
+    base_preds = ["p", "q"]
+    derived = ["dp", "dq"]
+    for trial in range(6):
+        base = {
+            (rng.choice(ents), rng.choice(base_preds), rng.choice(ents))
+            for _ in range(rng.randint(4, 10))
+        }
+        t = spark.createDataFrame(sorted(base), ["subj", "pred", "obj"])
+        rules = []
+        for _ in range(rng.randint(1, 3)):
+            n_body = rng.randint(1, 2)
+            vars_ = ["?x", "?y", "?z"]
+            body = []
+            for _ in range(n_body):
+                body.append(
+                    (
+                        rng.choice(vars_),
+                        rng.choice(base_preds + derived),
+                        rng.choice(vars_ + ents[:1]),
+                    )
+                )
+            bound = [T[1:] for pat in body for T in pat if T.startswith("?")]
+            if not bound:
+                body[0] = ("?x", body[0][1], body[0][2])
+                bound = ["x"]
+            head = (
+                "?" + rng.choice(bound),
+                rng.choice(derived),
+                "?" + rng.choice(bound),
+            )
+            rules.append(Rule(body=tuple(body), head=head))
+        exp = _py_infer(base, rules, 3)
+        out = infer(t, rules, max_rounds=3, include_base=False)
+        got = {
+            (r["subj"], r["pred"], r["obj"]): r["round"] for r in out.collect()
+        }
+        for c in out.pinned_caches:
+            c.unpersist()
+        assert got == exp, (trial, rules, sorted(base))
+
+
 def test_rule_head_must_be_bound():
     with pytest.raises(ValueError, match="not bound"):
         Rule(body=(("?x", "p", "?y"),), head=("?x", "q", "?z"))
