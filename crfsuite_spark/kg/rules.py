@@ -100,16 +100,71 @@ def infer(
         .withColumn("round", F.lit(0))
         .persist()
     )
-    pinned = [base]
     total = base.select(*_SLOTS)
-    delta = total
-    out = base
+    derived, pinned = _chain(total, total, rules, max_rounds,
+                             delta_is_total=True)
+    out = base if include_base else base.filter(F.lit(False))
+    for rnd, new in derived:
+        out = out.unionByName(new.withColumn("round", F.lit(rnd)))
+    out.pinned_caches = [base] + pinned
+    return out
+
+
+def infer_increment(
+    closed: DataFrame,
+    new_facts: DataFrame,
+    rules,
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Incremental maintenance of an inferred closure: given ``closed``
+    (a triple set ALREADY closed under ``rules`` — e.g. a prior
+    ``infer`` output) and a batch of ``new_facts``, derive only the
+    consequences the new facts enable. Returns (subj, pred, obj,
+    round) for the strictly-new derived facts (new_facts themselves
+    and already-known facts excluded).
+
+    Correctness rests on the semi-naive invariant: every derivation
+    using ≥1 new fact is found by the delta-pinned variants, and
+    derivations using none were already in ``closed`` — so
+    closed ∪ new ∪ result equals a full re-close of closed ∪ new
+    (property-tested). Per micro-batch cost is proportional to the
+    consequences of the batch, not the accumulated graph: exactly the
+    shape a streaming foreachBatch needs at 100 TB.
+    """
+    if not rules:
+        raise ValueError("need at least one rule")
+    rules = [r if isinstance(r, Rule) else Rule(*r) for r in rules]
+    prior = closed.select(*_SLOTS).distinct().persist()
+    delta = (
+        new_facts.select(*_SLOTS).distinct()
+        .join(prior, list(_SLOTS), "left_anti")
+        .persist()
+    )
+    total = prior.unionByName(delta)
+    derived, pinned = _chain(total, delta, rules, max_rounds,
+                             delta_is_total=False)
+    out = None
+    for rnd, new in derived:
+        tagged = new.withColumn("round", F.lit(rnd))
+        out = tagged if out is None else out.unionByName(tagged)
+    if out is None:
+        out = prior.withColumn("round", F.lit(0)).filter(F.lit(False))
+    out.pinned_caches = [prior, delta] + pinned
+    return out
+
+
+def _chain(total, delta, rules, max_rounds, delta_is_total):
+    """Shared semi-naive round loop: returns ([(round, new_frame)...],
+    pinned). ``delta_is_total`` skips the redundant per-position
+    variants in round 1 when delta == total."""
+    pinned = []
+    derived = []
     for rnd in range(1, max_rounds + 1):
         parts = []
         for rule in rules:
             m = len(rule.body)
-            for j in range(m if rnd > 1 else 1):
-                # round 1: delta == total, one evaluation suffices
+            n_variants = 1 if (delta_is_total and rnd == 1) else m
+            for j in range(n_variants):
                 srcs = [None] * m
                 srcs[j] = delta
                 parts.append(
@@ -125,17 +180,19 @@ def infer(
         new = parts[0]
         for p in parts[1:]:
             new = new.unionByName(p)
+        # localCheckpoint truncates lineage — each round's plan embeds
+        # every prior round's otherwise, and Catalyst re-analysis goes
+        # exponential after a handful of rounds (same fix as
+        # canonicalize.connected_components); eager, so it doubles as
+        # the materialization for the fixpoint probe.
         new = (
             new.distinct()
             .join(total, list(_SLOTS), "left_anti")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        pinned.append(new)
         if new.limit(1).count() == 0:
             break
-        out = out.unionByName(new.withColumn("round", F.lit(rnd)))
+        derived.append((rnd, new))
         total = total.unionByName(new)
         delta = new
-    res = out if include_base else out.filter(F.col("round") > 0)
-    res.pinned_caches = pinned
-    return res
+    return derived, pinned

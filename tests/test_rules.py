@@ -2,7 +2,7 @@
 
 import pytest
 
-from crfsuite_spark.kg.rules import Rule, construct, infer
+from crfsuite_spark.kg.rules import Rule, construct, infer, infer_increment
 
 
 @pytest.fixture(scope="module")
@@ -137,6 +137,61 @@ def test_fuzz_infer_vs_naive_datalog(spark):
         for c in out.pinned_caches:
             c.unpersist()
         assert got == exp, (trial, rules, sorted(base))
+
+
+def _facts(out):
+    return {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+
+
+def test_incremental_bridge_edge(spark):
+    rules = [SUB_BASE, SUB_TRANS]
+    initial = spark.createDataFrame(
+        [("a", "acquired", "b"), ("c", "acquired", "d")],
+        ["subj", "pred", "obj"],
+    )
+    late = spark.createDataFrame([("b", "acquired", "c")],
+                                 ["subj", "pred", "obj"])
+    closed0 = infer(initial, rules, max_rounds=4)
+    closed_facts = closed0.select("subj", "pred", "obj")
+    inc = infer_increment(closed_facts, late, rules, max_rounds=4)
+    got = _facts(inc)
+    for c in closed0.pinned_caches + inc.pinned_caches:
+        c.unpersist()
+    # the bridge connects both chains: everything new flows through it
+    assert got == {
+        ("b", "subsidiary_of", "c"),
+        ("a", "subsidiary_of", "c"),
+        ("b", "subsidiary_of", "d"),
+        ("a", "subsidiary_of", "d"),
+    }
+
+
+def test_incremental_equals_full_reclose_random(spark):
+    import random
+
+    rng = random.Random(55)
+    ents = ["a", "b", "c", "d", "e"]
+    rules = [SUB_BASE, SUB_TRANS]
+    for trial in range(3):
+        edges = {
+            (rng.choice(ents), "acquired", rng.choice(ents))
+            for _ in range(rng.randint(4, 8))
+        }
+        edges = sorted(edges)
+        cut = rng.randint(1, len(edges) - 1)
+        A, B = edges[:cut], edges[cut:]
+        fa = spark.createDataFrame(A, ["subj", "pred", "obj"])
+        fb = spark.createDataFrame(B, ["subj", "pred", "obj"])
+        closed = infer(fa, rules, max_rounds=5)
+        inc = infer_increment(
+            closed.select("subj", "pred", "obj"), fb, rules, max_rounds=5
+        )
+        maintained = _facts(closed) | set(B) | _facts(inc)
+        # full re-close expected set from the pure-Python reference
+        expected = set(edges) | set(_py_infer(set(edges), rules, 5))
+        for c in closed.pinned_caches + inc.pinned_caches:
+            c.unpersist()
+        assert maintained == expected, (trial, A, B)
 
 
 def test_rule_head_must_be_bound():
