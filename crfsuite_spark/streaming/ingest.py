@@ -137,6 +137,87 @@ def stream_edge_table(
     return writer.start()
 
 
+def stream_inferred_closure(
+    transcripts: DataFrame,
+    model,
+    alias_dict: DataFrame,
+    rules,
+    closure_path: str,
+    checkpoint_dir: str,
+    max_rounds: int = 3,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch incremental DEDUCTIVE-CLOSURE maintenance: each
+    micro-batch extracts triples through the fused pipeline, then
+    ``kg/rules.py:infer_increment`` derives only the consequences the
+    batch enables against the standing closure — per-batch cost scales
+    with the batch's consequences, never with the accumulated graph
+    (the semi-naive invariant, property-tested in test_rules.py).
+
+    Layout: one parquet dir per epoch under ``closure_path`` holding
+    the batch's strictly-new facts (extraction facts round=0, derived
+    facts round ≥ 1). A replayed micro-batch overwrites its own epoch
+    dir with identical content (the extraction and the draw-free
+    inference are deterministic), so restarts are idempotent; the
+    standing closure is simply the union of epoch dirs.
+    """
+    import os
+
+    from crfsuite_spark.kg.pipeline import run_pipeline
+    from crfsuite_spark.kg.rules import infer, infer_increment
+
+    def read_closure(spark: SparkSession, epoch_id: int):
+        # a replayed epoch must NOT see its own earlier (uncommitted)
+        # write as prior state — it would then derive nothing and
+        # overwrite its epoch dir with an empty frame
+        if not os.path.isdir(closure_path):
+            return None
+        dirs = [
+            os.path.join(closure_path, e)
+            for e in os.listdir(closure_path)
+            if e.startswith("epoch=") and e != f"epoch={epoch_id}"
+        ]
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def process_batch(batch_df: DataFrame, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base_new = (
+            run_pipeline(batch_df, model, alias_dict)
+            .select("subj", "pred", "obj")
+            .distinct()
+        )
+        closed = read_closure(spark, epoch_id)
+        if closed is None:
+            out = infer(base_new, rules, max_rounds=max_rounds)
+            pinned = out.pinned_caches
+        else:
+            prior = closed.select("subj", "pred", "obj")
+            fresh = base_new.join(prior, ["subj", "pred", "obj"], "left_anti")
+            derived = infer_increment(
+                prior, fresh, rules, max_rounds=max_rounds
+            )
+            pinned = derived.pinned_caches
+            out = fresh.withColumn("round", F.lit(0)).unionByName(
+                derived.select("subj", "pred", "obj", "round")
+            )
+        out.write.mode("overwrite").parquet(
+            f"{closure_path}/epoch={epoch_id}"
+        )
+        for c in pinned:
+            c.unpersist()
+
+    writer = (
+        transcripts.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -187,3 +187,67 @@ def test_streaming_dedup_drops_repeats(spark, synth, staged, tmp_path):
     # one survivor per distinct text
     assert len(got) == src_pdf["text"].fillna("").nunique()
     assert got["text"].fillna("").nunique() == len(got)
+
+
+def test_stream_inferred_closure_maintenance(spark, synth, staged, tmp_path):
+    """foreachBatch deductive-closure maintenance: after streaming all
+    files, the union of epoch dirs holds exactly the fact set a batch
+    infer over ALL transcripts produces, and a checkpoint restart
+    changes nothing."""
+    from bench import lexicon_model
+
+    from crfsuite_spark.kg.pipeline import run_pipeline
+    from crfsuite_spark.kg.rules import Rule, infer
+    from crfsuite_spark.streaming.ingest import stream_inferred_closure
+
+    rules = [
+        Rule(body=(("?x", "acquired", "?y"),),
+             head=("?x", "subsidiary_of", "?y")),
+        Rule(body=(("?x", "subsidiary_of", "?y"),
+                   ("?y", "subsidiary_of", "?z")),
+             head=("?x", "subsidiary_of", "?z")),
+        Rule(body=(("?x", "works_at", "?o"), ("?y", "works_at", "?o")),
+             head=("?x", "colleague_of", "?y"), filters=("x < y",)),
+    ]
+    root, src = staged
+    closure = str(tmp_path / "closure")
+    ckpt = str(tmp_path / "cckpt")
+    alias = spark.createDataFrame(synth.alias_dict)
+    model = lexicon_model()
+    q = stream_inferred_closure(
+        stream_transcripts(spark, src, max_files_per_trigger=1),
+        model, alias, rules, closure, ckpt, max_rounds=4,
+    )
+    q.awaitTermination(300)
+
+    import glob
+    import os
+
+    epochs = glob.glob(os.path.join(closure, "epoch=*"))
+    assert len(epochs) >= 2
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(*epochs).collect()
+    }
+    # strictly-new-per-epoch: no fact appears in two epochs
+    n_rows = spark.read.parquet(*epochs).count()
+    assert n_rows == len(got)
+
+    full = run_pipeline(
+        spark.read.parquet(src), model, alias
+    ).select("subj", "pred", "obj")
+    exp_out = infer(full, rules, max_rounds=4)
+    exp = {(r["subj"], r["pred"], r["obj"]) for r in exp_out.collect()}
+    for c in exp_out.pinned_caches:
+        c.unpersist()
+    assert got == exp
+
+    # idempotent restart from the same checkpoint: nothing reprocessed
+    q2 = stream_inferred_closure(
+        stream_transcripts(spark, src), model, alias, rules, closure, ckpt,
+        max_rounds=4,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(
+        *glob.glob(os.path.join(closure, "epoch=*"))
+    ).count() == n_rows
