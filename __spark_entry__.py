@@ -946,6 +946,17 @@ def q_kg_infer_rules(spark, sf):
     return res
 
 
+def q_kg_ntriples(spark, sf):
+    """W3C N-Triples export of the distinct gold graph
+    (kg/ntriples.py, map-only Column exprs); the oracle rebuilds every
+    line with the same percent-escape replace chain in SQL."""
+    from crfsuite_spark.kg.ntriples import to_ntriples
+
+    return to_ntriples(
+        _gold_triples(spark).select("subj", "pred", "obj").distinct()
+    )
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1357,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_train_split": q_kg_train_split,
         "kg_sample_neighbors": q_kg_sample_neighbors,
         "kg_infer_rules": q_kg_infer_rules,
+        "kg_ntriples": q_kg_ntriples,
         "kg_temporal_triples": q_kg_temporal_triples,
         "kg_edge_merge": q_kg_edge_merge,
         "kg_resolve_functional": q_kg_resolve_functional,
@@ -1685,6 +1697,33 @@ def _property_path_oracle_sql(gold: str, pred: str, max_hops=3) -> str:
         """
 
 
+def _ntriples_oracle_sql(gold: str, base="urn:kg:") -> str:
+    """DuckDB SQL reproducing q_kg_ntriples: the same percent-escape
+    replace chain ('%' first) and IRI concatenation per slot."""
+    escapes = [
+        ("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"),
+        ('"', "%22"), ("\\", "%5C"), ("{", "%7B"), ("}", "%7D"),
+        ("|", "%7C"), ("^", "%5E"), ("`", "%60"),
+    ]
+
+    def esc(col):
+        for ch, enc in escapes:
+            ch_sql = ch.replace("'", "''")
+            col = f"replace({col}, '{ch_sql}', '{enc}')"
+        return col
+
+    def iri(col):
+        return f"'<{base}' || {esc(col)} || '>'"
+
+    return f"""
+            WITH t AS (SELECT DISTINCT subj, pred, obj
+                       FROM read_parquet('{gold}'))
+            SELECT {iri('subj')} || ' ' || {iri('pred')} || ' ' ||
+                   {iri('obj')} || ' .' AS line
+            FROM t
+        """
+
+
 def _label_prop_oracle_sql(gold: str, n_iters=3) -> str:
     """DuckDB SQL reproducing q_kg_communities: the same fixed-iteration
     synchronous min-tie-break label propagation, one CTE pair
@@ -1926,6 +1965,9 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM t WHERE pred = 'located_in') l
               ON l.subj = w.obj
         """,
+        "kg_ntriples": _ntriples_oracle_sql(
+            f"{fixtures}/gold_triples_synthetic.parquet"
+        ),
         "kg_infer_rules": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
             w AS (SELECT DISTINCT subj AS p, obj AS o FROM t WHERE pred = 'works_at'),
