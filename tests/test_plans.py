@@ -154,3 +154,40 @@ def test_minhash_verify_joins_are_sort_merge(spark):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_ntriples_export_zero_exchange(spark):
+    from crfsuite_spark.kg.ntriples import to_ntriples
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "q", "d")], ["subj", "pred", "obj"]
+    )
+    plan = _plan(to_ntriples(t)).split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan, plan  # map-only export
+
+
+def test_negative_samples_broadcasts_type_counts(spark):
+    from crfsuite_spark.kg.negatives import negative_samples
+
+    t = spark.createDataFrame(
+        [("a", "p", "x:1"), ("b", "p", "x:2"), ("c", "p", "y:1"),
+         ("d", "p", "y:2")],
+        ["subj", "pred", "obj"],
+    )
+    plan = _plan(negative_samples(t, k=1))
+    # the per-type count frame must broadcast, never shuffle the
+    # mention side on etype
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_split_triples_eval_filter_is_semi_join(spark):
+    from crfsuite_spark.kg.splits import split_triples
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d")],
+        ["subj", "pred", "obj"],
+    )
+    plan = _plan(split_triples(t))
+    # endpoint-closure filtering: two LeftSemi joins against the
+    # vocabulary-sized entity set, no full-row window/sort
+    assert plan.count("LeftSemi") >= 2, plan
