@@ -957,6 +957,23 @@ def q_kg_ntriples(spark, sf):
     )
 
 
+def q_kg_match_path(spark, sf):
+    """SPARQL property path INSIDE a BGP (kg/query.py `pred+` terms):
+    every org in the acquired{1,3} closure of some root, joined to its
+    location; the oracle chains the closure rounds and the location
+    join in SQL."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    out = match_patterns(
+        _gold_triples(spark),
+        [("?root", "acquired+", "?sub"), ("?sub", "located_in", "?city")],
+        path_hops=3,
+    )
+    res = out.select("root", "sub", "city")
+    res.pinned_caches = out.pinned_caches
+    return res
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1363,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_patterns": q_kg_match_patterns,
         "kg_match_optional": q_kg_match_optional,
         "kg_match_union": q_kg_match_union,
+        "kg_match_path": q_kg_match_path,
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_train_split": q_kg_train_split,
@@ -1668,11 +1686,9 @@ def _pagerank_oracle_sql(gold: str, n_iters=3, damping=0.85) -> str:
         """
 
 
-def _property_path_oracle_sql(gold: str, pred: str, max_hops=3) -> str:
-    """DuckDB SQL reproducing q_kg_property_path: the same semi-naive
-    rounds as CTEs — each round joins only the previous DELTA against
-    the edge set, with NOT EXISTS against the running closure as the
-    min-hops claim."""
+def _property_path_ctes(gold: str, pred: str, max_hops=3) -> list:
+    """Shared CTE chain for the bounded closure (see
+    _property_path_oracle_sql); final closure = r{max_hops}."""
     ctes = [
         f"t AS (SELECT * FROM read_parquet('{gold}'))",
         f"e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t "
@@ -1690,10 +1706,34 @@ def _property_path_oracle_sql(gold: str, pred: str, max_hops=3) -> str:
             f"r{h} AS (SELECT * FROM r{h-1} "
             f"UNION ALL SELECT src, dst, {h} AS hops FROM d{h})"
         )
-    body = ",\n            ".join(ctes)
+    return ctes
+
+
+def _property_path_oracle_sql(gold: str, pred: str, max_hops=3) -> str:
+    """DuckDB SQL reproducing q_kg_property_path: the same semi-naive
+    rounds as CTEs — each round joins only the previous DELTA against
+    the edge set, with NOT EXISTS against the running closure as the
+    min-hops claim."""
+    body = ",\n            ".join(_property_path_ctes(gold, pred, max_hops))
     return f"""
             WITH {body}
             SELECT src, dst, hops FROM r{max_hops}
+        """
+
+
+def _match_path_oracle_sql(gold: str, max_hops=3) -> str:
+    """DuckDB SQL reproducing q_kg_match_path: the acquired closure
+    rounds joined to located_in."""
+    ctes = _property_path_ctes(gold, "acquired", max_hops)
+    ctes.append(
+        "loc AS (SELECT DISTINCT subj AS s, obj AS city FROM t "
+        "WHERE pred = 'located_in')"
+    )
+    body = ",\n            ".join(ctes)
+    return f"""
+            WITH {body}
+            SELECT DISTINCT r.src AS root, r.dst AS sub, loc.city
+            FROM r{max_hops} r JOIN loc ON loc.s = r.dst
         """
 
 
@@ -1965,6 +2005,9 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM t WHERE pred = 'located_in') l
               ON l.subj = w.obj
         """,
+        "kg_match_path": _match_path_oracle_sql(
+            f"{fixtures}/gold_triples_synthetic.parquet"
+        ),
         "kg_ntriples": _ntriples_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"
         ),

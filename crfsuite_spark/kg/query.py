@@ -52,16 +52,47 @@ def _is_var(term: str) -> bool:
 
 
 def _compile_pattern(triples: DataFrame, pattern, idx: int,
-                     assume_distinct: bool = False):
-    """One pattern → (frame-with-variable-columns, n_constants).
+                     assume_distinct: bool = False, path_hops: int = 3):
+    """One pattern → (frame-with-variable-columns, n_constants, pinned).
 
     A pattern with no variables compiles to an existence probe: a
     one-row marker frame if the triple is present, empty otherwise
     (its cross join then keeps or annihilates the other bindings —
     exactly SPARQL's semantics for a fully-ground pattern).
+
+    A constant predicate ending in ``+`` (SPARQL property path
+    ``pred{1,path_hops}``) compiles to the semi-naive bounded closure
+    (kg/graph.py:property_path) instead of a single-edge scan; its
+    persisted rounds are returned as ``pinned``.
     """
     if len(pattern) != 3:
         raise ValueError(f"pattern {pattern!r} is not a (subj, pred, obj) triple")
+    p_term = pattern[1]
+    if not _is_var(p_term) and p_term.endswith("+") and len(p_term) > 1:
+        from crfsuite_spark.kg.graph import property_path
+
+        pp = property_path(triples, p_term[:-1], max_hops=path_hops)
+        df = pp.select("src", "dst")  # closure pairs are distinct
+        var_slot: dict[str, str] = {}
+        n_consts = 1
+        for slot, term in (("src", pattern[0]), ("dst", pattern[2])):
+            if _is_var(term):
+                name = term[1:]
+                if name in var_slot:  # (?x, pred+, ?x): cycles to self
+                    df = df.filter(F.col(slot) == F.col(var_slot[name]))
+                else:
+                    var_slot[name] = slot
+            else:
+                df = df.filter(F.col(slot) == F.lit(term))
+                n_consts += 1
+        if not var_slot:
+            marker = df.select(F.lit(1).alias(f"__ground_{idx}")).limit(1)
+            return marker, n_consts, pp.pinned_caches
+        return (
+            df.select(*[F.col(s).alias(n) for n, s in var_slot.items()]),
+            n_consts,
+            pp.pinned_caches,
+        )
     df = triples
     var_slot: dict[str, str] = {}
     n_consts = 0
@@ -79,11 +110,11 @@ def _compile_pattern(triples: DataFrame, pattern, idx: int,
             n_consts += 1
     if not var_slot:
         marker = df.select(F.lit(1).alias(f"__ground_{idx}")).limit(1)
-        return marker, n_consts
+        return marker, n_consts, []
     out = df.select(*[F.col(slot).alias(name) for name, slot in var_slot.items()])
     if not assume_distinct:
         out = out.distinct()
-    return out, n_consts
+    return out, n_consts, []
 
 
 def match_patterns(
@@ -95,6 +126,7 @@ def match_patterns(
     distinct: bool = True,
     assume_distinct: bool = False,
     sources: list[DataFrame] | None = None,
+    path_hops: int = 3,
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple frame.
 
@@ -123,6 +155,10 @@ def match_patterns(
         length as ``patterns``, None entries fall back to ``triples``)
         — the hook semi-naive rule evaluation uses to point one body
         position at the last round's delta (``kg/rules.py``).
+    path_hops : bound for ``pred+`` property-path patterns (SPARQL
+        ``pred{{1,path_hops}}``); such patterns scan the semi-naive
+        closure instead of single edges. When any is used, unpersist
+        the closure rounds via the result's ``pinned_caches``.
 
     >>> match_patterns(t, [("?p", "works_at", "?org"),
     ...                    ("?org", "located_in", "?city")])
@@ -135,10 +171,11 @@ def match_patterns(
     compiled = [
         _compile_pattern(
             triples if sources is None or sources[i] is None else sources[i],
-            p, i, assume_distinct,
+            p, i, assume_distinct, path_hops,
         )
         for i, p in enumerate(patterns)
     ]
+    pinned = [c for entry in compiled for c in entry[2]]
 
     order = sorted(range(len(compiled)), key=lambda i: (-compiled[i][1], i))
     acc = compiled[order[0]][0]
@@ -159,9 +196,10 @@ def match_patterns(
         acc = acc.filter(F.expr(expr))
 
     for k, pat in enumerate(optional or []):
-        frame, _ = _compile_pattern(
-            triples, pat, len(patterns) + k, assume_distinct
+        frame, _, opt_pinned = _compile_pattern(
+            triples, pat, len(patterns) + k, assume_distinct, path_hops
         )
+        pinned += opt_pinned
         shared = sorted(set(frame.columns) & bound)
         if not shared:
             raise ValueError(
@@ -185,7 +223,9 @@ def match_patterns(
     if unknown:
         raise ValueError(f"select names unbound variables: {unknown}")
     acc = acc.select(*out_cols) if out_cols else acc.select(F.lit(1).alias("__match"))
-    return acc.distinct() if distinct else acc
+    acc = acc.distinct() if distinct else acc
+    acc.pinned_caches = pinned
+    return acc
 
 
 def match_union(
@@ -195,6 +235,7 @@ def match_union(
     filters: list[str] | None = None,
     distinct: bool = True,
     assume_distinct: bool = False,
+    path_hops: int = 3,
 ) -> DataFrame:
     """SPARQL ``UNION`` of conjunctive pattern groups: each group is a
     ``patterns`` list for :func:`match_patterns`; the result is the
@@ -212,7 +253,8 @@ def match_union(
         raise ValueError("need at least one pattern group")
     parts = [
         match_patterns(triples, g, distinct=False,
-                       assume_distinct=assume_distinct)
+                       assume_distinct=assume_distinct,
+                       path_hops=path_hops)
         for g in groups
     ]
     all_vars: list[str] = []
@@ -240,4 +282,6 @@ def match_union(
     if unknown:
         raise ValueError(f"select names unbound variables: {unknown}")
     acc = acc.select(*out_cols)
-    return acc.distinct() if distinct else acc
+    acc = acc.distinct() if distinct else acc
+    acc.pinned_caches = [c for p in parts for c in p.pinned_caches]
+    return acc

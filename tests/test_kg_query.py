@@ -214,6 +214,42 @@ def test_select_unbound_variable_raises(triples):
         match_patterns(triples, [("?a", "works_at", "?b")], select=["nope"])
 
 
+def test_property_path_pattern_inside_bgp(spark):
+    rows = [
+        ("a", "owns", "b"), ("b", "owns", "c"), ("c", "owns", "d"),
+        ("d", "located_in", "x"), ("b", "rents", "z"),
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = match_patterns(
+        t,
+        [("?s", "owns+", "?t"), ("?t", "located_in", "?city")],
+        path_hops=3,
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    for c in out.pinned_caches:
+        c.unpersist()
+    assert got == [
+        ("a", "d", "x"), ("b", "d", "x"), ("c", "d", "x"),
+    ]
+    # constant subject + bounded hops exclude the 3-hop pair
+    short = match_patterns(t, [("a", "owns+", "?t")], path_hops=2)
+    vals = sorted(r["t"] for r in short.collect())
+    for c in short.pinned_caches:
+        c.unpersist()
+    assert vals == ["b", "c"]
+
+
+def test_property_path_pattern_cycle_var_repeat(spark):
+    t = spark.createDataFrame(
+        [("x", "owns", "y"), ("y", "owns", "x")], ["subj", "pred", "obj"]
+    )
+    out = match_patterns(t, [("?n", "owns+", "?n")], path_hops=2)
+    got = sorted(r["n"] for r in out.collect())
+    for c in out.pinned_caches:
+        c.unpersist()
+    assert got == ["x", "y"]
+
+
 def _brute_force_bgp(tset, patterns):
     """Reference evaluator: extend bindings triple-by-triple."""
     bindings = [{}]
