@@ -74,8 +74,10 @@ def construct(
             (F.col(t[1:]) if _is_var(t) else F.lit(t)).alias(slot)
             for slot, t in zip(_SLOTS, head)
         ]
-    )
-    return out.distinct()
+    ).distinct()
+    # pred+ path terms in the body pin closure rounds — surface them
+    out.pinned_caches = bindings.pinned_caches
+    return out
 
 
 def infer(
@@ -167,16 +169,16 @@ def _chain(total, delta, rules, max_rounds, delta_is_total):
             for j in range(n_variants):
                 srcs = [None] * m
                 srcs[j] = delta
-                parts.append(
-                    construct(
-                        total,
-                        rule.body,
-                        rule.head,
-                        filters=rule.filters,
-                        sources=srcs,
-                        assume_distinct=True,
-                    )
+                part = construct(
+                    total,
+                    rule.body,
+                    rule.head,
+                    filters=rule.filters,
+                    sources=srcs,
+                    assume_distinct=True,
                 )
+                pinned += part.pinned_caches
+                parts.append(part)
         new = parts[0]
         for p in parts[1:]:
             new = new.unionByName(p)
