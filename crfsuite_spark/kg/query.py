@@ -260,8 +260,13 @@ def match_union(
     all_vars: list[str] = []
     for p in parts:
         for c in p.columns:
-            if c not in all_vars:
+            # a fully-ground group compiles to a __ground_i marker:
+            # it contributes the empty solution (all vars NULL), the
+            # marker itself is not a variable
+            if not c.startswith("__") and c not in all_vars:
                 all_vars.append(c)
+    if not all_vars:
+        raise ValueError("every union group is fully ground — nothing to bind")
     aligned = [
         p.select(
             *[

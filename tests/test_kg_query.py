@@ -209,6 +209,23 @@ def test_union_bag_semantics_and_filter(triples):
     assert rows(filt) == [("ada", None, "oslo")]
 
 
+def test_union_ground_group_contributes_empty_solution(triples):
+    # present ground pattern -> one all-NULL row alongside the other
+    # group's bindings; its marker column must not leak
+    out = match_union(
+        triples,
+        [[("acme", "located_in", "berlin")], [("?p", "visited", "?w")]],
+    )
+    assert out.columns == ["p", "w"]
+    assert rows(out) == [("ada", "oslo"), (None, None)]
+    # absent ground pattern -> contributes nothing
+    gone = match_union(
+        triples,
+        [[("acme", "located_in", "oslo")], [("?p", "visited", "?w")]],
+    )
+    assert rows(gone) == [("ada", "oslo")]
+
+
 def test_select_unbound_variable_raises(triples):
     with pytest.raises(ValueError, match="unbound"):
         match_patterns(triples, [("?a", "works_at", "?b")], select=["nope"])
