@@ -974,6 +974,61 @@ def q_kg_match_path(spark, sf):
     return res
 
 
+def q_kg_match_not_exists(spark, sf):
+    """SPARQL FILTER NOT EXISTS (kg/query.py): employment edges whose
+    org has NO asserted location — a left anti-join on the shared
+    variable. Oracle = the literal NOT EXISTS subquery."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    return match_patterns(
+        _gold_triples(spark),
+        [("?person", "works_at", "?org")],
+        not_exists=[[("?org", "located_in", "?city")]],
+    )
+
+
+def q_kg_match_minus(spark, sf):
+    """SPARQL MINUS with a shared variable (kg/query.py): employment
+    edges minus orgs somebody founded. Same anti-join as NOT EXISTS
+    when domains overlap; the disjoint-domain no-op split is
+    pytest-covered (test_minus_disjoint_domain_removes_nothing)."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    return match_patterns(
+        _gold_triples(spark),
+        [("?person", "works_at", "?org")],
+        minus=[[("?founder", "founded", "?org")]],
+    )
+
+
+def q_kg_match_aggregate(spark, sf):
+    """SPARQL GROUP BY aggregation over BGP solutions (kg/query.py):
+    workers per org-location city with a HAVING floor; count sees the
+    solution multiset (bag semantics through the join)."""
+    from crfsuite_spark.kg.query import match_aggregate
+
+    return match_aggregate(
+        _gold_triples(spark),
+        [("?person", "works_at", "?org"), ("?org", "located_in", "?city")],
+        ["city"],
+        {"n_workers": "count(person)", "n_orgs": "count(distinct org)"},
+        having="n_workers >= 2",
+    )
+
+
+def q_kg_match_inverse_alt(spark, sf):
+    """SPARQL inverse (^pred) and alternation (p1|p2) path terms in a
+    BGP (kg/query.py): org → its workers via the inverted employment
+    edge, joined to who/where those workers visited or met."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    return match_patterns(
+        _gold_triples(spark),
+        [("?org", "^works_at", "?person"),
+         ("?person", "visited|met_with", "?x")],
+    )
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1381,6 +1436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_optional": q_kg_match_optional,
         "kg_match_union": q_kg_match_union,
         "kg_match_path": q_kg_match_path,
+        "kg_match_not_exists": q_kg_match_not_exists,
+        "kg_match_minus": q_kg_match_minus,
+        "kg_match_aggregate": q_kg_match_aggregate,
+        "kg_match_inverse_alt": q_kg_match_inverse_alt,
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_train_split": q_kg_train_split,
@@ -2008,6 +2067,36 @@ def oracle_sql() -> dict[str, str]:
         "kg_match_path": _match_path_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"
         ),
+        "kg_match_not_exists": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
+            SELECT DISTINCT w.subj AS person, w.obj AS org
+            FROM t w
+            WHERE w.pred = 'works_at' AND NOT EXISTS
+              (SELECT 1 FROM t l WHERE l.pred = 'located_in' AND l.subj = w.obj)
+        """,
+        "kg_match_minus": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
+            SELECT DISTINCT w.subj AS person, w.obj AS org
+            FROM t w
+            WHERE w.pred = 'works_at' AND NOT EXISTS
+              (SELECT 1 FROM t f WHERE f.pred = 'founded' AND f.obj = w.obj)
+        """,
+        "kg_match_aggregate": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            w AS (SELECT DISTINCT subj AS person, obj AS org FROM t WHERE pred = 'works_at'),
+            l AS (SELECT DISTINCT subj AS org, obj AS city FROM t WHERE pred = 'located_in')
+            SELECT city, count(person) AS n_workers,
+                   count(DISTINCT org) AS n_orgs
+            FROM w JOIN l USING (org)
+            GROUP BY city HAVING count(person) >= 2
+        """,
+        "kg_match_inverse_alt": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            w AS (SELECT DISTINCT obj AS org, subj AS person FROM t WHERE pred = 'works_at'),
+            v AS (SELECT DISTINCT subj AS person, obj AS x FROM t
+                  WHERE pred IN ('visited', 'met_with'))
+            SELECT DISTINCT org, person, x FROM w JOIN v USING (person)
+        """,
         "kg_ntriples": _ntriples_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"
         ),

@@ -68,6 +68,16 @@ def _compile_pattern(triples: DataFrame, pattern, idx: int,
     if len(pattern) != 3:
         raise ValueError(f"pattern {pattern!r} is not a (subj, pred, obj) triple")
     p_term = pattern[1]
+    if not _is_var(p_term) and p_term.startswith("^") and len(p_term) > 1:
+        # SPARQL inverse path ``^pred``: the same edges traversed
+        # object→subject, i.e. the pattern with subj/obj swapped.  The
+        # recursion composes with ``+`` for free: ``(^p)+`` equals
+        # ``^(p+)`` as a relation (inverse of a closure is the closure
+        # of the inverse), so ``^pred+`` is well-defined too.
+        return _compile_pattern(
+            triples, (pattern[2], p_term[1:], pattern[0]), idx,
+            assume_distinct, path_hops,
+        )
     if not _is_var(p_term) and p_term.endswith("+") and len(p_term) > 1:
         from crfsuite_spark.kg.graph import property_path
 
@@ -105,6 +115,13 @@ def _compile_pattern(triples: DataFrame, pattern, idx: int,
                 df = df.filter(F.col(slot) == F.col(var_slot[name]))
             else:
                 var_slot[name] = slot
+        elif slot == "pred" and "|" in term:
+            # SPARQL alternation path ``p1|p2``: edges labelled with any
+            # of the alternatives — an IN-list scan predicate (pushed to
+            # parquet like an equality).  Only the predicate slot parses
+            # ``|``; entity constants keep the character literally.
+            df = df.filter(F.col(slot).isin(term.split("|")))
+            n_consts += 1
         else:
             df = df.filter(F.col(slot) == F.lit(term))
             n_consts += 1
@@ -123,6 +140,8 @@ def match_patterns(
     select: list[str] | None = None,
     filters: list[str] | None = None,
     optional: list | None = None,
+    not_exists: list | None = None,
+    minus: list | None = None,
     distinct: bool = True,
     assume_distinct: bool = False,
     sources: list[DataFrame] | None = None,
@@ -135,7 +154,11 @@ def match_patterns(
     triples : frame with ``subj``/``pred``/``obj`` string columns (the
         shape ``kg.triples.read_triples`` / ``kg.pipeline`` produce).
     patterns : list of ``(subj, pred, obj)`` terms; ``"?x"`` binds a
-        variable, any other string matches that constant.
+        variable, any other string matches that constant.  A constant
+        predicate supports three SPARQL path forms: ``pred+`` (bounded
+        transitive closure, see ``path_hops``), ``^pred`` (inverse —
+        the edge traversed object→subject), and ``p1|p2`` alternation
+        (an IN-list scan predicate).
     select : variable names (without ``?``) to project; default = every
         variable in first-appearance order.
     filters : optional SQL boolean expressions over the bound variables
@@ -155,6 +178,22 @@ def match_patterns(
         length as ``patterns``, None entries fall back to ``triples``)
         — the hook semi-naive rule evaluation uses to point one body
         position at the last round's delta (``kg/rules.py``).
+    not_exists : list of pattern GROUPS (each a ``patterns`` list)
+        applied as SPARQL ``FILTER NOT EXISTS``: solutions are removed
+        when the group matches under the shared variables — a LEFT
+        ANTI join on those variables (no row widening; at scale the
+        anti side carries only the group's variable columns).  A group
+        sharing NO variable with the bound set is an existence probe:
+        if it matches anything, EVERY solution drops (SPARQL's
+        semantics for a disconnected/ground NOT EXISTS group).
+    minus : list of pattern groups applied as SPARQL ``MINUS``: same
+        anti-join, except a group sharing no variable removes NOTHING
+        (the disjoint-domain rule — the classic way MINUS and NOT
+        EXISTS differ).  NULL shared values (from OPTIONAL) never
+        match an anti-join so such rows are kept; SPARQL agrees when
+        the NULL variable is the only shared one but would drop the
+        row when the OTHER shared variables match — that corner
+        diverges here (negate before you OPTIONAL if you need it).
     path_hops : bound for ``pred+`` property-path patterns (SPARQL
         ``pred{{1,path_hops}}``); such patterns scan the semi-naive
         closure instead of single edges. When any is used, unpersist
@@ -209,6 +248,34 @@ def match_patterns(
             )
         acc = acc.join(frame, on=shared, how="left")
         bound |= set(frame.columns)
+
+    for is_minus, groups in ((False, not_exists or []), (True, minus or [])):
+        for grp in groups:
+            neg = match_patterns(
+                triples, grp, distinct=True,
+                assume_distinct=assume_distinct, path_hops=path_hops,
+            )
+            pinned += neg.pinned_caches
+            shared = sorted(set(neg.columns) & bound)
+            if shared:
+                # Anti side projected to the shared variables only: at
+                # scale the negation group never widens the solution
+                # rows, and Spark's partial-agg distinct on the narrow
+                # projection keeps the anti build side small.
+                acc = acc.join(
+                    neg.select(*shared).distinct(), on=shared, how="left_anti"
+                )
+            elif not is_minus:
+                # Disconnected NOT EXISTS: one-row existence marker; a
+                # non-empty group annihilates every solution.
+                marker = neg.limit(1).select(F.lit(1).alias("__k"))
+                acc = (
+                    acc.withColumn("__k", F.lit(1))
+                    .join(marker, on="__k", how="left_anti")
+                    .drop("__k")
+                )
+            # disconnected MINUS: the SPARQL disjoint-domain rule —
+            # removes nothing, the group is dead code by construction.
 
     # Variables in first-appearance order across the ORIGINAL pattern
     # list (required, then optional; not join order), marker columns
@@ -290,3 +357,56 @@ def match_union(
     acc = acc.distinct() if distinct else acc
     acc.pinned_caches = [c for p in parts for c in p.pinned_caches]
     return acc
+
+
+def match_aggregate(
+    triples: DataFrame,
+    patterns,
+    group_by: list[str],
+    aggs: dict[str, str],
+    having: str | None = None,
+    filters: list[str] | None = None,
+    optional: list | None = None,
+    not_exists: list | None = None,
+    minus: list | None = None,
+    assume_distinct: bool = False,
+    path_hops: int = 3,
+) -> DataFrame:
+    """SPARQL ``GROUP BY`` / aggregation over BGP solutions.
+
+    Matches ``patterns`` with bag semantics (``distinct=False`` — the
+    SPARQL solution multiset: per-pattern scans are still set-deduped
+    because an RDF graph is a set of triples, but join/projection
+    multiplicity is preserved, which is what COUNT must see), then one
+    partial-aggregated ``groupBy`` over ``group_by`` variables with
+    ``aggs`` as ``{out_name: SQL aggregate expression}``; ``having``
+    is a SPARQL HAVING analogue filtered after the aggregation.
+
+    Empty ``group_by`` = a global aggregation (one row), SPARQL's
+    implicit single group.
+
+    Spark-first: the whole query stays one declarative plan — the
+    aggregation adds exactly one map-side-combined exchange on the
+    grouping variables after the join chain, and AQE coalesces it.
+
+    >>> match_aggregate(t, [("?p", "works_at", "?org")], ["org"],
+    ...                 {"n_employees": "count(p)"},
+    ...                 having="n_employees >= 2")
+    DataFrame[org, n_employees]
+    """
+    if not aggs:
+        raise ValueError("need at least one aggregate expression")
+    sol = match_patterns(
+        triples, patterns, filters=filters, optional=optional,
+        not_exists=not_exists, minus=minus, distinct=False,
+        assume_distinct=assume_distinct, path_hops=path_hops,
+    )
+    unknown = [g for g in group_by if g not in sol.columns]
+    if unknown:
+        raise ValueError(f"group_by names unbound variables: {unknown}")
+    exprs = [F.expr(e).alias(name) for name, e in aggs.items()]
+    out = sol.groupBy(*group_by).agg(*exprs) if group_by else sol.agg(*exprs)
+    if having:
+        out = out.filter(F.expr(having))
+    out.pinned_caches = sol.pinned_caches
+    return out

@@ -348,3 +348,169 @@ def test_constant_filters_pushed_to_parquet_scan(spark, tmp_path, triples):
         ("bob", "acme", "berlin"),
         ("cyd", "initech", "oslo"),
     ]
+
+
+# ---------------------------------------------------------------- negation
+
+def test_not_exists_anti_join(triples):
+    """FILTER NOT EXISTS on a shared variable: employment rows whose
+    org has no located_in edge (only initech's oslo edge exists — both
+    acme and initech are located, so add an unlocated org case)."""
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        not_exists=[[("?org", "acquired", "?t")]],
+    )
+    # acme acquired initech → acme rows drop; cyd@initech survives
+    assert rows(out) == [("cyd", "initech")]
+
+
+def test_not_exists_plan_is_left_anti(triples):
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        not_exists=[[("?org", "acquired", "?t")]],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+
+
+def test_minus_disjoint_domain_removes_nothing(triples):
+    """The classic SPARQL MINUS vs NOT EXISTS split: a group sharing
+    no variable is a no-op under MINUS but an existence probe under
+    NOT EXISTS."""
+    base = match_patterns(triples, [("?p", "works_at", "?org")])
+    kept = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        minus=[[("?x", "visited", "?y")]],
+    )
+    assert rows(kept) == rows(base)
+    dropped = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        not_exists=[[("?x", "visited", "?y")]],
+    )
+    assert dropped.count() == 0
+
+
+def test_not_exists_disconnected_empty_group_keeps_all(triples):
+    """A disconnected NOT EXISTS group with NO matches removes nothing."""
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        not_exists=[[("?x", "never_asserted", "?y")]],
+    )
+    assert out.count() == 3
+
+
+def test_minus_shared_variable_anti_joins(triples):
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        minus=[[("?buyer", "acquired", "?org")]],
+    )
+    # initech is the acquired object → cyd@initech drops; acme (the
+    # buyer, never an object) keeps its rows
+    assert rows(out) == [("ada", "acme"), ("bob", "acme")]
+
+
+def test_negation_group_is_conjunctive(triples):
+    """A multi-pattern negation group must match as a whole (join)
+    before it removes anything: acme is acquired-by-nobody AND
+    located_in berlin — only the conjunction with located_in 'oslo'
+    keeps acme rows."""
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        not_exists=[[("?org", "located_in", "oslo"), ("?org", "located_in", "?c")]],
+    )
+    assert rows(out) == [("ada", "acme"), ("bob", "acme")]
+
+
+def test_optional_null_survives_minus_and_not_exists(triples):
+    """NULL shared values from OPTIONAL never match the anti-join."""
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        optional=[("?p", "visited", "?city")],
+        minus=[[("?x", "located_in", "?city")]],
+    )
+    # ada visited oslo (a located_in object) → removed; bob/cyd have
+    # NULL city → kept
+    assert rows(out) == [("bob", "acme", None), ("cyd", "initech", None)]
+
+
+# ------------------------------------------------------- path-term sugar
+
+def test_inverse_predicate_term(triples):
+    fwd = match_patterns(triples, [("?p", "works_at", "?org")])
+    inv = match_patterns(triples, [("?org", "^works_at", "?p")],
+                         select=["p", "org"])
+    assert rows(fwd) == rows(inv)
+
+
+def test_inverse_composes_with_closure(spark):
+    chain = spark.createDataFrame(
+        [("a", "acquired", "b"), ("b", "acquired", "c")],
+        ["subj", "pred", "obj"],
+    )
+    out = match_patterns(chain, [("?sub", "^acquired+", "?root")],
+                         path_hops=3)
+    got = rows(out.select("sub", "root"))
+    for c in out.pinned_caches:
+        c.unpersist()
+    assert got == [("b", "a"), ("c", "a"), ("c", "b")]
+
+
+def test_alternation_predicate_term(triples):
+    out = match_patterns(triples, [("?a", "visited|acquired", "?b")])
+    assert rows(out) == [("acme", "initech"), ("ada", "oslo")]
+
+
+# ------------------------------------------------------------ aggregation
+
+def test_match_aggregate_group_count(triples):
+    from crfsuite_spark.kg.query import match_aggregate
+
+    out = match_aggregate(
+        triples,
+        [("?p", "works_at", "?org")],
+        ["org"],
+        {"n_employees": "count(p)"},
+    )
+    assert rows(out) == [("acme", 2), ("initech", 1)]
+
+
+def test_match_aggregate_having_and_multiplicity(triples):
+    from crfsuite_spark.kg.query import match_aggregate
+
+    # two-pattern join: count sees the solution multiset (bag)
+    out = match_aggregate(
+        triples,
+        [("?p", "works_at", "?org"), ("?org", "located_in", "?city")],
+        ["city"],
+        {"n_workers": "count(p)", "n_orgs": "count(distinct org)"},
+        having="n_workers >= 2",
+    )
+    assert rows(out) == [("berlin", 2, 1)]
+
+
+def test_match_aggregate_global_group(triples):
+    from crfsuite_spark.kg.query import match_aggregate
+
+    out = match_aggregate(
+        triples,
+        [("?p", "works_at", "?org")],
+        [],
+        {"n": "count(*)", "orgs": "count(distinct org)"},
+    )
+    assert rows(out) == [(3, 2)]
+
+
+def test_match_aggregate_unbound_group_raises(triples):
+    from crfsuite_spark.kg.query import match_aggregate
+
+    with pytest.raises(ValueError, match="unbound"):
+        match_aggregate(triples, [("?p", "works_at", "?org")],
+                        ["nope"], {"n": "count(*)"})
