@@ -1029,6 +1029,28 @@ def q_kg_match_inverse_alt(spark, sf):
     )
 
 
+def q_kg_validate_graph(spark, sf):
+    """SHACL-lite graph constraint validation (kg/validate.py): one
+    violation report over deliberately-tight shapes — wrong range for
+    visited, functional located_in, out-degree-capped acquired,
+    inverse-functional met_with, plus clean works_at domain/range and
+    an irreflexive check that (correctly) fires nothing. Row checks
+    fold into one scan; degree checks are partial-aggregated groupBys.
+    Oracle = the same checks as UNION'd SQL."""
+    from crfsuite_spark.kg.validate import PredicateConstraint, validate_graph
+
+    return validate_graph(
+        _gold_triples(spark),
+        [
+            PredicateConstraint("works_at", domain=("per",), range=("org",)),
+            PredicateConstraint("visited", range=("per",)),
+            PredicateConstraint("located_in", functional=True),
+            PredicateConstraint("acquired", max_out=1, irreflexive=True),
+            PredicateConstraint("met_with", inverse_functional=True),
+        ],
+    )
+
+
 def _gold_triples_ts(spark):
     """Gold triples joined with the generator's per-turn timestamps —
     the mention-level input for the temporal/lifecycle queries."""
@@ -1440,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_minus": q_kg_match_minus,
         "kg_match_aggregate": q_kg_match_aggregate,
         "kg_match_inverse_alt": q_kg_match_inverse_alt,
+        "kg_validate_graph": q_kg_validate_graph,
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_train_split": q_kg_train_split,
@@ -2089,6 +2112,46 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT org) AS n_orgs
             FROM w JOIN l USING (org)
             GROUP BY city HAVING count(person) >= 2
+        """,
+        "kg_validate_graph": f"""
+            WITH t AS (SELECT DISTINCT subj, pred, obj
+                       FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            rowv AS (
+              SELECT CASE WHEN kind = 1 THEN 'domain'
+                          WHEN kind = 2 THEN 'range'
+                          ELSE 'irreflexive' END AS violation,
+                     pred, subj, obj
+              FROM (
+                SELECT t.*, k.kind FROM t
+                CROSS JOIN (SELECT unnest([1, 2, 3]) AS kind) k
+                WHERE (k.kind = 1 AND pred = 'works_at'
+                       AND split_part(subj, ':', 1) NOT IN ('per'))
+                   OR (k.kind = 2 AND ((pred = 'works_at'
+                          AND split_part(obj, ':', 1) NOT IN ('org'))
+                       OR (pred = 'visited'
+                          AND split_part(obj, ':', 1) NOT IN ('per'))))
+                   OR (k.kind = 3 AND pred = 'acquired' AND subj = obj))),
+            degv AS (
+              SELECT 'functional' AS violation, pred, subj AS entity,
+                     count(DISTINCT obj) AS n_distinct
+              FROM t WHERE pred = 'located_in' GROUP BY pred, subj
+              HAVING count(DISTINCT obj) > 1
+              UNION ALL
+              SELECT 'max_out', pred, subj, count(DISTINCT obj)
+              FROM t WHERE pred = 'acquired' GROUP BY pred, subj
+              HAVING count(DISTINCT obj) > 1
+              UNION ALL
+              SELECT 'inverse_functional', pred, obj, count(DISTINCT subj)
+              FROM t WHERE pred = 'met_with' GROUP BY pred, obj
+              HAVING count(DISTINCT subj) > 1)
+            SELECT violation, pred, subj, obj,
+                   CAST(NULL AS VARCHAR) AS entity,
+                   CAST(NULL AS BIGINT) AS n_distinct
+            FROM rowv
+            UNION ALL
+            SELECT violation, pred, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   entity, n_distinct
+            FROM degv
         """,
         "kg_match_inverse_alt": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
