@@ -51,6 +51,40 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _sort_exprs(order_by: list[str]):
+    """``["city DESC", "n NULLS LAST", "person"]`` → Column sort orders.
+
+    ``F.expr("p DESC")`` is a trap: Spark's expression parser reads it
+    as ``p AS DESC`` (an alias) and sorts ascending — direction words
+    are statement-level syntax, not expression syntax.  So the
+    direction / null-ordering suffixes are peeled off here and applied
+    with the Column API; everything before them may be any SQL
+    expression.
+    """
+    out = []
+    for spec in order_by:
+        s = spec.strip()
+        nulls = None
+        for suffix, mode in ((" NULLS FIRST", "first"), (" NULLS LAST", "last")):
+            if s.upper().endswith(suffix):
+                s, nulls = s[: -len(suffix)].rstrip(), mode
+                break
+        direction = "asc"
+        for suffix, mode in ((" DESC", "desc"), (" ASC", "asc")):
+            if s.upper().endswith(suffix):
+                s, direction = s[: -len(suffix)].rstrip(), mode
+                break
+        col = F.expr(s)
+        if direction == "desc":
+            col = col.desc_nulls_first() if nulls == "first" else (
+                col.desc_nulls_last() if nulls == "last" else col.desc())
+        else:
+            col = col.asc_nulls_first() if nulls == "first" else (
+                col.asc_nulls_last() if nulls == "last" else col.asc())
+        out.append(col)
+    return out
+
+
 def _compile_pattern(triples: DataFrame, pattern, idx: int,
                      assume_distinct: bool = False, path_hops: int = 3):
     """One pattern → (frame-with-variable-columns, n_constants, pinned).
@@ -142,6 +176,10 @@ def match_patterns(
     optional: list | None = None,
     not_exists: list | None = None,
     minus: list | None = None,
+    values: dict[str, list] | None = None,
+    bindings: DataFrame | None = None,
+    order_by: list[str] | None = None,
+    limit: int | None = None,
     distinct: bool = True,
     assume_distinct: bool = False,
     sources: list[DataFrame] | None = None,
@@ -194,6 +232,20 @@ def match_patterns(
         the NULL variable is the only shared one but would drop the
         row when the OTHER shared variables match — that corner
         diverges here (negate before you OPTIONAL if you need it).
+    values : SPARQL ``VALUES`` with independent per-variable lists:
+        ``{"person": ["per:ada", "per:bob"]}`` restricts that variable
+        to the listed constants — an IN filter Catalyst pushes through
+        the join chain down to the pattern scans.
+    bindings : SPARQL ``VALUES`` with JOINT rows: a small DataFrame
+        whose columns are variable names; solutions inner-join it on
+        those columns.  This is the scale-correct way to parameterize
+        a query with a seed table (broadcast by AQE when small).
+        UNDEF is not supported — split into two calls instead.
+    order_by : solution modifier ``ORDER BY``: SQL sort expressions
+        (e.g. ``["city DESC", "person"]``) applied after projection.
+    limit : solution modifier ``LIMIT``; with ``order_by`` the pair
+        compiles to TakeOrderedAndProject (per-partition top-k + one
+        k-row gather — no global sort materializes at 100 TB).
     path_hops : bound for ``pred+`` property-path patterns (SPARQL
         ``pred{{1,path_hops}}``); such patterns scan the semi-naive
         closure instead of single edges. When any is used, unpersist
@@ -230,6 +282,16 @@ def match_patterns(
         shared = sorted(set(frame.columns) & bound)
         acc = acc.join(frame, on=shared) if shared else acc.crossJoin(frame)
         bound |= set(frame.columns)
+
+    for var, allowed in (values or {}).items():
+        if var not in bound:
+            raise ValueError(f"values restricts unbound variable {var!r}")
+        acc = acc.filter(F.col(var).isin(list(allowed)))
+    if bindings is not None:
+        missing = [c for c in bindings.columns if c not in bound]
+        if missing:
+            raise ValueError(f"bindings name unbound variables: {missing}")
+        acc = acc.join(bindings.distinct(), on=list(bindings.columns))
 
     for expr in filters or []:
         acc = acc.filter(F.expr(expr))
@@ -291,6 +353,10 @@ def match_patterns(
         raise ValueError(f"select names unbound variables: {unknown}")
     acc = acc.select(*out_cols) if out_cols else acc.select(F.lit(1).alias("__match"))
     acc = acc.distinct() if distinct else acc
+    if order_by:
+        acc = acc.orderBy(*_sort_exprs(order_by))
+    if limit is not None:
+        acc = acc.limit(limit)
     acc.pinned_caches = pinned
     return acc
 
@@ -369,6 +435,10 @@ def match_aggregate(
     optional: list | None = None,
     not_exists: list | None = None,
     minus: list | None = None,
+    values: dict[str, list] | None = None,
+    bindings: DataFrame | None = None,
+    order_by: list[str] | None = None,
+    limit: int | None = None,
     assume_distinct: bool = False,
     path_hops: int = 3,
 ) -> DataFrame:
@@ -398,7 +468,8 @@ def match_aggregate(
         raise ValueError("need at least one aggregate expression")
     sol = match_patterns(
         triples, patterns, filters=filters, optional=optional,
-        not_exists=not_exists, minus=minus, distinct=False,
+        not_exists=not_exists, minus=minus, values=values,
+        bindings=bindings, distinct=False,
         assume_distinct=assume_distinct, path_hops=path_hops,
     )
     unknown = [g for g in group_by if g not in sol.columns]
@@ -408,5 +479,9 @@ def match_aggregate(
     out = sol.groupBy(*group_by).agg(*exprs) if group_by else sol.agg(*exprs)
     if having:
         out = out.filter(F.expr(having))
+    if order_by:
+        out = out.orderBy(*_sort_exprs(order_by))
+    if limit is not None:
+        out = out.limit(limit)
     out.pinned_caches = sol.pinned_caches
     return out

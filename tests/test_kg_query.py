@@ -514,3 +514,94 @@ def test_match_aggregate_unbound_group_raises(triples):
     with pytest.raises(ValueError, match="unbound"):
         match_aggregate(triples, [("?p", "works_at", "?org")],
                         ["nope"], {"n": "count(*)"})
+
+
+# ------------------------------------------- solution modifiers / VALUES
+
+def test_values_restricts_variable(triples):
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        values={"p": ["ada", "cyd"]},
+    )
+    assert rows(out) == [("ada", "acme"), ("cyd", "initech")]
+
+
+def test_values_unbound_variable_raises(triples):
+    with pytest.raises(ValueError, match="unbound"):
+        match_patterns(triples, [("?p", "works_at", "?org")],
+                       values={"nope": ["x"]})
+
+
+def test_bindings_joint_rows(triples, spark):
+    # joint VALUES: only the (p, org) combinations listed survive —
+    # ("bob", "initech") matches nothing even though bob and initech
+    # each appear in some solution.
+    seed = spark.createDataFrame(
+        [("ada", "acme"), ("bob", "initech")], ["p", "org"]
+    )
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org"), ("?org", "located_in", "?city")],
+        bindings=seed,
+    )
+    assert rows(out) == [("ada", "acme", "berlin")]
+
+
+def test_bindings_unbound_variable_raises(triples, spark):
+    seed = spark.createDataFrame([("x",)], ["nope"])
+    with pytest.raises(ValueError, match="unbound"):
+        match_patterns(triples, [("?p", "works_at", "?org")],
+                       bindings=seed)
+
+
+def test_order_by_limit_top_k(triples):
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        order_by=["p DESC"],
+        limit=2,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("cyd", "initech"), ("bob", "acme")]
+
+
+def test_order_by_limit_plan_is_take_ordered(triples):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition top-k), not a global Sort followed by a Limit."""
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        order_by=["p"],
+        limit=1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregate_order_by_limit(triples):
+    from crfsuite_spark.kg.query import match_aggregate
+
+    out = match_aggregate(
+        triples,
+        [("?p", "works_at", "?org")],
+        ["org"],
+        {"n": "count(p)"},
+        order_by=["n DESC", "org"],
+        limit=1,
+    )
+    assert [tuple(r) for r in out.collect()] == [("acme", 2)]
+
+
+def test_aggregate_values_and_bindings(triples, spark):
+    from crfsuite_spark.kg.query import match_aggregate
+
+    out = match_aggregate(
+        triples,
+        [("?p", "works_at", "?org")],
+        ["org"],
+        {"n": "count(p)"},
+        values={"p": ["ada", "bob", "cyd"]},
+        bindings=spark.createDataFrame([("acme",)], ["org"]),
+    )
+    assert rows(out) == [("acme", 2)]
