@@ -1029,6 +1029,62 @@ def q_kg_match_inverse_alt(spark, sf):
     )
 
 
+def q_kg_match_seq_path(spark, sf):
+    """SPARQL sequence path (p1/p2) inside a BGP (kg/query.py): person
+    → employer's city via works_at/located_in, expanded to the spec's
+    chained-BGP translation (internal variable projected away). Oracle
+    = the literal two-hop join."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    return match_patterns(
+        _gold_triples(spark),
+        [("?person", "works_at/located_in", "?city")],
+    )
+
+
+def q_kg_match_values_order(spark, sf):
+    """SPARQL VALUES + ORDER BY/OFFSET/LIMIT solution modifiers
+    (kg/query.py): employment-location solutions restricted to an
+    IN-list of cities, totally ordered, paged past the first two rows.
+    The IN filter pushes through the join chain to the scans; the
+    sort+limit stays a per-partition top-k. Oracle = the same query
+    with SQL IN / ORDER BY / LIMIT k OFFSET n."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    return match_patterns(
+        _gold_triples(spark),
+        [("?person", "works_at", "?org"), ("?org", "located_in", "?city")],
+        values={"city": ["loc:berlin", "loc:tokyo", "loc:london"]},
+        order_by=["person", "org", "city"],
+        offset=2,
+        limit=10,
+    )
+
+
+def q_kg_match_bindings(spark, sf):
+    """SPARQL VALUES with JOINT rows (kg/query.py `bindings`): a seed
+    frame of (person, org) pairs inner-joined into the solution set —
+    the scale-correct way to parameterize a BGP with a driver-side
+    table (AQE broadcasts the small side). ('per:bob_smith',
+    'org:initech') seeds nothing: joint rows, not independent
+    IN-lists. Oracle = the literal VALUES join."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    seed = spark.createDataFrame(
+        [
+            ("per:alice_johnson", "org:initech"),
+            ("per:bob_smith", "org:acme_corp"),
+            ("per:bob_smith", "org:initech"),
+        ],
+        ["person", "org"],
+    )
+    return match_patterns(
+        _gold_triples(spark),
+        [("?person", "works_at", "?org"), ("?org", "located_in", "?city")],
+        bindings=seed,
+    )
+
+
 def q_kg_validate_graph(spark, sf):
     """SHACL-lite graph constraint validation (kg/validate.py): one
     violation report over deliberately-tight shapes — wrong range for
@@ -1462,6 +1518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_minus": q_kg_match_minus,
         "kg_match_aggregate": q_kg_match_aggregate,
         "kg_match_inverse_alt": q_kg_match_inverse_alt,
+        "kg_match_seq_path": q_kg_match_seq_path,
+        "kg_match_values_order": q_kg_match_values_order,
+        "kg_match_bindings": q_kg_match_bindings,
         "kg_validate_graph": q_kg_validate_graph,
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
@@ -2159,6 +2218,32 @@ def oracle_sql() -> dict[str, str]:
             v AS (SELECT DISTINCT subj AS person, obj AS x FROM t
                   WHERE pred IN ('visited', 'met_with'))
             SELECT DISTINCT org, person, x FROM w JOIN v USING (person)
+        """,
+        "kg_match_seq_path": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            w AS (SELECT DISTINCT subj AS person, obj AS org FROM t WHERE pred = 'works_at'),
+            l AS (SELECT DISTINCT subj AS org, obj AS city FROM t WHERE pred = 'located_in')
+            SELECT DISTINCT person, city FROM w JOIN l USING (org)
+        """,
+        "kg_match_values_order": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            w AS (SELECT DISTINCT subj AS person, obj AS org FROM t WHERE pred = 'works_at'),
+            l AS (SELECT DISTINCT subj AS org, obj AS city FROM t WHERE pred = 'located_in')
+            SELECT person, org, city FROM (
+              SELECT DISTINCT person, org, city FROM w JOIN l USING (org)
+              WHERE city IN ('loc:berlin', 'loc:tokyo', 'loc:london'))
+            ORDER BY person, org, city LIMIT 10 OFFSET 2
+        """,
+        "kg_match_bindings": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            w AS (SELECT DISTINCT subj AS person, obj AS org FROM t WHERE pred = 'works_at'),
+            l AS (SELECT DISTINCT subj AS org, obj AS city FROM t WHERE pred = 'located_in'),
+            seed(person, org) AS (VALUES
+              ('per:alice_johnson', 'org:initech'),
+              ('per:bob_smith', 'org:acme_corp'),
+              ('per:bob_smith', 'org:initech'))
+            SELECT DISTINCT person, org, city
+            FROM w JOIN l USING (org) JOIN seed USING (person, org)
         """,
         "kg_ntriples": _ntriples_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"

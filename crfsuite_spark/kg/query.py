@@ -85,6 +85,52 @@ def _sort_exprs(order_by: list[str]):
     return out
 
 
+def _has_seq_path(pattern) -> bool:
+    return (
+        len(pattern) == 3
+        and not _is_var(pattern[1])
+        and "/" in pattern[1]
+    )
+
+
+def _expand_sequences(patterns, sources):
+    """SPARQL sequence paths ``p1/p2`` → the spec's own algebra
+    translation: ``(?x, p1/p2, ?y)`` becomes ``(?x, p1, ?__seqI_0)
+    . (?__seqI_0, p2, ?y)`` with the internal variable projected away
+    (SPARQL 1.1 §9.1 translates sequence paths to exactly this BGP, so
+    binding multiplicity — one solution per distinct intermediate — is
+    the spec's, not an approximation).  Each hop may itself be ``^p``,
+    ``p+`` or ``p1|p2``; note alternation binds TIGHTER than sequence
+    here (``a|b/c`` reads ``(a|b)/c`` — SPARQL's precedence is the
+    reverse; split such paths into explicit patterns when it matters).
+
+    Internal variables are real join columns, so the whole sequence is
+    still one Catalyst join chain — no recursion, no driver loop.
+    """
+    out_p, out_s = [], []
+    for i, pat in enumerate(patterns):
+        src = None if sources is None else sources[i]
+        if _has_seq_path(pat):
+            hops = pat[1].split("/")
+            if any(not h or h in ("^", "+") for h in hops):
+                raise ValueError(f"empty hop in sequence path {pat[1]!r}")
+            if src is not None:
+                raise ValueError(
+                    "sources cannot override a sequence-path pattern "
+                    "(it expands to multiple scans)"
+                )
+            cur = pat[0]
+            for j, hop in enumerate(hops):
+                nxt = pat[2] if j == len(hops) - 1 else f"?__seq{i}_{j}"
+                out_p.append((cur, hop, nxt))
+                out_s.append(None)
+                cur = nxt
+        else:
+            out_p.append(pat)
+            out_s.append(src)
+    return out_p, (None if sources is None else out_s)
+
+
 def _compile_pattern(triples: DataFrame, pattern, idx: int,
                      assume_distinct: bool = False, path_hops: int = 3):
     """One pattern → (frame-with-variable-columns, n_constants, pinned).
@@ -180,6 +226,7 @@ def match_patterns(
     bindings: DataFrame | None = None,
     order_by: list[str] | None = None,
     limit: int | None = None,
+    offset: int | None = None,
     distinct: bool = True,
     assume_distinct: bool = False,
     sources: list[DataFrame] | None = None,
@@ -193,10 +240,12 @@ def match_patterns(
         shape ``kg.triples.read_triples`` / ``kg.pipeline`` produce).
     patterns : list of ``(subj, pred, obj)`` terms; ``"?x"`` binds a
         variable, any other string matches that constant.  A constant
-        predicate supports three SPARQL path forms: ``pred+`` (bounded
+        predicate supports four SPARQL path forms: ``pred+`` (bounded
         transitive closure, see ``path_hops``), ``^pred`` (inverse —
-        the edge traversed object→subject), and ``p1|p2`` alternation
-        (an IN-list scan predicate).
+        the edge traversed object→subject), ``p1|p2`` alternation
+        (an IN-list scan predicate), and ``p1/p2`` sequence (expanded
+        to the spec's chained-BGP translation with internal variables;
+        see :func:`_expand_sequences` for the precedence caveat).
     select : variable names (without ``?``) to project; default = every
         variable in first-appearance order.
     filters : optional SQL boolean expressions over the bound variables
@@ -246,6 +295,13 @@ def match_patterns(
     limit : solution modifier ``LIMIT``; with ``order_by`` the pair
         compiles to TakeOrderedAndProject (per-partition top-k + one
         k-row gather — no global sort materializes at 100 TB).
+    offset : solution modifier ``OFFSET``: skip the first ``offset``
+        solutions before ``limit`` applies (SQL ``LIMIT k OFFSET n``
+        paging).  Only deterministic under a total ``order_by`` —
+        Spark still plans per-partition top-(n+k), so paging stays
+        a k-row gather, but each page recomputes the prefix: for deep
+        pagination at scale, keyset-filter on the last-seen sort key
+        instead.
     path_hops : bound for ``pred+`` property-path patterns (SPARQL
         ``pred{{1,path_hops}}``); such patterns scan the semi-naive
         closure instead of single edges. When any is used, unpersist
@@ -259,6 +315,7 @@ def match_patterns(
         raise ValueError("need at least one pattern")
     if sources is not None and len(sources) != len(patterns):
         raise ValueError("sources must have one entry per pattern")
+    patterns, sources = _expand_sequences(patterns, sources)
     compiled = [
         _compile_pattern(
             triples if sources is None or sources[i] is None else sources[i],
@@ -297,9 +354,20 @@ def match_patterns(
         acc = acc.filter(F.expr(expr))
 
     for k, pat in enumerate(optional or []):
-        frame, _, opt_pinned = _compile_pattern(
-            triples, pat, len(patterns) + k, assume_distinct, path_hops
-        )
+        if _has_seq_path(pat):
+            # A sequence path is a multi-pattern group; OPTIONAL over a
+            # group left-joins the group's joined solutions (the spec's
+            # LeftJoin over the translated BGP), with bag multiplicity
+            # — one row per distinct intermediate — preserved.
+            frame = match_patterns(
+                triples, [pat], distinct=False,
+                assume_distinct=assume_distinct, path_hops=path_hops,
+            )
+            opt_pinned = frame.pinned_caches
+        else:
+            frame, _, opt_pinned = _compile_pattern(
+                triples, pat, len(patterns) + k, assume_distinct, path_hops
+            )
         pinned += opt_pinned
         shared = sorted(set(frame.columns) & bound)
         if not shared:
@@ -341,11 +409,12 @@ def match_patterns(
 
     # Variables in first-appearance order across the ORIGINAL pattern
     # list (required, then optional; not join order), marker columns
-    # dropped.
+    # and sequence-internal ``__seq*`` variables dropped.
     all_vars: list[str] = []
     for pat in list(patterns) + list(optional or []):
         for term in pat:
-            if _is_var(term) and term[1:] not in all_vars:
+            if (_is_var(term) and not term[1:].startswith("__")
+                    and term[1:] not in all_vars):
                 all_vars.append(term[1:])
     out_cols = select if select is not None else all_vars
     unknown = [c for c in out_cols if c not in bound]
@@ -355,6 +424,8 @@ def match_patterns(
     acc = acc.distinct() if distinct else acc
     if order_by:
         acc = acc.orderBy(*_sort_exprs(order_by))
+    if offset is not None:
+        acc = acc.offset(offset)
     if limit is not None:
         acc = acc.limit(limit)
     acc.pinned_caches = pinned
@@ -439,6 +510,7 @@ def match_aggregate(
     bindings: DataFrame | None = None,
     order_by: list[str] | None = None,
     limit: int | None = None,
+    offset: int | None = None,
     assume_distinct: bool = False,
     path_hops: int = 3,
 ) -> DataFrame:
@@ -481,6 +553,8 @@ def match_aggregate(
         out = out.filter(F.expr(having))
     if order_by:
         out = out.orderBy(*_sort_exprs(order_by))
+    if offset is not None:
+        out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
     out.pinned_caches = sol.pinned_caches

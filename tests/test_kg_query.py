@@ -605,3 +605,101 @@ def test_aggregate_values_and_bindings(triples, spark):
         bindings=spark.createDataFrame([("acme",)], ["org"]),
     )
     assert rows(out) == [("acme", 2)]
+
+
+def test_sequence_path_pattern(triples):
+    # p works_at org / org located_in city — the spec's chained-BGP
+    # translation, internal ?__seq* variable projected away.
+    out = match_patterns(triples, [("?p", "works_at/located_in", "?c")])
+    assert out.columns == ["p", "c"]
+    assert rows(out) == [
+        ("ada", "berlin"), ("bob", "berlin"), ("cyd", "oslo")]
+
+
+def test_sequence_path_composes_with_inverse(triples):
+    # works_at/^works_at = colleague-of (including self): pairs that
+    # share an employer.  Each hop of a sequence may be any path term.
+    out = match_patterns(triples, [("?p", "works_at/^works_at", "?q")])
+    assert rows(out) == [
+        ("ada", "ada"), ("ada", "bob"), ("bob", "ada"),
+        ("bob", "bob"), ("cyd", "cyd")]
+
+
+def test_sequence_path_composes_with_closure(triples):
+    # works_at/acquired+ : employer's (transitive) acquisitions.
+    out = match_patterns(triples, [("?p", "works_at/acquired+", "?o")])
+    assert rows(out) == [("ada", "initech"), ("bob", "initech")]
+
+
+def test_sequence_path_in_optional(triples):
+    # OPTIONAL over a sequence path left-joins the group's solutions;
+    # cyd's employer acquired nothing so its extension stays NULL.
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        optional=[("?p", "works_at/acquired", "?sub")],
+    )
+    assert rows(out) == [
+        ("ada", "acme", "initech"),
+        ("bob", "acme", "initech"),
+        ("cyd", "initech", None),
+    ]
+
+
+def test_sequence_path_bag_multiplicity(spark):
+    # SPARQL sequence multiplicity = one solution per distinct
+    # intermediate: x reaches berlin through BOTH employers.
+    t = spark.createDataFrame(
+        [
+            ("x", "works_at", "a"),
+            ("x", "works_at", "b"),
+            ("a", "located_in", "berlin"),
+            ("b", "located_in", "berlin"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    out = match_patterns(
+        t, [("?p", "works_at/located_in", "?c")], distinct=False)
+    assert [tuple(r) for r in out.collect()] == [
+        ("x", "berlin"), ("x", "berlin")]
+    assert rows(match_patterns(t, [("?p", "works_at/located_in", "?c")])) \
+        == [("x", "berlin")]
+
+
+def test_sequence_path_empty_hop_raises(triples):
+    with pytest.raises(ValueError, match="empty hop"):
+        match_patterns(triples, [("?p", "works_at/", "?c")])
+
+
+def test_sequence_path_with_source_override_raises(triples):
+    with pytest.raises(ValueError, match="sequence-path"):
+        match_patterns(
+            triples, [("?p", "works_at/located_in", "?c")],
+            sources=[triples],
+        )
+
+
+def test_offset_pages_past_prefix(triples):
+    base = dict(order_by=["p", "org"])
+    page1 = match_patterns(
+        triples, [("?p", "works_at", "?org")], limit=2, **base)
+    page2 = match_patterns(
+        triples, [("?p", "works_at", "?org")], offset=2, limit=2, **base)
+    assert [tuple(r) for r in page1.collect()] == [
+        ("ada", "acme"), ("bob", "acme")]
+    assert [tuple(r) for r in page2.collect()] == [("cyd", "initech")]
+
+
+def test_aggregate_offset(triples):
+    from crfsuite_spark.kg.query import match_aggregate
+
+    out = match_aggregate(
+        triples,
+        [("?p", "works_at", "?org")],
+        ["org"],
+        {"n": "count(p)"},
+        order_by=["n DESC", "org"],
+        offset=1,
+        limit=2,
+    )
+    assert [tuple(r) for r in out.collect()] == [("initech", 1)]
