@@ -1085,6 +1085,44 @@ def q_kg_match_bindings(spark, sf):
     )
 
 
+def q_kg_match_star_path(spark, sf):
+    """SPARQL zero-or-more path (pred*) inside a BGP (kg/query.py):
+    the acquired{0,3} closure INCLUDING zero-length identity pairs,
+    joined to the reachable org's location — so every located entity
+    also appears as its own root. Oracle = the closure CTE chain
+    UNION'd with the node set."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    out = match_patterns(
+        _gold_triples(spark),
+        [("?root", "acquired*", "?sub"), ("?sub", "located_in", "?city")],
+        path_hops=3,
+    )
+    res = out.select("root", "sub", "city")
+    res.pinned_caches = out.pinned_caches
+    return res
+
+
+def q_kg_ask(spark, sf):
+    """SPARQL ASK (kg/query.py match_ask): existence of a joined
+    two-pattern solution, probed through limit(1) so the scan stops at
+    the first surviving row. Oracle = SELECT EXISTS."""
+    from crfsuite_spark.kg.query import match_ask
+
+    return match_ask(
+        _gold_triples(spark),
+        [("?p", "works_at", "?org"), ("?org", "located_in", "loc:berlin")],
+    )
+
+
+def q_kg_describe(spark, sf):
+    """SPARQL DESCRIBE (kg/query.py describe_term): every edge
+    touching one entity, direction-tagged, one OR-filtered scan."""
+    from crfsuite_spark.kg.query import describe_term
+
+    return describe_term(_gold_triples(spark), "org:acme_corp")
+
+
 def q_kg_validate_graph(spark, sf):
     """SHACL-lite graph constraint validation (kg/validate.py): one
     violation report over deliberately-tight shapes — wrong range for
@@ -1521,6 +1559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_seq_path": q_kg_match_seq_path,
         "kg_match_values_order": q_kg_match_values_order,
         "kg_match_bindings": q_kg_match_bindings,
+        "kg_match_star_path": q_kg_match_star_path,
+        "kg_ask": q_kg_ask,
+        "kg_describe": q_kg_describe,
         "kg_validate_graph": q_kg_validate_graph,
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
@@ -1875,6 +1916,31 @@ def _match_path_oracle_sql(gold: str, max_hops=3) -> str:
             WITH {body}
             SELECT DISTINCT r.src AS root, r.dst AS sub, loc.city
             FROM r{max_hops} r JOIN loc ON loc.s = r.dst
+        """
+
+
+def _match_star_path_oracle_sql(gold: str, max_hops=3) -> str:
+    """DuckDB SQL reproducing q_kg_match_star_path: the acquired
+    closure rounds UNION'd with zero-length identity pairs over the
+    node set, joined to located_in."""
+    ctes = _property_path_ctes(gold, "acquired", max_hops)
+    ctes.append(
+        "nodes AS (SELECT DISTINCT subj AS n FROM t "
+        "UNION SELECT DISTINCT obj FROM t)"
+    )
+    ctes.append(
+        f"star AS (SELECT n AS src, n AS dst FROM nodes "
+        f"UNION SELECT src, dst FROM r{max_hops})"
+    )
+    ctes.append(
+        "loc AS (SELECT DISTINCT subj AS s, obj AS city FROM t "
+        "WHERE pred = 'located_in')"
+    )
+    body = ",\n            ".join(ctes)
+    return f"""
+            WITH {body}
+            SELECT DISTINCT star.src AS root, star.dst AS sub, loc.city
+            FROM star JOIN loc ON loc.s = star.dst
         """
 
 
@@ -2244,6 +2310,24 @@ def oracle_sql() -> dict[str, str]:
               ('per:bob_smith', 'org:initech'))
             SELECT DISTINCT person, org, city
             FROM w JOIN l USING (org) JOIN seed USING (person, org)
+        """,
+        "kg_match_star_path": _match_star_path_oracle_sql(
+            f"{fixtures}/gold_triples_synthetic.parquet"
+        ),
+        "kg_ask": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
+            SELECT EXISTS (
+              SELECT 1 FROM t w JOIN t l ON l.subj = w.obj
+              WHERE w.pred = 'works_at' AND l.pred = 'located_in'
+                AND l.obj = 'loc:berlin') AS ask
+        """,
+        "kg_describe": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
+            SELECT DISTINCT subj, pred, obj,
+                   CASE WHEN subj = 'org:acme_corp' THEN 'out'
+                        ELSE 'in' END AS direction
+            FROM t
+            WHERE subj = 'org:acme_corp' OR obj = 'org:acme_corp'
         """,
         "kg_ntriples": _ntriples_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"

@@ -112,7 +112,7 @@ def _expand_sequences(patterns, sources):
         src = None if sources is None else sources[i]
         if _has_seq_path(pat):
             hops = pat[1].split("/")
-            if any(not h or h in ("^", "+") for h in hops):
+            if any(not h or h in ("^", "+", "*", "?") for h in hops):
                 raise ValueError(f"empty hop in sequence path {pat[1]!r}")
             if src is not None:
                 raise ValueError(
@@ -131,6 +131,55 @@ def _expand_sequences(patterns, sources):
     return out_p, (None if sources is None else out_s)
 
 
+def _bind_src_dst(df: DataFrame, pattern, idx: int):
+    """Apply a pattern's subj/obj terms to a (src, dst) pair frame:
+    constants filter, variables rename, a repeated variable forces
+    src = dst, no variables → a one-row ground marker."""
+    var_slot: dict[str, str] = {}
+    n_consts = 0
+    for slot, term in (("src", pattern[0]), ("dst", pattern[2])):
+        if _is_var(term):
+            name = term[1:]
+            if name in var_slot:  # (?x, path, ?x): pairs closing on self
+                df = df.filter(F.col(slot) == F.col(var_slot[name]))
+            else:
+                var_slot[name] = slot
+        else:
+            df = df.filter(F.col(slot) == F.lit(term))
+            n_consts += 1
+    if not var_slot:
+        return df.select(F.lit(1).alias(f"__ground_{idx}")).limit(1), n_consts
+    return (
+        df.select(*[F.col(s).alias(n) for n, s in var_slot.items()]),
+        n_consts,
+    )
+
+
+def _identity_pairs(triples: DataFrame, pattern) -> DataFrame:
+    """The zero-length-path pair frame for ``p*`` / ``p?`` terms.
+
+    SPARQL's ZeroLengthPath: with a constant on either end the
+    zero-length match binds the other end to that constant (even when
+    it appears in no triple — the spec evaluates the term, not the
+    graph); with variables on both ends it binds ?x = ?y for every
+    node of the graph, which costs one distinct over the subj∪obj
+    vocabulary — fine at entity-vocabulary scale, but prefer anchoring
+    one end of a ``*`` pattern at 100 TB.
+    """
+    s_term, o_term = pattern[0], pattern[2]
+    if not _is_var(s_term) or not _is_var(o_term):
+        const = s_term if not _is_var(s_term) else o_term
+        return triples.sparkSession.createDataFrame(
+            [(const, const)], "src string, dst string"
+        )
+    nodes = (
+        triples.select(F.col("subj").alias("src"))
+        .unionByName(triples.select(F.col("obj").alias("src")))
+        .distinct()
+    )
+    return nodes.select("src", F.col("src").alias("dst"))
+
+
 def _compile_pattern(triples: DataFrame, pattern, idx: int,
                      assume_distinct: bool = False, path_hops: int = 3):
     """One pattern → (frame-with-variable-columns, n_constants, pinned).
@@ -143,7 +192,12 @@ def _compile_pattern(triples: DataFrame, pattern, idx: int,
     A constant predicate ending in ``+`` (SPARQL property path
     ``pred{1,path_hops}``) compiles to the semi-naive bounded closure
     (kg/graph.py:property_path) instead of a single-edge scan; its
-    persisted rounds are returned as ``pinned``.
+    persisted rounds are returned as ``pinned``.  ``pred*``
+    (zero-or-more, ``pred{0,path_hops}``) adds the zero-length
+    identity pairs to that closure; ``pred?`` (zero-or-one) adds them
+    to the single-edge scan.  All quantifiers accept an alternation
+    base (``(p1|p2)+`` ≡ ``p1|p2+`` here — the quantifier applies to
+    the whole alternation).
     """
     if len(pattern) != 3:
         raise ValueError(f"pattern {pattern!r} is not a (subj, pred, obj) triple")
@@ -162,27 +216,32 @@ def _compile_pattern(triples: DataFrame, pattern, idx: int,
         from crfsuite_spark.kg.graph import property_path
 
         pp = property_path(triples, p_term[:-1], max_hops=path_hops)
-        df = pp.select("src", "dst")  # closure pairs are distinct
-        var_slot: dict[str, str] = {}
-        n_consts = 1
-        for slot, term in (("src", pattern[0]), ("dst", pattern[2])):
-            if _is_var(term):
-                name = term[1:]
-                if name in var_slot:  # (?x, pred+, ?x): cycles to self
-                    df = df.filter(F.col(slot) == F.col(var_slot[name]))
-                else:
-                    var_slot[name] = slot
-            else:
-                df = df.filter(F.col(slot) == F.lit(term))
-                n_consts += 1
-        if not var_slot:
-            marker = df.select(F.lit(1).alias(f"__ground_{idx}")).limit(1)
-            return marker, n_consts, pp.pinned_caches
-        return (
-            df.select(*[F.col(s).alias(n) for n, s in var_slot.items()]),
-            n_consts,
-            pp.pinned_caches,
+        # closure pairs are distinct already
+        bound, extra = _bind_src_dst(pp.select("src", "dst"), pattern, idx)
+        return bound, 1 + extra, pp.pinned_caches
+    if not _is_var(p_term) and p_term.endswith("*") and len(p_term) > 1:
+        from crfsuite_spark.kg.graph import property_path
+
+        pp = property_path(triples, p_term[:-1], max_hops=path_hops)
+        pairs = (
+            _identity_pairs(triples, pattern)
+            .unionByName(pp.select("src", "dst"))
+            .distinct()
         )
+        bound, extra = _bind_src_dst(pairs, pattern, idx)
+        return bound, 1 + extra, pp.pinned_caches
+    if not _is_var(p_term) and p_term.endswith("?") and len(p_term) > 1:
+        base = p_term[:-1]
+        pred_filter = (
+            F.col("pred").isin(base.split("|")) if "|" in base
+            else F.col("pred") == F.lit(base)
+        )
+        edges = triples.filter(pred_filter).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        pairs = _identity_pairs(triples, pattern).unionByName(edges).distinct()
+        bound, extra = _bind_src_dst(pairs, pattern, idx)
+        return bound, 1 + extra, []
     df = triples
     var_slot: dict[str, str] = {}
     n_consts = 0
@@ -240,12 +299,16 @@ def match_patterns(
         shape ``kg.triples.read_triples`` / ``kg.pipeline`` produce).
     patterns : list of ``(subj, pred, obj)`` terms; ``"?x"`` binds a
         variable, any other string matches that constant.  A constant
-        predicate supports four SPARQL path forms: ``pred+`` (bounded
-        transitive closure, see ``path_hops``), ``^pred`` (inverse —
-        the edge traversed object→subject), ``p1|p2`` alternation
-        (an IN-list scan predicate), and ``p1/p2`` sequence (expanded
-        to the spec's chained-BGP translation with internal variables;
-        see :func:`_expand_sequences` for the precedence caveat).
+        predicate supports the SPARQL path forms: ``pred+`` (bounded
+        transitive closure, see ``path_hops``), ``pred*``
+        (zero-or-more: the closure plus zero-length identity pairs —
+        see :func:`_identity_pairs` for the both-ends-variable cost),
+        ``pred?`` (zero-or-one), ``^pred`` (inverse — the edge
+        traversed object→subject), ``p1|p2`` alternation (an IN-list
+        scan predicate, quantifiable: ``p1|p2+`` means ``(p1|p2)+``),
+        and ``p1/p2`` sequence (expanded to the spec's chained-BGP
+        translation with internal variables; see
+        :func:`_expand_sequences` for the precedence caveat).
     select : variable names (without ``?``) to project; default = every
         variable in first-appearance order.
     filters : optional SQL boolean expressions over the bound variables
@@ -559,3 +622,43 @@ def match_aggregate(
         out = out.limit(limit)
     out.pinned_caches = sol.pinned_caches
     return out
+
+
+def match_ask(
+    triples: DataFrame,
+    patterns,
+    filters: list[str] | None = None,
+    values: dict[str, list] | None = None,
+    bindings: DataFrame | None = None,
+    assume_distinct: bool = False,
+    path_hops: int = 3,
+) -> DataFrame:
+    """SPARQL ``ASK``: does the pattern group match at all?  Returns a
+    one-row frame ``[ask: boolean]``.
+
+    Spark-first: the solution frame is probed through ``limit(1)``
+    BEFORE the aggregate, so the scheduler stops at the first
+    surviving row (Spark's incremental take) — an ASK over 100 TB
+    whose first partition matches reads one partition, not the corpus.
+    """
+    sol = match_patterns(
+        triples, patterns, filters=filters, values=values,
+        bindings=bindings, distinct=False,
+        assume_distinct=assume_distinct, path_hops=path_hops,
+    )
+    out = sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+    out.pinned_caches = sol.pinned_caches
+    return out
+
+
+def describe_term(triples: DataFrame, term: str) -> DataFrame:
+    """SPARQL ``DESCRIBE`` (symmetric concise form): every triple in
+    which ``term`` is the subject or the object, tagged with the
+    direction.  One scan, both constants pushed as an OR filter."""
+    return triples.filter(
+        (F.col("subj") == F.lit(term)) | (F.col("obj") == F.lit(term))
+    ).select(
+        "subj", "pred", "obj",
+        F.when(F.col("subj") == F.lit(term), F.lit("out"))
+        .otherwise(F.lit("in")).alias("direction"),
+    ).distinct()

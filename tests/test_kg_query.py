@@ -703,3 +703,71 @@ def test_aggregate_offset(triples):
         limit=2,
     )
     assert [tuple(r) for r in out.collect()] == [("initech", 1)]
+
+
+def test_zero_or_more_path_anchored(triples):
+    # acme acquired* ?o : zero-length identity (acme) plus the closure.
+    out = match_patterns(triples, [("acme", "acquired*", "?o")])
+    assert rows(out) == [("acme",), ("initech",)]
+
+
+def test_zero_or_more_path_both_vars_identity(triples):
+    # ?x acquired* ?x : every graph node matches at zero length.
+    out = match_patterns(triples, [("?x", "acquired*", "?x")])
+    assert rows(out) == [
+        ("acme",), ("ada",), ("berlin",), ("bob",), ("cyd",),
+        ("initech",), ("loopy",), ("oslo",)]
+
+
+def test_zero_or_more_constant_not_in_graph(triples):
+    # SPARQL ZeroLengthPath evaluates the term, not the graph: a
+    # constant absent from every triple still matches itself.
+    out = match_patterns(triples, [("ghost", "acquired*", "?o")])
+    assert rows(out) == [("ghost",)]
+
+
+def test_zero_or_one_path(triples):
+    out = match_patterns(triples, [("ada", "visited?", "?w")])
+    assert rows(out) == [("ada",), ("oslo",)]
+
+
+def test_alternation_closure(triples):
+    # (acquired|located_in)+ from acme: initech (1 hop), berlin
+    # (1 hop), oslo (acme→initech→oslo, 2 hops).
+    out = match_patterns(
+        triples, [("acme", "acquired|located_in+", "?y")])
+    assert rows(out) == [("berlin",), ("initech",), ("oslo",)]
+
+
+def test_sequence_with_quantified_hop(triples):
+    out = match_patterns(triples, [("?p", "works_at/acquired*", "?o")])
+    assert rows(out) == [
+        ("ada", "acme"), ("ada", "initech"),
+        ("bob", "acme"), ("bob", "initech"),
+        ("cyd", "initech")]
+
+
+def test_match_ask(triples, spark):
+    from crfsuite_spark.kg.query import match_ask
+
+    assert match_ask(
+        triples, [("ada", "works_at", "?o")]).collect()[0].ask is True
+    assert match_ask(
+        triples, [("ada", "works_at", "initech")]).collect()[0].ask is False
+    # joined group
+    assert match_ask(
+        triples,
+        [("?p", "works_at", "?org"), ("?org", "located_in", "oslo")],
+    ).collect()[0].ask is True
+
+
+def test_describe_term(triples):
+    from crfsuite_spark.kg.query import describe_term
+
+    out = describe_term(triples, "acme")
+    assert rows(out) == [
+        ("acme", "acquired", "initech", "out"),
+        ("acme", "located_in", "berlin", "out"),
+        ("ada", "works_at", "acme", "in"),
+        ("bob", "works_at", "acme", "in"),
+    ]
