@@ -771,3 +771,73 @@ def test_describe_term(triples):
         ("ada", "works_at", "acme", "in"),
         ("bob", "works_at", "acme", "in"),
     ]
+
+
+def _brute_force_path(tset, path, max_hops=3):
+    """Reference path evaluator mirroring the documented semantics:
+    hops split on '/', each hop optionally inverted (^), an
+    alternation of predicates, and quantified (+ bounded closure,
+    * closure plus identity over graph nodes, ? edge plus identity);
+    sequence composes the hop relations."""
+    nodes = {s for s, _, _ in tset} | {o for _, _, o in tset}
+
+    def hop_pairs(term):
+        inv = term.startswith("^")
+        if inv:
+            term = term[1:]
+        quant = None
+        if term and term[-1] in "+*?":
+            quant, term = term[-1], term[:-1]
+        preds = term.split("|")
+        edges = {(s, o) for s, p, o in tset if p in preds}
+        if inv:
+            edges = {(o, s) for s, o in edges}
+        if quant in ("+", "*"):
+            pairs, frontier = set(edges), set(edges)
+            for _ in range(max_hops - 1):
+                frontier = {
+                    (a, c) for (a, b) in frontier for (b2, c) in edges
+                    if b2 == b
+                } - pairs
+                pairs |= frontier
+        else:
+            pairs = set(edges)
+        if quant in ("*", "?"):
+            pairs |= {(n, n) for n in nodes}
+        return pairs
+
+    hops = path.split("/")
+    rel = hop_pairs(hops[0])
+    for h in hops[1:]:
+        nxt = hop_pairs(h)
+        rel = {(a, c) for (a, b) in rel for (b2, c) in nxt if b2 == b}
+    return rel
+
+
+def test_fuzz_path_algebra_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(20260818)
+    ents = ["a", "b", "c", "d"]
+    preds = ["p", "q", "r"]
+    for trial in range(10):
+        tset = {
+            (rng.choice(ents), rng.choice(preds), rng.choice(ents))
+            for _ in range(rng.randint(3, 12))
+        }
+        t = spark.createDataFrame(sorted(tset), ["subj", "pred", "obj"])
+
+        def rand_hop():
+            base = "|".join(
+                rng.sample(preds, rng.randint(1, 2)))
+            if rng.random() < 0.3:
+                base = "^" + base
+            return base + rng.choice(["", "+", "*", "?"])
+
+        path = "/".join(rand_hop() for _ in range(rng.randint(1, 2)))
+        exp = sorted(_brute_force_path(tset, path, max_hops=3))
+        out = match_patterns(t, [("?x", path, "?y")], path_hops=3)
+        got = rows(out)
+        for c in out.pinned_caches:
+            c.unpersist()
+        assert got == exp, (trial, path, sorted(tset))
