@@ -1123,6 +1123,68 @@ def q_kg_describe(spark, sf):
     return describe_term(_gold_triples(spark), "org:acme_corp")
 
 
+def _hash_embedding_model(spark):
+    """Closed-form TransE model over the gold vocab: integer embedding
+    values from the portable md5 idiom (md5(name:k:7) % 21 - 10), so
+    distances are exact small-integer sums both engines compute
+    bit-identically. Training itself is iterative (pytest-gated,
+    tests/test_embeddings.py); this pins the RANKING machinery
+    cross-engine."""
+    import hashlib
+
+    import numpy as np
+
+    from crfsuite_spark.kg.embeddings import TransEModel, build_vocab
+
+    t = _gold_triples(spark)
+    ents, rels = build_vocab(t)
+
+    def emb(names):
+        return np.array(
+            [
+                [
+                    int(hashlib.md5(f"{n}:{k}:7".encode())
+                        .hexdigest()[:8], 16) % 21 - 10
+                    for k in range(4)
+                ]
+                for n in names
+            ],
+            dtype=np.float64,
+        )
+
+    return t, TransEModel(ents, rels, emb(ents), emb(rels))
+
+
+def q_kg_link_pred_ranks(spark, sf):
+    """FB15k-protocol filtered tail-prediction ranks
+    (kg/embeddings.py link_prediction_ranks): raw rank from a
+    vectorized all-entity scan, filtered correction from a distributed
+    join against the known triples — no driver-side known-set. Oracle
+    = the literal cross-join distance ranking with NOT EXISTS
+    filtering over the same hash embeddings."""
+    from crfsuite_spark.kg.embeddings import link_prediction_ranks
+
+    t, model = _hash_embedding_model(spark)
+    tests = t.filter(F.col("pred") == "works_at")
+    return link_prediction_ranks(model, tests, known_triples=t)
+
+
+def q_kg_link_pred_metrics(spark, sf):
+    """Link-prediction summary metrics (MRR, Hits@k) over the filtered
+    ranks — one partial-aggregated row, round-6 like the pagerank
+    oracle."""
+    from crfsuite_spark.kg.embeddings import (
+        evaluate_link_prediction,
+        link_prediction_ranks,
+    )
+
+    t, model = _hash_embedding_model(spark)
+    tests = t.filter(F.col("pred") == "works_at")
+    return evaluate_link_prediction(
+        link_prediction_ranks(model, tests, known_triples=t)
+    )
+
+
 def q_kg_validate_graph(spark, sf):
     """SHACL-lite graph constraint validation (kg/validate.py): one
     violation report over deliberately-tight shapes — wrong range for
@@ -1562,6 +1624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_match_star_path": q_kg_match_star_path,
         "kg_ask": q_kg_ask,
         "kg_describe": q_kg_describe,
+        "kg_link_pred_ranks": q_kg_link_pred_ranks,
+        "kg_link_pred_metrics": q_kg_link_pred_metrics,
         "kg_validate_graph": q_kg_validate_graph,
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
@@ -1944,6 +2008,43 @@ def _match_star_path_oracle_sql(gold: str, max_hops=3) -> str:
         """
 
 
+def _link_pred_oracle_ctes(gold: str) -> str:
+    """Shared CTE chain reproducing q_kg_link_pred_ranks: the same
+    hash embeddings (md5(name:k:7) % 21 - 10, dim 4 — integer values,
+    so every distance is an exact small-integer sum in double and the
+    strict < comparisons are order-free), cross-join distances, and
+    the filtered-rank NOT EXISTS."""
+    return f"""
+            t AS (SELECT DISTINCT subj, pred, obj FROM read_parquet('{gold}')),
+            ents AS (SELECT DISTINCT e FROM (SELECT subj AS e FROM t UNION SELECT obj FROM t)),
+            dims AS (SELECT unnest([0, 1, 2, 3]) AS k),
+            eemb AS (SELECT e, k,
+                       CAST(('0x' || substr(md5(concat_ws(':', e, k, '7')), 1, 8))::BIGINT % 21 - 10 AS DOUBLE) AS v
+                     FROM ents CROSS JOIN dims),
+            remb AS (SELECT pred AS r, k,
+                       CAST(('0x' || substr(md5(concat_ws(':', pred, k, '7')), 1, 8))::BIGINT % 21 - 10 AS DOUBLE) AS v
+                     FROM (SELECT DISTINCT pred FROM t) CROSS JOIN dims),
+            tests AS (SELECT subj, pred, obj FROM t WHERE pred = 'works_at'),
+            q AS (SELECT ts.subj, ts.pred, ts.obj, eh.k, eh.v + r.v AS qv
+                  FROM tests ts
+                  JOIN eemb eh ON eh.e = ts.subj
+                  JOIN remb r ON r.r = ts.pred AND r.k = eh.k),
+            dist AS (SELECT q.subj, q.pred, q.obj, ec.e AS cand,
+                            sum((q.qv - ec.v) * (q.qv - ec.v)) AS d
+                     FROM q JOIN eemb ec ON ec.k = q.k
+                     GROUP BY q.subj, q.pred, q.obj, ec.e),
+            dtrue AS (SELECT subj, pred, obj, d AS d_true FROM dist WHERE cand = obj),
+            ranks AS (
+              SELECT d.subj, d.pred, d.obj,
+                     CAST(1 + count(*) FILTER (WHERE d.d < dt.d_true
+                       AND d.cand <> d.obj
+                       AND NOT EXISTS (SELECT 1 FROM t k2
+                         WHERE k2.subj = d.subj AND k2.pred = d.pred
+                           AND k2.obj = d.cand)) AS BIGINT) AS "rank"
+              FROM dist d JOIN dtrue dt USING (subj, pred, obj)
+              GROUP BY d.subj, d.pred, d.obj)"""
+
+
 def _ntriples_oracle_sql(gold: str, base="urn:kg:") -> str:
     """DuckDB SQL reproducing q_kg_ntriples: the same percent-escape
     replace chain ('%' first) and IRI concatenation per slot."""
@@ -2314,6 +2415,19 @@ def oracle_sql() -> dict[str, str]:
         "kg_match_star_path": _match_star_path_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"
         ),
+        "kg_link_pred_ranks": f"""
+            WITH {_link_pred_oracle_ctes(f"{fixtures}/gold_triples_synthetic.parquet")}
+            SELECT subj, pred, obj, "rank" FROM ranks
+        """,
+        "kg_link_pred_metrics": f"""
+            WITH {_link_pred_oracle_ctes(f"{fixtures}/gold_triples_synthetic.parquet")}
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   round(avg(1.0 / "rank"), 6) AS mrr,
+                   round(avg(CASE WHEN "rank" <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
+                   round(avg(CASE WHEN "rank" <= 3 THEN 1.0 ELSE 0.0 END), 6) AS hits3,
+                   round(avg(CASE WHEN "rank" <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10
+            FROM ranks
+        """,
         "kg_ask": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
             SELECT EXISTS (

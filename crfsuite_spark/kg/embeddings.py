@@ -1,0 +1,363 @@
+"""TransE knowledge-graph embeddings: distributed training and
+link-prediction evaluation over (subj, pred, obj) triple frames.
+
+Completes the graph-learning data path this engine already preps for
+(kg/negatives.py corrupt-tail sampling, kg/splits.py FB15k-protocol
+splitting, kg/graph.py neighbor fanout sampling): the public TransE
+model (Bordes et al. 2013, "Translating Embeddings for Modeling
+Multi-relational Data") scores a triple by ``-||E[h] + R[r] - E[t]||²``
+and trains with a margin-ranking loss against corrupted triples.
+
+Scale + determinism design (same regime as the CRF trainer):
+
+- **Embedding tables are broadcast model state**, exactly like the CRF
+  weight matrix: entity/relation vocabularies are dictionary-scale
+  (bounded like ``kg/linking.py``'s alias dictionary), the triple
+  STREAM is what scales.  Per epoch ONE broadcast ships the tables
+  out and ONE summed payload returns (``reduce_epoch_partials`` —
+  partition-id-ordered below the tree threshold, executor-side
+  treeReduce above it), regardless of cluster width.
+- **Full-batch subgradient descent**, not per-partition SGD: every
+  epoch computes the exact margin-loss subgradient over all triples,
+  so the result is independent of partitioning (up to float summation
+  order) and reproducible — the property the batch CRF trainer has
+  and iterative-mixing SGD does not.
+- **Negatives are portable-hash draws** keyed on (triple-ids, epoch,
+  side, seed) with the classic n-1 skip trick (kg/negatives.py's
+  idiom), so retries/AQE replans and different partitionings corrupt
+  each triple identically.
+- **Filtered ranks without a driver-side known-set**: the raw rank is
+  a vectorized all-entity scan per test triple (Arrow batches against
+  the broadcast tables); the "filtered" correction — known true tails
+  that outscore the test tail — is a JOIN against the known-triple
+  frame, aggregated distributedly.  The known set is never collected.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants): a
+    deterministic uint64 → uint64 mix, the vectorized counterpart of
+    the md5 draw for in-partition negative sampling (no SQL mirror
+    needed, so speed wins over cross-engine portability here)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
+    return x ^ (x >> np.uint64(31))
+
+
+def _draw_indices(h, r, t, epoch: int, side: int, seed: int,
+                  n: int) -> np.ndarray:
+    """Deterministic uniform draws in [0, n), keyed per (triple ids,
+    epoch, side, seed) — identical under any partitioning/replan."""
+    with np.errstate(over="ignore"):
+        key = (
+            h.astype(np.uint64) * np.uint64(0x100000001B3)
+            + r.astype(np.uint64) * np.uint64(0x1000193)
+            + t.astype(np.uint64) * np.uint64(0x10001)
+            + np.uint64(epoch * 2 + side)
+            + np.uint64(seed) * np.uint64(0x9E3779B9)
+        ) & _M64
+    return (_mix64(key) % np.uint64(n)).astype(np.int64)
+
+
+@dataclass
+class TransEModel:
+    """Broadcastable TransE model state: sorted vocabularies plus
+    float64 embedding matrices (entities L2-normalized per the TransE
+    projection step)."""
+
+    entities: list
+    relations: list
+    ent_emb: np.ndarray  # (n_entities, dim)
+    rel_emb: np.ndarray  # (n_relations, dim)
+    log: list = field(default_factory=list)
+
+    @property
+    def dim(self) -> int:
+        return int(self.ent_emb.shape[1])
+
+    def to_frames(self, spark) -> tuple[DataFrame, DataFrame]:
+        """(entity_df, relation_df) with ``array<double>`` embedding
+        columns — the writable/joinable form."""
+        ent = spark.createDataFrame(
+            [(e, v.tolist()) for e, v in zip(self.entities, self.ent_emb)],
+            "entity string, embedding array<double>",
+        )
+        rel = spark.createDataFrame(
+            [(r, v.tolist()) for r, v in zip(self.relations, self.rel_emb)],
+            "relation string, embedding array<double>",
+        )
+        return ent, rel
+
+
+def build_vocab(triples: DataFrame) -> tuple[list, list]:
+    """Sorted entity (subj ∪ obj) and relation vocabularies.  These
+    are model-state-sized (the same bounded-collect contract as the
+    CRF label/attribute dictionaries and the linking alias dict)."""
+    ents = [
+        r[0]
+        for r in triples.select(F.col("subj").alias("e"))
+        .unionByName(triples.select(F.col("obj").alias("e")))
+        .distinct()
+        .sort("e")
+        .collect()
+    ]
+    rels = [r[0] for r in triples.select("pred").distinct().sort("pred").collect()]
+    return ents, rels
+
+
+def _index_triples(triples: DataFrame, ent2id: dict, rel2id: dict,
+                   num_partitions: int | None) -> DataFrame:
+    """Distinct (h, r, t) id rows via broadcast dicts — one Arrow pass,
+    the mention stream never ships strings to the driver."""
+    sc = triples.sparkSession.sparkContext
+    maps_bc = sc.broadcast((ent2id, rel2id))
+
+    def run(batches):
+        e2i, r2i = maps_bc.value
+        for pdf in batches:
+            yield pd.DataFrame({
+                "h": pdf["subj"].map(e2i).astype("int64"),
+                "r": pdf["pred"].map(r2i).astype("int64"),
+                "t": pdf["obj"].map(e2i).astype("int64"),
+            })
+
+    out = (
+        triples.select("subj", "pred", "obj").distinct()
+        .mapInPandas(run, "h long, r long, t long")
+    )
+    if num_partitions:
+        out = out.repartition(num_partitions)
+    return out
+
+
+def train_transe(
+    triples: DataFrame,
+    dim: int = 32,
+    epochs: int = 50,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    tree_reduce_threshold: int = 64,
+) -> TransEModel:
+    """Full-batch TransE with margin-ranking loss and hash-drawn
+    corrupt-head AND corrupt-tail negatives (one of each per triple
+    per epoch).  Entities re-project to the unit sphere after every
+    step (the TransE algorithm's normalization).  ``model.log`` holds
+    per-epoch ``{"epoch", "loss", "n_triples"}``.
+    """
+    from crfsuite_spark.train.trainer import (
+        EPOCH_PARTIAL_SCHEMA,
+        reduce_epoch_partials,
+    )
+
+    sc = triples.sparkSession.sparkContext
+    entities, relations = build_vocab(triples)
+    ent2id = {e: i for i, e in enumerate(entities)}
+    rel2id = {r: i for i, r in enumerate(relations)}
+    n_e, n_r = len(entities), len(relations)
+    if n_e < 2:
+        raise ValueError("need at least two entities to draw negatives")
+
+    indexed = _index_triples(triples, ent2id, rel2id, num_partitions).persist()
+    n_triples = indexed.count()
+    n_parts = indexed.rdd.getNumPartitions()
+
+    rng = np.random.RandomState(seed)
+    bound = 6.0 / np.sqrt(dim)
+    ent_emb = rng.uniform(-bound, bound, (n_e, dim))
+    ent_emb /= np.linalg.norm(ent_emb, axis=1, keepdims=True)
+    rel_emb = rng.uniform(-bound, bound, (n_r, dim))
+
+    log: list[dict] = []
+    for epoch in range(1, epochs + 1):
+        w_bc = sc.broadcast((ent_emb, rel_emb))
+
+        def run(batches, _epoch=epoch):
+            import pickle
+
+            from pyspark import TaskContext
+
+            ent, rel = w_bc.value
+            g_ent = np.zeros_like(ent)
+            g_rel = np.zeros_like(rel)
+            loss = 0.0
+            n = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                h = pdf["h"].to_numpy()
+                r = pdf["r"].to_numpy()
+                t = pdf["t"].to_numpy()
+                n += len(h)
+                # hash-drawn corruptions with the n-1 skip trick
+                neg_t = _draw_indices(h, r, t, _epoch, 0, seed, n_e - 1)
+                neg_t += neg_t >= t
+                neg_h = _draw_indices(h, r, t, _epoch, 1, seed, n_e - 1)
+                neg_h += neg_h >= h
+                d_pos_vec = ent[h] + rel[r] - ent[t]
+                d_pos = (d_pos_vec**2).sum(axis=1)
+                for side, nh, nt in (("t", h, neg_t), ("h", neg_h, t)):
+                    d_neg_vec = ent[nh] + rel[r] - ent[nt]
+                    d_neg = (d_neg_vec**2).sum(axis=1)
+                    viol = margin + d_pos - d_neg > 0
+                    loss += float(np.maximum(
+                        0.0, margin + d_pos - d_neg).sum())
+                    gp = 2.0 * d_pos_vec[viol]
+                    gn = 2.0 * d_neg_vec[viol]
+                    np.add.at(g_ent, h[viol], gp)
+                    np.add.at(g_ent, t[viol], -gp)
+                    np.add.at(g_rel, r[viol], gp - gn)
+                    np.add.at(g_ent, nh[viol], -gn)
+                    np.add.at(g_ent, nt[viol], gn)
+            if n == 0:
+                return
+            yield pd.DataFrame({
+                "pid": [TaskContext.get().partitionId()],
+                "n": [n], "loss": [loss],
+                "w": [pickle.dumps((g_ent, g_rel))],
+            })
+
+        red = reduce_epoch_partials(
+            indexed.mapInPandas(run, EPOCH_PARTIAL_SCHEMA),
+            n_parts, tree_reduce_threshold,
+        )
+        w_bc.unpersist()
+        if red is None:
+            break
+        total, loss, (g_ent, g_rel) = red
+        scale = lr / max(total, 1)
+        ent_emb = ent_emb - scale * g_ent
+        rel_emb = rel_emb - scale * g_rel
+        norms = np.linalg.norm(ent_emb, axis=1, keepdims=True)
+        ent_emb = ent_emb / np.maximum(norms, 1e-12)
+        log.append({"epoch": epoch, "loss": float(loss),
+                    "n_triples": int(total)})
+
+    indexed.unpersist()
+    return TransEModel(entities, relations, ent_emb, rel_emb, log)
+
+
+def link_prediction_ranks(
+    model: TransEModel,
+    test_triples: DataFrame,
+    known_triples: DataFrame | None = None,
+    batch_size: int = 1024,
+) -> DataFrame:
+    """Filtered tail-prediction rank per test triple (the FB15k
+    protocol): rank = 1 + #{entities e : d(h, r, e) < d(h, r, t),
+    (h, r, e) not a known true triple}.  Ties rank optimistically
+    (strictly-smaller counting), deterministic under the exact float
+    distances.
+
+    Two distributed stages, no driver-side known-set:
+
+    1. raw scan — each Arrow batch of test rows scores ALL entities
+       against the broadcast tables ((B, n_e) distance matrix via
+       one matmul) → raw strictly-better count + the true distance;
+    2. filtered correction — test ⋈ known on (subj, pred) scores only
+       the known tails (a per-row gather, no n_e fan-out) and counts
+       those that outscore the true tail; subtracting them from the
+       raw count is exactly the filtered-rank definition.
+    """
+    spark = test_triples.sparkSession
+    sc = spark.sparkContext
+    ent2id = {e: i for i, e in enumerate(model.entities)}
+    rel2id = {r: i for i, r in enumerate(model.relations)}
+    w_bc = sc.broadcast((model.ent_emb, model.rel_emb, ent2id, rel2id))
+
+    def raw(batches):
+        ent, rel, e2i, r2i = w_bc.value
+        sq = (ent**2).sum(axis=1)
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo:lo + batch_size]
+                h = chunk["subj"].map(e2i).to_numpy()
+                r = chunk["pred"].map(r2i).to_numpy()
+                t = chunk["obj"].map(e2i).to_numpy()
+                q = ent[h] + rel[r]  # (B, d)
+                # ||q - e||² = ||q||² - 2 q·e + ||e||²  (one matmul)
+                d_all = (
+                    (q**2).sum(axis=1, keepdims=True)
+                    - 2.0 * q @ ent.T
+                    + sq[None, :]
+                )
+                d_true = d_all[np.arange(len(chunk)), t]
+                raw_cnt = (d_all < d_true[:, None]).sum(axis=1)
+                yield pd.DataFrame({
+                    "subj": chunk["subj"], "pred": chunk["pred"],
+                    "obj": chunk["obj"],
+                    "d_true": d_true, "raw_cnt": raw_cnt,
+                })
+
+    scored = test_triples.select("subj", "pred", "obj").distinct().mapInPandas(
+        raw,
+        "subj string, pred string, obj string, d_true double, raw_cnt long",
+    )
+    if known_triples is None:
+        return scored.select(
+            "subj", "pred", "obj",
+            (F.col("raw_cnt") + F.lit(1)).cast("long").alias("rank"),
+        )
+
+    def pair_dist(batches):
+        ent, rel, e2i, r2i = w_bc.value
+        for pdf in batches:
+            h = pdf["subj"].map(e2i).to_numpy()
+            r = pdf["pred"].map(r2i).to_numpy()
+            k = pdf["known_obj"].map(e2i).to_numpy()
+            d = ((ent[h] + rel[r] - ent[k]) ** 2).sum(axis=1)
+            out = pdf[["subj", "pred", "obj", "d_true"]].copy()
+            out["known_obj"] = pdf["known_obj"]
+            out["d_known"] = d
+            yield out
+
+    known = known_triples.select(
+        F.col("subj"), F.col("pred"), F.col("obj").alias("known_obj")
+    ).distinct()
+    pairs = scored.join(known, on=["subj", "pred"]).filter(
+        F.col("known_obj") != F.col("obj")
+    )
+    corr = (
+        pairs.mapInPandas(
+            pair_dist,
+            "subj string, pred string, obj string, d_true double, "
+            "known_obj string, d_known double",
+        )
+        .filter(F.col("d_known") < F.col("d_true"))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("sub_cnt"))
+    )
+    return (
+        scored.join(corr, on=["subj", "pred", "obj"], how="left")
+        .select(
+            "subj", "pred", "obj",
+            (F.col("raw_cnt") + F.lit(1)
+             - F.coalesce(F.col("sub_cnt"), F.lit(0)))
+            .cast("long").alias("rank"),
+        )
+    )
+
+
+def evaluate_link_prediction(ranks: DataFrame) -> DataFrame:
+    """FB15k summary metrics over a rank frame: one partial-aggregated
+    row of MRR and Hits@{1,3,10}."""
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 6).alias("mrr"),
+        F.round(F.avg((F.col("rank") <= 1).cast("double")), 6).alias("hits1"),
+        F.round(F.avg((F.col("rank") <= 3).cast("double")), 6).alias("hits3"),
+        F.round(F.avg((F.col("rank") <= 10).cast("double")), 6).alias("hits10"),
+    )
