@@ -14,9 +14,15 @@ Scale + determinism design (same regime as the CRF trainer):
   weight matrix: entity/relation vocabularies are dictionary-scale
   (bounded like ``kg/linking.py``'s alias dictionary), the triple
   STREAM is what scales.  Per epoch ONE broadcast ships the tables
-  out and ONE summed payload returns (``reduce_epoch_partials`` —
-  partition-id-ordered below the tree threshold, executor-side
-  treeReduce above it), regardless of cluster width.
+  out; the returning gradient payloads are SPARSE over the entities a
+  partition actually touched (≤ 4 per triple), so payload size scales
+  with partition triple count, not vocabulary size — the dense form
+  made each partition ship the whole (n_entities × dim) matrix and
+  measurably INVERTED scaling (8 cores beat 32 on 200k triples:
+  100k vs 64k triples/s/epoch) before this fix.  Partials merge
+  partition-id-ordered below the tree threshold (deterministic
+  summation order → bit-reproducible runs), executor-side treeReduce
+  above it.
 - **Full-batch subgradient descent**, not per-partition SGD: every
   epoch computes the exact margin-loss subgradient over all triples,
   so the result is independent of partitioning (up to float summation
@@ -101,6 +107,64 @@ class TransEModel:
         return ent, rel
 
 
+def _segment_sum(idx_parts: list, val_parts: list):
+    """Sum row contributions per index: concat → unique → one
+    bincount per dim.  Bincount is the buffered C path (np.add.at's
+    unbuffered scatter measured ~10× slower on this exact shape) and
+    sums each bucket in input order — deterministic for a fixed
+    concatenation order."""
+    idx = np.concatenate(idx_parts)
+    val = np.concatenate(val_parts)
+    uidx, inv = np.unique(idx, return_inverse=True)
+    rows = np.empty((len(uidx), val.shape[1]), dtype=np.float64)
+    for k in range(val.shape[1]):
+        rows[:, k] = np.bincount(inv, weights=val[:, k],
+                                 minlength=len(uidx))
+    return uidx, rows
+
+
+def _merge_grad_partials(a, b):
+    """Merge two (n, loss, (ent_idx, ent_rows, g_rel)) sparse gradient
+    partials; the small relation gradient stays dense."""
+    n_a, loss_a, (ia, ra, rel_a) = a
+    n_b, loss_b, (ib, rb, rel_b) = b
+    uidx, rows = _segment_sum([ia, ib], [ra, rb])
+    return (n_a + n_b, loss_a + loss_b, (uidx, rows, rel_a + rel_b))
+
+
+def _reduce_grad_partials(partials_df, n_partitions_hint: int,
+                          tree_reduce_threshold: int = 64):
+    """Sum sparse epoch-gradient payloads: below the threshold ONE
+    partition-id-ordered segment-sum over all collected payloads
+    (deterministic float order, no pairwise re-unique churn); above
+    it executor-side treeReduce so the driver receives one payload
+    regardless of cluster width (same contract as
+    train.trainer.reduce_epoch_partials, but sparse-aware)."""
+    import pickle
+
+    if n_partitions_hint > tree_reduce_threshold:
+        try:
+            return partials_df.rdd.map(
+                lambda r: (r["n"], r["loss"], pickle.loads(r["w"]))
+            ).treeReduce(_merge_grad_partials, depth=2)
+        except ValueError:
+            return None
+    parts = sorted(partials_df.collect(), key=lambda r: r["pid"])
+    if not parts:
+        return None
+    payloads = [pickle.loads(r["w"]) for r in parts]
+    uidx, rows = _segment_sum([p[0] for p in payloads],
+                              [p[1] for p in payloads])
+    g_rel = payloads[0][2].copy()
+    for p in payloads[1:]:
+        g_rel += p[2]
+    n = sum(r["n"] for r in parts)
+    loss = 0.0
+    for r in parts:
+        loss += r["loss"]
+    return (n, loss, (uidx, rows, g_rel))
+
+
 def build_vocab(triples: DataFrame) -> tuple[list, list]:
     """Sorted entity (subj ∪ obj) and relation vocabularies.  These
     are model-state-sized (the same bounded-collect contract as the
@@ -150,18 +214,26 @@ def train_transe(
     margin: float = 1.0,
     seed: int = 42,
     num_partitions: int | None = None,
-    tree_reduce_threshold: int = 64,
+    tree_reduce_threshold: int = 16,
 ) -> TransEModel:
     """Full-batch TransE with margin-ranking loss and hash-drawn
     corrupt-head AND corrupt-tail negatives (one of each per triple
     per epoch).  Entities re-project to the unit sphere after every
     step (the TransE algorithm's normalization).  ``model.log`` holds
     per-epoch ``{"epoch", "loss", "n_triples"}``.
+
+    ``tree_reduce_threshold``: above this many partitions the epoch
+    payloads merge executor-side (treeReduce) so the driver ingests
+    ~√P payloads instead of P.  On a DENSE-touch workload (each
+    partition hits most of the vocabulary) the gradient payload is
+    ~vocab-sized per partition, so driver ingest is P × vocab × dim
+    bytes — measured as the scaling inversion on local[32] (32
+    collected payloads of ~13 MB each per epoch) — and the tree is
+    what restores scaling; hence the low default.  Below it, payloads
+    merge on the driver in partition-id order (deterministic float
+    summation).
     """
-    from crfsuite_spark.train.trainer import (
-        EPOCH_PARTIAL_SCHEMA,
-        reduce_epoch_partials,
-    )
+    from crfsuite_spark.train.trainer import EPOCH_PARTIAL_SCHEMA
 
     sc = triples.sparkSession.sparkContext
     entities, relations = build_vocab(triples)
@@ -191,8 +263,9 @@ def train_transe(
             from pyspark import TaskContext
 
             ent, rel = w_bc.value
-            g_ent = np.zeros_like(ent)
             g_rel = np.zeros_like(rel)
+            acc_idx: list = []
+            acc_rows: list = []
             loss = 0.0
             n = 0
             for pdf in batches:
@@ -209,7 +282,9 @@ def train_transe(
                 neg_h += neg_h >= h
                 d_pos_vec = ent[h] + rel[r] - ent[t]
                 d_pos = (d_pos_vec**2).sum(axis=1)
-                for side, nh, nt in (("t", h, neg_t), ("h", neg_h, t)):
+                idx_parts: list = []
+                val_parts: list = []
+                for side, nh, nt in ((0, h, neg_t), (1, neg_h, t)):
                     d_neg_vec = ent[nh] + rel[r] - ent[nt]
                     d_neg = (d_neg_vec**2).sum(axis=1)
                     viol = margin + d_pos - d_neg > 0
@@ -217,29 +292,42 @@ def train_transe(
                         0.0, margin + d_pos - d_neg).sum())
                     gp = 2.0 * d_pos_vec[viol]
                     gn = 2.0 * d_neg_vec[viol]
-                    np.add.at(g_ent, h[viol], gp)
-                    np.add.at(g_ent, t[viol], -gp)
-                    np.add.at(g_rel, r[viol], gp - gn)
-                    np.add.at(g_ent, nh[viol], -gn)
-                    np.add.at(g_ent, nt[viol], gn)
+                    idx_parts += [h[viol], t[viol], nh[viol], nt[viol]]
+                    val_parts += [gp, -gp, -gn, gn]
+                    rv = r[viol]
+                    grel = gp - gn
+                    for k in range(grel.shape[1]):
+                        g_rel[:, k] += np.bincount(
+                            rv, weights=grel[:, k], minlength=len(rel))
+                if idx_parts:
+                    bi, br = _segment_sum(idx_parts, val_parts)
+                    acc_idx.append(bi)
+                    acc_rows.append(br)
             if n == 0:
                 return
+            # sparse payload: only the entity rows this partition
+            # touched ship back (size ∝ min(partition triples,
+            # vocabulary)), in float32 — partition sums stay float64,
+            # the halved payload is what crosses the wire and merges
+            uidx, rows = _segment_sum(acc_idx, acc_rows)
             yield pd.DataFrame({
                 "pid": [TaskContext.get().partitionId()],
                 "n": [n], "loss": [loss],
-                "w": [pickle.dumps((g_ent, g_rel))],
+                "w": [pickle.dumps((uidx, rows.astype(np.float32),
+                                    g_rel.astype(np.float32)))],
             })
 
-        red = reduce_epoch_partials(
+        red = _reduce_grad_partials(
             indexed.mapInPandas(run, EPOCH_PARTIAL_SCHEMA),
             n_parts, tree_reduce_threshold,
         )
         w_bc.unpersist()
         if red is None:
             break
-        total, loss, (g_ent, g_rel) = red
+        total, loss, (ent_idx, ent_rows, g_rel) = red
         scale = lr / max(total, 1)
-        ent_emb = ent_emb - scale * g_ent
+        ent_emb = ent_emb.copy()
+        ent_emb[ent_idx] -= scale * ent_rows
         rel_emb = rel_emb - scale * g_rel
         norms = np.linalg.norm(ent_emb, axis=1, keepdims=True)
         ent_emb = ent_emb / np.maximum(norms, 1e-12)
@@ -302,9 +390,18 @@ def link_prediction_ranks(
                     "d_true": d_true, "raw_cnt": raw_cnt,
                 })
 
-    scored = test_triples.select("subj", "pred", "obj").distinct().mapInPandas(
-        raw,
-        "subj string, pred string, obj string, d_true double, raw_cnt long",
+    # The raw scan is compute-bound per ROW (an n_entities × dim
+    # matmul per test triple), so partitioning must follow core
+    # count, not byte size — AQE coalesces a few-thousand-row test
+    # frame to ONE partition and serializes the whole eval otherwise
+    # (measured: eval time flat from 8 to 32 cores until this).
+    scored = (
+        test_triples.select("subj", "pred", "obj").distinct()
+        .repartition(sc.defaultParallelism)
+        .mapInPandas(
+            raw,
+            "subj string, pred string, obj string, d_true double, raw_cnt long",
+        )
     )
     if known_triples is None:
         return scored.select(

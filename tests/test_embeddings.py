@@ -127,11 +127,13 @@ def test_to_frames_roundtrip(spark, graph):
 
 
 def test_partition_count_invariance(spark, graph):
-    """Full-batch gradients: 1-partition and 8-partition runs agree
-    to float-summation tolerance."""
+    """Full-batch gradients: 1-partition and 8-partition runs agree to
+    payload tolerance (per-partition sums are float64; the shipped
+    payload is float32, so partitioning shifts results by ~1e-7
+    relative — orders below any training-relevant signal)."""
     m1 = train_transe(graph, dim=8, epochs=5, lr=0.3, seed=11,
                       num_partitions=1)
     m8 = train_transe(graph, dim=8, epochs=5, lr=0.3, seed=11,
                       num_partitions=8)
-    assert np.allclose(m1.ent_emb, m8.ent_emb, atol=1e-12)
-    assert np.allclose(m1.rel_emb, m8.rel_emb, atol=1e-12)
+    assert np.allclose(m1.ent_emb, m8.ent_emb, atol=1e-5)
+    assert np.allclose(m1.rel_emb, m8.rel_emb, atol=1e-5)
