@@ -1185,6 +1185,19 @@ def q_kg_link_pred_metrics(spark, sf):
     )
 
 
+def q_kg_match_negated(spark, sf):
+    """SPARQL negated property set (kg/query.py `!p1|p2` ≡ !(p1|p2)):
+    distinct endpoint pairs connected by anything OTHER than the
+    listed predicates — a NOT-IN scan filter. Oracle = the literal
+    NOT IN."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    return match_patterns(
+        _gold_triples(spark),
+        [("?s", "!works_at|located_in|visited", "?o")],
+    )
+
+
 def q_kg_validate_graph(spark, sf):
     """SHACL-lite graph constraint validation (kg/validate.py): one
     violation report over deliberately-tight shapes — wrong range for
@@ -1626,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": q_kg_describe,
         "kg_link_pred_ranks": q_kg_link_pred_ranks,
         "kg_link_pred_metrics": q_kg_link_pred_metrics,
+        "kg_match_negated": q_kg_match_negated,
         "kg_validate_graph": q_kg_validate_graph,
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
@@ -2427,6 +2441,11 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN "rank" <= 3 THEN 1.0 ELSE 0.0 END), 6) AS hits3,
                    round(avg(CASE WHEN "rank" <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10
             FROM ranks
+        """,
+        "kg_match_negated": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
+            SELECT DISTINCT subj AS s, obj AS o FROM t
+            WHERE pred NOT IN ('works_at', 'located_in', 'visited')
         """,
         "kg_ask": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))

@@ -93,6 +93,21 @@ class TransEModel:
     def dim(self) -> int:
         return int(self.ent_emb.shape[1])
 
+    @classmethod
+    def from_frames(cls, ent: DataFrame, rel: DataFrame) -> "TransEModel":
+        """Rebuild a model from the :meth:`to_frames` layout (e.g.
+        after a parquet roundtrip).  Vocabulary order is re-sorted, so
+        any row order on disk loads identically; the collect is
+        model-state-sized by contract."""
+        ent_rows = sorted((r[0], r[1]) for r in ent.collect())
+        rel_rows = sorted((r[0], r[1]) for r in rel.collect())
+        return cls(
+            entities=[e for e, _ in ent_rows],
+            relations=[r for r, _ in rel_rows],
+            ent_emb=np.array([v for _, v in ent_rows], dtype=np.float64),
+            rel_emb=np.array([v for _, v in rel_rows], dtype=np.float64),
+        )
+
     def to_frames(self, spark) -> tuple[DataFrame, DataFrame]:
         """(entity_df, relation_df) with ``array<double>`` embedding
         columns — the writable/joinable form."""

@@ -296,7 +296,8 @@ def property_path(
     pair connected by 1..max_hops edges of ``pred``, hops = MINIMUM
     path length (cycles may close back onto src).  ``pred`` may be an
     alternation ``p1|p2`` — the closure then runs over the UNION edge
-    set (SPARQL ``(p1|p2)+``), an IN-list scan predicate.
+    set (SPARQL ``(p1|p2)+``), an IN-list scan predicate — or a
+    negated property set ``!p1|p2`` (SPARQL ``!(p1|p2)``, NOT IN).
 
     Semi-naive evaluation — round h+1 expands only the pairs first
     DISCOVERED at round h (not the whole closure), so each round is
@@ -307,10 +308,12 @@ def property_path(
     re-join of the full closure every round is quadratic. The pred
     filter reaches the scan, so a pred-partitioned table reads one
     predicate's slice. Unpersist via ``out.pinned_caches``."""
-    pred_filter = (
-        F.col("pred").isin(pred.split("|")) if "|" in pred
-        else F.col("pred") == F.lit(pred)
-    )
+    if pred.startswith("!") and len(pred) > 1:
+        pred_filter = ~F.col("pred").isin(pred[1:].split("|"))
+    elif "|" in pred:
+        pred_filter = F.col("pred").isin(pred.split("|"))
+    else:
+        pred_filter = F.col("pred") == F.lit(pred)
     edges = (
         triples.filter(pred_filter)
         .select(F.col(subj).alias("src"), F.col(obj).alias("dst"))

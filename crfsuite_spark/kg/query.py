@@ -131,6 +131,18 @@ def _expand_sequences(patterns, sources):
     return out_p, (None if sources is None else out_s)
 
 
+def _pred_filter(base: str) -> F.Column:
+    """Scan predicate for a path-term base: ``p`` equality, ``p1|p2``
+    alternation (IN-list), ``!p1|p2`` negated property set (NOT IN —
+    SPARQL ``!(p1|p2)``).  All three reach the parquet scan as pushed
+    filters."""
+    if base.startswith("!") and len(base) > 1:
+        return ~F.col("pred").isin(base[1:].split("|"))
+    if "|" in base:
+        return F.col("pred").isin(base.split("|"))
+    return F.col("pred") == F.lit(base)
+
+
 def _bind_src_dst(df: DataFrame, pattern, idx: int):
     """Apply a pattern's subj/obj terms to a (src, dst) pair frame:
     constants filter, variables rename, a repeated variable forces
@@ -231,12 +243,7 @@ def _compile_pattern(triples: DataFrame, pattern, idx: int,
         bound, extra = _bind_src_dst(pairs, pattern, idx)
         return bound, 1 + extra, pp.pinned_caches
     if not _is_var(p_term) and p_term.endswith("?") and len(p_term) > 1:
-        base = p_term[:-1]
-        pred_filter = (
-            F.col("pred").isin(base.split("|")) if "|" in base
-            else F.col("pred") == F.lit(base)
-        )
-        edges = triples.filter(pred_filter).select(
+        edges = triples.filter(_pred_filter(p_term[:-1])).select(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
         pairs = _identity_pairs(triples, pattern).unionByName(edges).distinct()
@@ -254,12 +261,13 @@ def _compile_pattern(triples: DataFrame, pattern, idx: int,
                 df = df.filter(F.col(slot) == F.col(var_slot[name]))
             else:
                 var_slot[name] = slot
-        elif slot == "pred" and "|" in term:
-            # SPARQL alternation path ``p1|p2``: edges labelled with any
-            # of the alternatives — an IN-list scan predicate (pushed to
-            # parquet like an equality).  Only the predicate slot parses
-            # ``|``; entity constants keep the character literally.
-            df = df.filter(F.col(slot).isin(term.split("|")))
+        elif slot == "pred" and ("|" in term or term.startswith("!")):
+            # SPARQL alternation ``p1|p2`` (IN-list) or negated
+            # property set ``!p1|p2`` ≡ ``!(p1|p2)`` (NOT IN), both
+            # pushed to parquet like an equality.  Only the predicate
+            # slot parses ``|``/``!``; entity constants keep the
+            # characters literally.
+            df = df.filter(_pred_filter(term))
             n_consts += 1
         else:
             df = df.filter(F.col(slot) == F.lit(term))
@@ -306,6 +314,8 @@ def match_patterns(
         ``pred?`` (zero-or-one), ``^pred`` (inverse — the edge
         traversed object→subject), ``p1|p2`` alternation (an IN-list
         scan predicate, quantifiable: ``p1|p2+`` means ``(p1|p2)+``),
+        ``!p1|p2`` negated property set (SPARQL ``!(p1|p2)``, a NOT-IN
+        scan predicate, also quantifiable/invertible),
         and ``p1/p2`` sequence (expanded to the spec's chained-BGP
         translation with internal variables; see
         :func:`_expand_sequences` for the precedence caveat).

@@ -137,3 +137,18 @@ def test_partition_count_invariance(spark, graph):
                       num_partitions=8)
     assert np.allclose(m1.ent_emb, m8.ent_emb, atol=1e-5)
     assert np.allclose(m1.rel_emb, m8.rel_emb, atol=1e-5)
+
+
+def test_from_frames_roundtrip(spark, graph, tmp_path):
+    model = train_transe(graph, dim=4, epochs=2, lr=0.3, seed=5)
+    ent, rel = model.to_frames(spark)
+    ent.write.parquet(str(tmp_path / "ent"))
+    rel.write.parquet(str(tmp_path / "rel"))
+    loaded = TransEModel.from_frames(
+        spark.read.parquet(str(tmp_path / "ent")),
+        spark.read.parquet(str(tmp_path / "rel")),
+    )
+    assert loaded.entities == model.entities
+    assert loaded.relations == model.relations
+    assert np.array_equal(loaded.ent_emb, model.ent_emb)
+    assert np.array_equal(loaded.rel_emb, model.rel_emb)

@@ -788,8 +788,11 @@ def _brute_force_path(tset, path, max_hops=3):
         quant = None
         if term and term[-1] in "+*?":
             quant, term = term[-1], term[:-1]
-        preds = term.split("|")
-        edges = {(s, o) for s, p, o in tset if p in preds}
+        negated = term.startswith("!")
+        if negated:
+            term = term[1:]
+        preds = set(term.split("|"))
+        edges = {(s, o) for s, p, o in tset if (p in preds) != negated}
         if inv:
             edges = {(o, s) for s, o in edges}
         if quant in ("+", "*"):
@@ -830,6 +833,8 @@ def test_fuzz_path_algebra_vs_brute_force(spark):
         def rand_hop():
             base = "|".join(
                 rng.sample(preds, rng.randint(1, 2)))
+            if rng.random() < 0.25:
+                base = "!" + base
             if rng.random() < 0.3:
                 base = "^" + base
             return base + rng.choice(["", "+", "*", "?"])
@@ -841,3 +846,20 @@ def test_fuzz_path_algebra_vs_brute_force(spark):
         for c in out.pinned_caches:
             c.unpersist()
         assert got == exp, (trial, path, sorted(tset))
+
+
+def test_negated_property_set(triples):
+    # !works_at|located_in : every edge whose predicate is neither.
+    out = match_patterns(triples, [("?s", "!works_at|located_in", "?o")])
+    assert rows(out) == [
+        ("acme", "initech"), ("ada", "oslo"), ("loopy", "loopy")]
+
+
+def test_negated_property_set_composes(triples):
+    # inverse of a negated set, and a negated set under closure
+    inv = match_patterns(triples, [("?o", "^!works_at|located_in|knows", "?s")])
+    assert rows(inv) == [("initech", "acme"), ("oslo", "ada")]
+    out = match_patterns(triples, [("acme", "!works_at+", "?x")])
+    # non-works_at edges from acme: located_in->berlin, acquired->
+    # initech, then initech's located_in->oslo at hop 2
+    assert rows(out) == [("berlin",), ("initech",), ("oslo",)]
