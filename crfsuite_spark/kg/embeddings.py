@@ -230,6 +230,7 @@ def train_transe(
     seed: int = 42,
     num_partitions: int | None = None,
     tree_reduce_threshold: int = 16,
+    init: TransEModel | None = None,
 ) -> TransEModel:
     """Full-batch TransE with margin-ranking loss and hash-drawn
     corrupt-head AND corrupt-tail negatives (one of each per triple
@@ -247,6 +248,13 @@ def train_transe(
     what restores scaling; hence the low default.  Below it, payloads
     merge on the driver in partition-id order (deterministic float
     summation).
+
+    ``init``: warm-start from a previous model (the incremental
+    maintenance hook — fine-tune after an edge-store epoch commit
+    lands new triples): vocabularies re-build from the CURRENT
+    triples, rows known to ``init`` keep their vectors, new
+    entities/relations draw the seeded random init.  Pair with few
+    epochs for a cheap refresh instead of retraining from scratch.
     """
     from crfsuite_spark.train.trainer import EPOCH_PARTIAL_SCHEMA
 
@@ -267,6 +275,18 @@ def train_transe(
     ent_emb = rng.uniform(-bound, bound, (n_e, dim))
     ent_emb /= np.linalg.norm(ent_emb, axis=1, keepdims=True)
     rel_emb = rng.uniform(-bound, bound, (n_r, dim))
+    if init is not None:
+        if init.dim != dim:
+            raise ValueError(
+                f"init model has dim {init.dim}, requested {dim}")
+        old_e = {e: i for i, e in enumerate(init.entities)}
+        old_r = {r: i for i, r in enumerate(init.relations)}
+        for i, e in enumerate(entities):
+            if e in old_e:
+                ent_emb[i] = init.ent_emb[old_e[e]]
+        for i, r in enumerate(relations):
+            if r in old_r:
+                rel_emb[i] = init.rel_emb[old_r[r]]
 
     log: list[dict] = []
     for epoch in range(1, epochs + 1):
@@ -299,7 +319,7 @@ def train_transe(
                 d_pos = (d_pos_vec**2).sum(axis=1)
                 idx_parts: list = []
                 val_parts: list = []
-                for side, nh, nt in ((0, h, neg_t), (1, neg_h, t)):
+                for nh, nt in ((h, neg_t), (neg_h, t)):
                     d_neg_vec = ent[nh] + rel[r] - ent[nt]
                     d_neg = (d_neg_vec**2).sum(axis=1)
                     viol = margin + d_pos - d_neg > 0

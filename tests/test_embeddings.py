@@ -152,3 +152,28 @@ def test_from_frames_roundtrip(spark, graph, tmp_path):
     assert loaded.relations == model.relations
     assert np.array_equal(loaded.ent_emb, model.ent_emb)
     assert np.array_equal(loaded.rel_emb, model.rel_emb)
+
+
+def test_warm_start_incremental(spark, graph):
+    """The incremental-maintenance hook: fine-tuning a trained model
+    on an extended graph keeps known vectors as the starting point
+    (epochs=0 shows the splice), and a short warm refresh fits new
+    triples far faster than the same budget from scratch."""
+    base = train_transe(graph, dim=8, epochs=20, lr=0.5, seed=7)
+    extra = spark.createDataFrame(
+        _block_graph() + [("c0", "r1", "d0"), ("c1", "r1", "d1")],
+        ["subj", "pred", "obj"],
+    )
+    spliced = train_transe(extra, dim=8, epochs=0, lr=0.5, seed=7,
+                           init=base)
+    i_old = spliced.entities.index("a0")
+    assert np.array_equal(spliced.ent_emb[i_old],
+                          base.ent_emb[base.entities.index("a0")])
+    assert "d0" in spliced.entities and "d0" not in base.entities
+
+    warm = train_transe(extra, dim=8, epochs=5, lr=0.5, seed=7, init=base)
+    cold = train_transe(extra, dim=8, epochs=5, lr=0.5, seed=7)
+    assert warm.log[-1]["loss"] < cold.log[-1]["loss"]
+
+    with pytest.raises(ValueError, match="dim"):
+        train_transe(extra, dim=4, epochs=1, init=base)

@@ -863,3 +863,22 @@ def test_negated_property_set_composes(triples):
     # non-works_at edges from acme: located_in->berlin, acquired->
     # initech, then initech's located_in->oslo at hop 2
     assert rows(out) == [("berlin",), ("initech",), ("oslo",)]
+
+
+def test_subquery_composition_via_bindings(triples, spark):
+    """SPARQL sub-SELECT pattern: an inner aggregation's result frame
+    feeds the outer query through `bindings` — orgs with ≥2 workers,
+    then their locations. The composition stays one declarative plan
+    (the inner frame is just a DataFrame)."""
+    from crfsuite_spark.kg.query import match_aggregate
+
+    inner = match_aggregate(
+        triples, [("?p", "works_at", "?org")], ["org"],
+        {"n": "count(p)"}, having="n >= 2",
+    ).select("org")
+    out = match_patterns(
+        triples,
+        [("?org", "located_in", "?city")],
+        bindings=inner,
+    )
+    assert rows(out) == [("acme", "berlin")]
