@@ -1185,6 +1185,24 @@ def q_kg_link_pred_metrics(spark, sf):
     )
 
 
+def q_kg_validate_required(spark, sf):
+    """SHACL sh:minCount analogue (kg/validate.py validate_required):
+    every org must assert ≥1 located_in, every per ≥2 distinct
+    works_at — violations carry the actual count (0 when absent).
+    Node set is one vocabulary-scale distinct; counts are
+    partial-aggregated, never joined row-to-row. Oracle = the literal
+    node/degree LEFT JOIN with COALESCE(0)."""
+    from crfsuite_spark.kg.validate import RequiredPredicate, validate_required
+
+    return validate_required(
+        _gold_triples(spark),
+        [
+            RequiredPredicate("org", "located_in"),
+            RequiredPredicate("per", "works_at", min_count=2),
+        ],
+    )
+
+
 def q_kg_match_negated(spark, sf):
     """SPARQL negated property set (kg/query.py `!p1|p2` ≡ !(p1|p2)):
     distinct endpoint pairs connected by anything OTHER than the
@@ -1640,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_pred_ranks": q_kg_link_pred_ranks,
         "kg_link_pred_metrics": q_kg_link_pred_metrics,
         "kg_match_negated": q_kg_match_negated,
+        "kg_validate_required": q_kg_validate_required,
         "kg_validate_graph": q_kg_validate_graph,
         "kg_property_path": q_kg_property_path,
         "kg_negative_samples": q_kg_negative_samples,
@@ -2446,6 +2465,24 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
             SELECT DISTINCT subj AS s, obj AS o FROM t
             WHERE pred NOT IN ('works_at', 'located_in', 'visited')
+        """,
+        "kg_validate_required": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            nodes AS (SELECT DISTINCT e AS entity FROM
+              (SELECT subj AS e FROM t UNION SELECT obj FROM t)),
+            req(subject_type, pred, min_count) AS (VALUES
+              ('org', 'located_in', 1), ('per', 'works_at', 2)),
+            deg AS (SELECT pred, subj AS entity,
+                           count(DISTINCT obj) AS n
+                    FROM t GROUP BY pred, subj)
+            SELECT req.pred, nodes.entity,
+                   CAST(COALESCE(deg.n, 0) AS BIGINT) AS n_distinct,
+                   'min_count' AS violation
+            FROM nodes JOIN req
+              ON split_part(nodes.entity, ':', 1) = req.subject_type
+            LEFT JOIN deg
+              ON deg.pred = req.pred AND deg.entity = nodes.entity
+            WHERE COALESCE(deg.n, 0) < req.min_count
         """,
         "kg_ask": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))

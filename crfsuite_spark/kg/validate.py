@@ -55,9 +55,73 @@ class PredicateConstraint:
     irreflexive: bool = False
 
 
+@dataclass(frozen=True)
+class RequiredPredicate:
+    """SHACL ``sh:minCount`` analogue: every entity of type
+    ``subject_type`` (prefix before ``:``) appearing anywhere in the
+    graph must have at least ``min_count`` distinct ``pred`` objects.
+    """
+
+    subject_type: str
+    pred: str
+    min_count: int = 1
+
+
 def _etype(col: str):
     # entity-type prefix; an id without ':' types as itself
     return F.split_part(F.col(col), F.lit(":"), F.lit(1))
+
+
+def validate_required(
+    triples: DataFrame,
+    requirements: list[RequiredPredicate],
+) -> DataFrame:
+    """min-count violations: ``(pred, entity, n_distinct, violation)``
+    with ``n_distinct`` the entity's ACTUAL distinct-object count
+    (0 when the predicate is entirely absent).
+
+    Shape: the node set is one vocabulary-scale distinct over the
+    endpoint columns; per requirement it left-joins the predicate's
+    partial-aggregated out-degree counts — the mention stream is read
+    once per direction and never joined row-to-row.
+    """
+    t = triples.select("subj", "pred", "obj")
+    nodes = (
+        t.select(F.col("subj").alias("entity"))
+        .unionByName(t.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    parts = []
+    for req in requirements:
+        typed = nodes.filter(
+            F.split_part(F.col("entity"), F.lit(":"), F.lit(1))
+            == req.subject_type
+        )
+        deg = (
+            t.filter(F.col("pred") == req.pred)
+            .groupBy(F.col("subj").alias("entity"))
+            .agg(F.count_distinct("obj").alias("n_distinct"))
+        )
+        parts.append(
+            typed.join(deg, on="entity", how="left")
+            .withColumn("n_distinct",
+                        F.coalesce(F.col("n_distinct"), F.lit(0)))
+            .filter(F.col("n_distinct") < req.min_count)
+            .select(
+                F.lit(req.pred).alias("pred"), "entity", "n_distinct",
+                F.lit("min_count").alias("violation"),
+            )
+        )
+    if not parts:
+        return nodes.select(
+            F.lit("").alias("pred"), "entity",
+            F.lit(0).cast("long").alias("n_distinct"),
+            F.lit("").alias("violation"),
+        ).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def validate_rows(
@@ -192,10 +256,12 @@ def validate_graph(
     triples: DataFrame,
     constraints: list[PredicateConstraint],
     assume_distinct: bool = False,
+    required: list[RequiredPredicate] | None = None,
 ) -> DataFrame:
-    """Union of row- and degree-level violation reports in one frame:
-    ``(violation, pred, subj, obj, entity, n_distinct)`` with NULLs in
-    the slots a report kind does not carry."""
+    """Union of row-, degree-, and (when ``required`` is given)
+    min-count violation reports in one frame: ``(violation, pred,
+    subj, obj, entity, n_distinct)`` with NULLs in the slots a report
+    kind does not carry."""
     rows = validate_rows(triples, constraints, assume_distinct).select(
         "violation", "pred", "subj", "obj",
         F.lit(None).cast("string").alias("entity"),
@@ -207,4 +273,13 @@ def validate_graph(
         F.lit(None).cast("string").alias("obj"),
         "entity", "n_distinct",
     )
-    return rows.unionByName(degs)
+    out = rows.unionByName(degs)
+    if required:
+        reqs = validate_required(triples, required).select(
+            "violation", "pred",
+            F.lit(None).cast("string").alias("subj"),
+            F.lit(None).cast("string").alias("obj"),
+            "entity", "n_distinct",
+        )
+        out = out.unionByName(reqs)
+    return out

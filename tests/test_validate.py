@@ -138,3 +138,45 @@ def test_validate_degrees_partial_aggregation(dirty):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial" in plan.lower(), plan
+
+
+def test_required_predicate_min_count(dirty):
+    from crfsuite_spark.kg.validate import RequiredPredicate, validate_required
+
+    out = validate_required(dirty, [RequiredPredicate("org", "located_in")])
+    assert rows(out) == [
+        ("located_in", "org:initech", 0, "min_count"),
+        ("located_in", "org:x", 0, "min_count"),
+    ]
+    # min_count > 1: partial presence still violates, count reported
+    out2 = validate_required(
+        dirty, [RequiredPredicate("per", "works_at", min_count=2)])
+    assert rows(out2) == [
+        ("works_at", "per:a", 0, "min_count"),
+        ("works_at", "per:b", 0, "min_count"),
+        ("works_at", "per:bob", 1, "min_count"),
+        ("works_at", "per:cyd", 0, "min_count"),
+    ]
+
+
+def test_required_in_validate_graph_union(dirty):
+    from crfsuite_spark.kg.validate import RequiredPredicate
+
+    out = validate_graph(
+        dirty, CONSTRAINTS,
+        required=[RequiredPredicate("org", "located_in")],
+    )
+    mins = out.filter(F.col("violation") == "min_count")
+    assert sorted(r.entity for r in mins.collect()) == [
+        "org:initech", "org:x"]
+    # other report kinds unaffected
+    assert out.filter(F.col("violation") == "irreflexive").count() == 1
+
+
+def test_required_no_window_partial_agg(dirty):
+    from crfsuite_spark.kg.validate import RequiredPredicate, validate_required
+
+    out = validate_required(dirty, [RequiredPredicate("org", "located_in")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial" in plan.lower(), plan
