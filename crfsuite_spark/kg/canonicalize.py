@@ -171,3 +171,42 @@ def canonical_entities(
             F.coalesce("component", F.col(id_col)).alias("entity_cluster"),
         )
     )
+
+
+def canonicalize_by_embedding(
+    entity_emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "entity",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Entity canonicalization from EMBEDDING proximity: entities whose
+    vectors are cosine-near (≥ threshold) merge transitively into one
+    cluster — the semantic complement to the surface-form/LSH path
+    (``kg/linking.py:canonicalize_surrogates``), fed naturally by a
+    trained ``kg/embeddings.py`` model via ``model.to_frames(spark)``.
+
+    Returns ``(id_col, entity_cluster)`` for EVERY input entity
+    (singletons map to themselves).  Scale shape: candidate pairs come
+    from the hyperplane-bucketed self-join (hot buckets re-split, the
+    corpus never goes quadratic — operators/similarity.py), and the
+    transitive closure is the pure-DataFrame connected components.
+    The bucketed cache handle is exposed as ``out.bucketed_frame``.
+    """
+    from crfsuite_spark.operators.similarity import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(
+        entity_emb, dim, threshold, n_planes,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    ids = entity_emb.select(F.col(id_col).alias("canonical_id")).distinct()
+    out = canonical_entities(ids, extra_edges=edges).select(
+        F.col("canonical_id").alias(id_col), "entity_cluster"
+    )
+    out.bucketed_frame = pairs.bucketed_frame
+    return out

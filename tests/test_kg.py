@@ -500,3 +500,36 @@ def test_canonicalize_surrogates_edges_cached(spark, monkeypatch):
     assert set(out[out.link_method == "exact"].canonical_id) == {
         "per:dave_miller"
     }
+
+
+def test_canonicalize_by_embedding(spark):
+    """Embedding-proximity canonicalization: two tight cosine clusters
+    plus a singleton; transitivity closes a~b~c even when a·c alone
+    sits below threshold pairs' bucket path (CC over the pair edges)."""
+    import numpy as np
+
+    from crfsuite_spark.kg.canonicalize import canonicalize_by_embedding
+
+    rng = np.random.RandomState(3)
+    base1 = rng.randn(8)
+    base2 = rng.randn(8)
+    rows = []
+    for i in range(3):
+        v = base1 + 0.01 * rng.randn(8)
+        rows.append((f"a{i}", (v / np.linalg.norm(v)).tolist()))
+    for i in range(2):
+        v = base2 + 0.01 * rng.randn(8)
+        rows.append((f"b{i}", (v / np.linalg.norm(v)).tolist()))
+    lone = rng.randn(8)
+    rows.append(("solo", (lone / np.linalg.norm(lone)).tolist()))
+    emb = spark.createDataFrame(rows, "entity string, embedding array<double>")
+
+    out = canonicalize_by_embedding(emb, dim=8, threshold=0.99, n_planes=4)
+    got = {r.entity: r.entity_cluster for r in out.collect()}
+    if out.bucketed_frame is not None:
+        out.bucketed_frame.unpersist()
+    assert len(got) == 6
+    assert got["a0"] == got["a1"] == got["a2"] == "a0"
+    assert got["b0"] == got["b1"] == "b0"
+    assert got["solo"] == "solo"
+    assert got["a0"] != got["b0"]
