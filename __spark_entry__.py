@@ -1169,6 +1169,20 @@ def q_kg_link_pred_ranks(spark, sf):
     return link_prediction_ranks(model, tests, known_triples=t)
 
 
+def q_kg_link_pred_distmult(spark, sf):
+    """Filtered tail ranks under DISTMULT scoring (higher trilinear
+    dot = better) over the same hash embeddings — exercises the
+    ranking harness's score-direction generality. Oracle = the same
+    cross-join with sum(h*r*c) and a flipped strictly-better
+    comparison."""
+    from crfsuite_spark.kg.embeddings import link_prediction_ranks
+
+    t, model = _hash_embedding_model(spark)
+    model.scoring = "distmult"
+    tests = t.filter(F.col("pred") == "works_at")
+    return link_prediction_ranks(model, tests, known_triples=t)
+
+
 def q_kg_link_pred_metrics(spark, sf):
     """Link-prediction summary metrics (MRR, Hits@k) over the filtered
     ranks — one partial-aggregated row, round-6 like the pagerank
@@ -1657,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": q_kg_describe,
         "kg_link_pred_ranks": q_kg_link_pred_ranks,
         "kg_link_pred_metrics": q_kg_link_pred_metrics,
+        "kg_link_pred_distmult": q_kg_link_pred_distmult,
         "kg_match_negated": q_kg_match_negated,
         "kg_validate_required": q_kg_validate_required,
         "kg_validate_graph": q_kg_validate_graph,
@@ -2451,6 +2466,35 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_pred_ranks": f"""
             WITH {_link_pred_oracle_ctes(f"{fixtures}/gold_triples_synthetic.parquet")}
             SELECT subj, pred, obj, "rank" FROM ranks
+        """,
+        "kg_link_pred_distmult": f"""
+            WITH t AS (SELECT DISTINCT subj, pred, obj FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            ents AS (SELECT DISTINCT e FROM (SELECT subj AS e FROM t UNION SELECT obj FROM t)),
+            dims AS (SELECT unnest([0, 1, 2, 3]) AS k),
+            eemb AS (SELECT e, k,
+                       CAST(('0x' || substr(md5(concat_ws(':', e, k, '7')), 1, 8))::BIGINT % 21 - 10 AS DOUBLE) AS v
+                     FROM ents CROSS JOIN dims),
+            remb AS (SELECT pred AS r, k,
+                       CAST(('0x' || substr(md5(concat_ws(':', pred, k, '7')), 1, 8))::BIGINT % 21 - 10 AS DOUBLE) AS v
+                     FROM (SELECT DISTINCT pred FROM t) CROSS JOIN dims),
+            tests AS (SELECT subj, pred, obj FROM t WHERE pred = 'works_at'),
+            q AS (SELECT ts.subj, ts.pred, ts.obj, eh.k, eh.v * r.v AS qv
+                  FROM tests ts
+                  JOIN eemb eh ON eh.e = ts.subj
+                  JOIN remb r ON r.r = ts.pred AND r.k = eh.k),
+            dist AS (SELECT q.subj, q.pred, q.obj, ec.e AS cand,
+                            sum(q.qv * ec.v) AS s
+                     FROM q JOIN eemb ec ON ec.k = q.k
+                     GROUP BY q.subj, q.pred, q.obj, ec.e),
+            strue AS (SELECT subj, pred, obj, s AS s_true FROM dist WHERE cand = obj)
+            SELECT d.subj, d.pred, d.obj,
+                   CAST(1 + count(*) FILTER (WHERE d.s > st.s_true
+                     AND d.cand <> d.obj
+                     AND NOT EXISTS (SELECT 1 FROM t k2
+                       WHERE k2.subj = d.subj AND k2.pred = d.pred
+                         AND k2.obj = d.cand)) AS BIGINT) AS "rank"
+            FROM dist d JOIN strue st USING (subj, pred, obj)
+            GROUP BY d.subj, d.pred, d.obj
         """,
         "kg_link_pred_metrics": f"""
             WITH {_link_pred_oracle_ctes(f"{fixtures}/gold_triples_synthetic.parquet")}

@@ -79,22 +79,28 @@ def _draw_indices(h, r, t, epoch: int, side: int, seed: int,
 
 @dataclass
 class TransEModel:
-    """Broadcastable TransE model state: sorted vocabularies plus
-    float64 embedding matrices (entities L2-normalized per the TransE
-    projection step)."""
+    """Broadcastable KGE model state: sorted vocabularies plus float64
+    embedding matrices (entities L2-normalized per the projection
+    step).  ``scoring`` names the triple score the vectors were
+    trained under and ranking uses: ``"transe"`` (negative L2 distance
+    ‖h+r−t‖², lower distance = better) or ``"distmult"`` (trilinear
+    dot Σ h⊙r⊙t, higher = better; Yang et al. 2015, "Embedding
+    Entities and Relations...")."""
 
     entities: list
     relations: list
     ent_emb: np.ndarray  # (n_entities, dim)
     rel_emb: np.ndarray  # (n_relations, dim)
     log: list = field(default_factory=list)
+    scoring: str = "transe"
 
     @property
     def dim(self) -> int:
         return int(self.ent_emb.shape[1])
 
     @classmethod
-    def from_frames(cls, ent: DataFrame, rel: DataFrame) -> "TransEModel":
+    def from_frames(cls, ent: DataFrame, rel: DataFrame,
+                    scoring: str = "transe") -> "TransEModel":
         """Rebuild a model from the :meth:`to_frames` layout (e.g.
         after a parquet roundtrip).  Vocabulary order is re-sorted, so
         any row order on disk loads identically; the collect is
@@ -106,6 +112,7 @@ class TransEModel:
             relations=[r for r, _ in rel_rows],
             ent_emb=np.array([v for _, v in ent_rows], dtype=np.float64),
             rel_emb=np.array([v for _, v in rel_rows], dtype=np.float64),
+            scoring=scoring,
         )
 
     def to_frames(self, spark) -> tuple[DataFrame, DataFrame]:
@@ -221,7 +228,7 @@ def _index_triples(triples: DataFrame, ent2id: dict, rel2id: dict,
     return out
 
 
-def train_transe(
+def train_kge(
     triples: DataFrame,
     dim: int = 32,
     epochs: int = 50,
@@ -231,12 +238,17 @@ def train_transe(
     num_partitions: int | None = None,
     tree_reduce_threshold: int = 16,
     init: TransEModel | None = None,
+    scoring: str = "transe",
 ) -> TransEModel:
-    """Full-batch TransE with margin-ranking loss and hash-drawn
-    corrupt-head AND corrupt-tail negatives (one of each per triple
-    per epoch).  Entities re-project to the unit sphere after every
-    step (the TransE algorithm's normalization).  ``model.log`` holds
-    per-epoch ``{"epoch", "loss", "n_triples"}``.
+    """Full-batch KG-embedding training with margin-ranking loss and
+    hash-drawn corrupt-head AND corrupt-tail negatives (one of each
+    per triple per epoch).  ``scoring`` picks the triple score:
+    ``"transe"`` (distance, Bordes et al. 2013) or ``"distmult"``
+    (trilinear dot, Yang et al. 2015) — the distributed harness
+    (vocab, negatives, sparse payload reduce, warm start) is shared.
+    Entities re-project to the unit sphere after every step (both
+    papers' normalization).  ``model.log`` holds per-epoch
+    ``{"epoch", "loss", "n_triples"}``.
 
     ``tree_reduce_threshold``: above this many partitions the epoch
     payloads merge executor-side (treeReduce) so the driver ingests
@@ -258,6 +270,8 @@ def train_transe(
     """
     from crfsuite_spark.train.trainer import EPOCH_PARTIAL_SCHEMA
 
+    if scoring not in ("transe", "distmult"):
+        raise ValueError(f"unknown scoring {scoring!r}")
     sc = triples.sparkSession.sparkContext
     entities, relations = build_vocab(triples)
     ent2id = {e: i for i, e in enumerate(entities)}
@@ -279,6 +293,10 @@ def train_transe(
         if init.dim != dim:
             raise ValueError(
                 f"init model has dim {init.dim}, requested {dim}")
+        if init.scoring != scoring:
+            raise ValueError(
+                f"init model was trained with scoring "
+                f"{init.scoring!r}, requested {scoring!r}")
         old_e = {e: i for i, e in enumerate(init.entities)}
         old_r = {r: i for i, r in enumerate(init.relations)}
         for i, e in enumerate(entities):
@@ -315,22 +333,37 @@ def train_transe(
                 neg_t += neg_t >= t
                 neg_h = _draw_indices(h, r, t, _epoch, 1, seed, n_e - 1)
                 neg_h += neg_h >= h
-                d_pos_vec = ent[h] + rel[r] - ent[t]
-                d_pos = (d_pos_vec**2).sum(axis=1)
                 idx_parts: list = []
                 val_parts: list = []
+                if scoring == "transe":
+                    d_pos_vec = ent[h] + rel[r] - ent[t]
+                    d_pos = (d_pos_vec**2).sum(axis=1)
+                else:  # distmult: maximize s = Σ h⊙r⊙t
+                    s_pos = (ent[h] * rel[r] * ent[t]).sum(axis=1)
                 for nh, nt in ((h, neg_t), (neg_h, t)):
-                    d_neg_vec = ent[nh] + rel[r] - ent[nt]
-                    d_neg = (d_neg_vec**2).sum(axis=1)
-                    viol = margin + d_pos - d_neg > 0
-                    loss += float(np.maximum(
-                        0.0, margin + d_pos - d_neg).sum())
-                    gp = 2.0 * d_pos_vec[viol]
-                    gn = 2.0 * d_neg_vec[viol]
-                    idx_parts += [h[viol], t[viol], nh[viol], nt[viol]]
-                    val_parts += [gp, -gp, -gn, gn]
+                    if scoring == "transe":
+                        d_neg_vec = ent[nh] + rel[r] - ent[nt]
+                        d_neg = (d_neg_vec**2).sum(axis=1)
+                        hinge = margin + d_pos - d_neg
+                        viol = hinge > 0
+                        gp = 2.0 * d_pos_vec[viol]
+                        gn = 2.0 * d_neg_vec[viol]
+                        idx_parts += [h[viol], t[viol], nh[viol], nt[viol]]
+                        val_parts += [gp, -gp, -gn, gn]
+                        grel = gp - gn
+                    else:
+                        s_neg = (ent[nh] * rel[r] * ent[nt]).sum(axis=1)
+                        hinge = margin - s_pos + s_neg
+                        viol = hinge > 0
+                        hv, tv = ent[h][viol], ent[t][viol]
+                        rv_ = rel[r][viol]
+                        nhv, ntv = ent[nh][viol], ent[nt][viol]
+                        idx_parts += [h[viol], t[viol], nh[viol], nt[viol]]
+                        val_parts += [-(rv_ * tv), -(hv * rv_),
+                                      rv_ * ntv, nhv * rv_]
+                        grel = nhv * ntv - hv * tv
+                    loss += float(np.maximum(0.0, hinge).sum())
                     rv = r[viol]
-                    grel = gp - gn
                     for k in range(grel.shape[1]):
                         g_rel[:, k] += np.bincount(
                             rv, weights=grel[:, k], minlength=len(rel))
@@ -370,7 +403,18 @@ def train_transe(
                     "n_triples": int(total)})
 
     indexed.unpersist()
-    return TransEModel(entities, relations, ent_emb, rel_emb, log)
+    return TransEModel(entities, relations, ent_emb, rel_emb, log,
+                       scoring=scoring)
+
+
+def train_transe(triples: DataFrame, **kw) -> TransEModel:
+    """TransE (Bordes et al. 2013) via :func:`train_kge`."""
+    return train_kge(triples, scoring="transe", **kw)
+
+
+def train_distmult(triples: DataFrame, **kw) -> TransEModel:
+    """DistMult (Yang et al. 2015) via :func:`train_kge`."""
+    return train_kge(triples, scoring="distmult", **kw)
 
 
 def link_prediction_ranks(
@@ -380,10 +424,11 @@ def link_prediction_ranks(
     batch_size: int = 1024,
 ) -> DataFrame:
     """Filtered tail-prediction rank per test triple (the FB15k
-    protocol): rank = 1 + #{entities e : d(h, r, e) < d(h, r, t),
-    (h, r, e) not a known true triple}.  Ties rank optimistically
-    (strictly-smaller counting), deterministic under the exact float
-    distances.
+    protocol): rank = 1 + #{entities e strictly better than the true
+    tail under ``model.scoring``, (h, r, e) not a known true triple}
+    — lower distance for TransE, higher trilinear dot for DistMult.
+    Ties rank optimistically (strictly-better counting), deterministic
+    under the exact float scores.
 
     Two distributed stages, no driver-side known-set:
 
@@ -399,6 +444,7 @@ def link_prediction_ranks(
     sc = spark.sparkContext
     ent2id = {e: i for i, e in enumerate(model.entities)}
     rel2id = {r: i for i, r in enumerate(model.relations)}
+    higher_is_better = model.scoring == "distmult"
     w_bc = sc.broadcast((model.ent_emb, model.rel_emb, ent2id, rel2id))
 
     def raw(batches):
@@ -410,15 +456,22 @@ def link_prediction_ranks(
                 h = chunk["subj"].map(e2i).to_numpy()
                 r = chunk["pred"].map(r2i).to_numpy()
                 t = chunk["obj"].map(e2i).to_numpy()
-                q = ent[h] + rel[r]  # (B, d)
-                # ||q - e||² = ||q||² - 2 q·e + ||e||²  (one matmul)
-                d_all = (
-                    (q**2).sum(axis=1, keepdims=True)
-                    - 2.0 * q @ ent.T
-                    + sq[None, :]
-                )
+                if higher_is_better:
+                    q = ent[h] * rel[r]  # (B, d)
+                    d_all = q @ ent.T  # trilinear dot per candidate
+                else:
+                    q = ent[h] + rel[r]  # (B, d)
+                    # ||q - e||² = ||q||² - 2 q·e + ||e||² (one matmul)
+                    d_all = (
+                        (q**2).sum(axis=1, keepdims=True)
+                        - 2.0 * q @ ent.T
+                        + sq[None, :]
+                    )
                 d_true = d_all[np.arange(len(chunk)), t]
-                raw_cnt = (d_all < d_true[:, None]).sum(axis=1)
+                if higher_is_better:
+                    raw_cnt = (d_all > d_true[:, None]).sum(axis=1)
+                else:
+                    raw_cnt = (d_all < d_true[:, None]).sum(axis=1)
                 yield pd.DataFrame({
                     "subj": chunk["subj"], "pred": chunk["pred"],
                     "obj": chunk["obj"],
@@ -450,7 +503,10 @@ def link_prediction_ranks(
             h = pdf["subj"].map(e2i).to_numpy()
             r = pdf["pred"].map(r2i).to_numpy()
             k = pdf["known_obj"].map(e2i).to_numpy()
-            d = ((ent[h] + rel[r] - ent[k]) ** 2).sum(axis=1)
+            if higher_is_better:
+                d = (ent[h] * rel[r] * ent[k]).sum(axis=1)
+            else:
+                d = ((ent[h] + rel[r] - ent[k]) ** 2).sum(axis=1)
             out = pdf[["subj", "pred", "obj", "d_true"]].copy()
             out["known_obj"] = pdf["known_obj"]
             out["d_known"] = d
@@ -468,7 +524,10 @@ def link_prediction_ranks(
             "subj string, pred string, obj string, d_true double, "
             "known_obj string, d_known double",
         )
-        .filter(F.col("d_known") < F.col("d_true"))
+        .filter(
+            F.col("d_known") > F.col("d_true") if higher_is_better
+            else F.col("d_known") < F.col("d_true")
+        )
         .groupBy("subj", "pred", "obj")
         .agg(F.count(F.lit(1)).alias("sub_cnt"))
     )

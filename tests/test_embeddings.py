@@ -177,3 +177,63 @@ def test_warm_start_incremental(spark, graph):
 
     with pytest.raises(ValueError, match="dim"):
         train_transe(extra, dim=4, epochs=1, init=base)
+
+
+def _brute_force_ranks_dot(model, tests, known):
+    """Reference filtered-rank evaluator for DistMult (higher dot =
+    better)."""
+    e2i = {e: i for i, e in enumerate(model.entities)}
+    r2i = {r: i for i, r in enumerate(model.relations)}
+    out = {}
+    for s, p, o in tests:
+        q = model.ent_emb[e2i[s]] * model.rel_emb[r2i[p]]
+        sc = model.ent_emb @ q
+        s_true = sc[e2i[o]]
+        rank = 1
+        for cand in model.entities:
+            if cand == o or (s, p, cand) in known:
+                continue
+            if sc[e2i[cand]] > s_true:
+                rank += 1
+        out[(s, p, o)] = rank
+    return out
+
+
+def test_distmult_loss_decreases_and_beats_random(spark, graph):
+    from crfsuite_spark.kg.embeddings import train_distmult
+
+    model = train_distmult(graph, dim=16, epochs=40, lr=0.5, seed=7)
+    assert model.scoring == "distmult"
+    losses = [e["loss"] for e in model.log]
+    assert losses[-1] < 0.5 * losses[0]
+    ranks = link_prediction_ranks(model, graph, known_triples=graph)
+    m = evaluate_link_prediction(ranks).collect()[0]
+    assert m.mrr > 0.4  # random baseline ≈ 0.19 at 18 entities
+
+
+def test_distmult_ranks_match_brute_force(spark, graph):
+    from crfsuite_spark.kg.embeddings import train_distmult
+
+    rows = _block_graph()
+    model = train_distmult(graph, dim=8, epochs=10, lr=0.3, seed=3)
+    tests = rows[:8]
+    exp = _brute_force_ranks_dot(model, tests, set(rows))
+    got = {
+        (r.subj, r.pred, r.obj): r.rank
+        for r in link_prediction_ranks(
+            model, spark.createDataFrame(tests, ["subj", "pred", "obj"]),
+            known_triples=graph,
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_kge_scoring_mismatch_raises(spark, graph):
+    from crfsuite_spark.kg.embeddings import train_distmult
+
+    base = train_transe(graph, dim=8, epochs=1, seed=7)
+    with pytest.raises(ValueError, match="scoring"):
+        train_distmult(graph, dim=8, epochs=1, seed=7, init=base)
+    with pytest.raises(ValueError, match="unknown scoring"):
+        from crfsuite_spark.kg.embeddings import train_kge
+        train_kge(graph, scoring="complex")
