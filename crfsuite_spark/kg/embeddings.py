@@ -77,15 +77,53 @@ def _draw_indices(h, r, t, epoch: int, side: int, seed: int,
     return (_mix64(key) % np.uint64(n)).astype(np.int64)
 
 
+def _cx_split(x: np.ndarray):
+    """Split a Re‖Im-packed array (..., 2d) into (real, imag) halves.
+    ComplEx (Trouillon et al. 2016, "Complex Embeddings for Simple
+    Link Prediction") vectors are stored as width-2d REAL rows — the
+    first d columns the real part, the last d the imaginary part — so
+    every piece of harness machinery that only sees real arrays
+    (broadcast, sparse payload reduce, warm start, parquet roundtrip,
+    unit-norm projection) works unchanged."""
+    d = x.shape[-1] // 2
+    return x[..., :d], x[..., d:]
+
+
+def _cx_grad_t(ent_h: np.ndarray, rel_r: np.ndarray) -> np.ndarray:
+    """∂s/∂t for ComplEx s = Re⟨h, r, conj(t)⟩ = Re(h∘r)·Re(t)
+    + Im(h∘r)·Im(t), packed Re‖Im.  Doubles as the rank-scan QUERY
+    vector: s = _cx_grad_t(h, r) · t for every candidate t, so the
+    all-entity scoring scan stays ONE matmul exactly like DistMult."""
+    hr, hi = _cx_split(ent_h)
+    rr, ri = _cx_split(rel_r)
+    return np.concatenate([hr * rr - hi * ri, hr * ri + hi * rr], axis=-1)
+
+
+def _cx_grad_h(rel_r: np.ndarray, ent_t: np.ndarray) -> np.ndarray:
+    """∂s/∂h: (rr·tr + ri·ti) ‖ (rr·ti − ri·tr)."""
+    rr, ri = _cx_split(rel_r)
+    tr, ti = _cx_split(ent_t)
+    return np.concatenate([rr * tr + ri * ti, rr * ti - ri * tr], axis=-1)
+
+
+def _cx_grad_r(ent_h: np.ndarray, ent_t: np.ndarray) -> np.ndarray:
+    """∂s/∂r: (hr·tr + hi·ti) ‖ (hr·ti − hi·tr)."""
+    hr, hi = _cx_split(ent_h)
+    tr, ti = _cx_split(ent_t)
+    return np.concatenate([hr * tr + hi * ti, hr * ti - hi * tr], axis=-1)
+
+
 @dataclass
 class TransEModel:
     """Broadcastable KGE model state: sorted vocabularies plus float64
     embedding matrices (entities L2-normalized per the projection
     step).  ``scoring`` names the triple score the vectors were
     trained under and ranking uses: ``"transe"`` (negative L2 distance
-    ‖h+r−t‖², lower distance = better) or ``"distmult"`` (trilinear
+    ‖h+r−t‖², lower distance = better), ``"distmult"`` (trilinear
     dot Σ h⊙r⊙t, higher = better; Yang et al. 2015, "Embedding
-    Entities and Relations...")."""
+    Entities and Relations...") or ``"complex"`` (Re⟨h, r, conj(t)⟩
+    over Re‖Im-packed rows, higher = better; Trouillon et al.
+    2016)."""
 
     entities: list
     relations: list
@@ -100,13 +138,24 @@ class TransEModel:
 
     @classmethod
     def from_frames(cls, ent: DataFrame, rel: DataFrame,
-                    scoring: str = "transe") -> "TransEModel":
+                    scoring: str | None = None) -> "TransEModel":
         """Rebuild a model from the :meth:`to_frames` layout (e.g.
         after a parquet roundtrip).  Vocabulary order is re-sorted, so
         any row order on disk loads identically; the collect is
-        model-state-sized by contract."""
-        ent_rows = sorted((r[0], r[1]) for r in ent.collect())
-        rel_rows = sorted((r[0], r[1]) for r in rel.collect())
+        model-state-sized by contract.  ``scoring`` is read from the
+        relation frame's ``scoring`` column when present (written by
+        :meth:`to_frames`) so a roundtrip preserves rank direction;
+        an explicit argument overrides, and frames from older writes
+        without the column fall back to ``"transe"``."""
+        ent_rows = sorted((r["entity"], r["embedding"])
+                          for r in ent.collect())
+        rel_collected = rel.collect()
+        rel_rows = sorted((r["relation"], r["embedding"])
+                          for r in rel_collected)
+        if scoring is None:
+            stored = {r["scoring"] for r in rel_collected
+                      if "scoring" in r.__fields__}
+            scoring = stored.pop() if len(stored) == 1 else "transe"
         return cls(
             entities=[e for e, _ in ent_rows],
             relations=[r for r, _ in rel_rows],
@@ -117,14 +166,17 @@ class TransEModel:
 
     def to_frames(self, spark) -> tuple[DataFrame, DataFrame]:
         """(entity_df, relation_df) with ``array<double>`` embedding
-        columns — the writable/joinable form."""
+        columns — the writable/joinable form.  The relation frame
+        carries a constant ``scoring`` column so :meth:`from_frames`
+        restores rank direction without side-channel state."""
         ent = spark.createDataFrame(
             [(e, v.tolist()) for e, v in zip(self.entities, self.ent_emb)],
             "entity string, embedding array<double>",
         )
         rel = spark.createDataFrame(
-            [(r, v.tolist()) for r, v in zip(self.relations, self.rel_emb)],
-            "relation string, embedding array<double>",
+            [(r, v.tolist(), self.scoring)
+             for r, v in zip(self.relations, self.rel_emb)],
+            "relation string, embedding array<double>, scoring string",
         )
         return ent, rel
 
@@ -243,11 +295,15 @@ def train_kge(
     """Full-batch KG-embedding training with margin-ranking loss and
     hash-drawn corrupt-head AND corrupt-tail negatives (one of each
     per triple per epoch).  ``scoring`` picks the triple score:
-    ``"transe"`` (distance, Bordes et al. 2013) or ``"distmult"``
-    (trilinear dot, Yang et al. 2015) — the distributed harness
-    (vocab, negatives, sparse payload reduce, warm start) is shared.
-    Entities re-project to the unit sphere after every step (both
-    papers' normalization).  ``model.log`` holds per-epoch
+    ``"transe"`` (distance, Bordes et al. 2013), ``"distmult"``
+    (trilinear dot, Yang et al. 2015) or ``"complex"`` (real part of
+    the Hermitian trilinear product, Trouillon et al. 2016; ``dim``
+    must be even — vectors pack Re‖Im into one real row, complex
+    dimension = dim/2) — the distributed harness (vocab, negatives,
+    sparse payload reduce, warm start) is shared.  Entities re-project
+    to the unit sphere after every step (the TransE/DistMult papers'
+    normalization; for ComplEx this replaces the paper's L2
+    regularizer — same role, keeps the projection step uniform).  ``model.log`` holds per-epoch
     ``{"epoch", "loss", "n_triples"}``.
 
     ``tree_reduce_threshold``: above this many partitions the epoch
@@ -270,8 +326,10 @@ def train_kge(
     """
     from crfsuite_spark.train.trainer import EPOCH_PARTIAL_SCHEMA
 
-    if scoring not in ("transe", "distmult"):
+    if scoring not in ("transe", "distmult", "complex"):
         raise ValueError(f"unknown scoring {scoring!r}")
+    if scoring == "complex" and dim % 2:
+        raise ValueError("complex scoring packs Re|Im — dim must be even")
     sc = triples.sparkSession.sparkContext
     entities, relations = build_vocab(triples)
     ent2id = {e: i for i, e in enumerate(entities)}
@@ -338,8 +396,10 @@ def train_kge(
                 if scoring == "transe":
                     d_pos_vec = ent[h] + rel[r] - ent[t]
                     d_pos = (d_pos_vec**2).sum(axis=1)
-                else:  # distmult: maximize s = Σ h⊙r⊙t
+                elif scoring == "distmult":  # maximize s = Σ h⊙r⊙t
                     s_pos = (ent[h] * rel[r] * ent[t]).sum(axis=1)
+                else:  # complex: maximize s = Re⟨h, r, conj(t)⟩
+                    s_pos = (_cx_grad_t(ent[h], rel[r]) * ent[t]).sum(axis=1)
                 for nh, nt in ((h, neg_t), (neg_h, t)):
                     if scoring == "transe":
                         d_neg_vec = ent[nh] + rel[r] - ent[nt]
@@ -351,7 +411,7 @@ def train_kge(
                         idx_parts += [h[viol], t[viol], nh[viol], nt[viol]]
                         val_parts += [gp, -gp, -gn, gn]
                         grel = gp - gn
-                    else:
+                    elif scoring == "distmult":
                         s_neg = (ent[nh] * rel[r] * ent[nt]).sum(axis=1)
                         hinge = margin - s_pos + s_neg
                         viol = hinge > 0
@@ -362,6 +422,20 @@ def train_kge(
                         val_parts += [-(rv_ * tv), -(hv * rv_),
                                       rv_ * ntv, nhv * rv_]
                         grel = nhv * ntv - hv * tv
+                    else:  # complex — same hinge, Wirtinger-split grads
+                        s_neg = (_cx_grad_t(ent[nh], rel[r])
+                                 * ent[nt]).sum(axis=1)
+                        hinge = margin - s_pos + s_neg
+                        viol = hinge > 0
+                        hv, tv = ent[h][viol], ent[t][viol]
+                        rv_ = rel[r][viol]
+                        nhv, ntv = ent[nh][viol], ent[nt][viol]
+                        idx_parts += [h[viol], t[viol], nh[viol], nt[viol]]
+                        val_parts += [-_cx_grad_h(rv_, tv),
+                                      -_cx_grad_t(hv, rv_),
+                                      _cx_grad_h(rv_, ntv),
+                                      _cx_grad_t(nhv, rv_)]
+                        grel = _cx_grad_r(nhv, ntv) - _cx_grad_r(hv, tv)
                     loss += float(np.maximum(0.0, hinge).sum())
                     rv = r[viol]
                     for k in range(grel.shape[1]):
@@ -417,6 +491,12 @@ def train_distmult(triples: DataFrame, **kw) -> TransEModel:
     return train_kge(triples, scoring="distmult", **kw)
 
 
+def train_complex(triples: DataFrame, **kw) -> TransEModel:
+    """ComplEx (Trouillon et al. 2016) via :func:`train_kge` —
+    ``dim`` is the REAL storage width (complex dimension = dim/2)."""
+    return train_kge(triples, scoring="complex", **kw)
+
+
 def link_prediction_ranks(
     model: TransEModel,
     test_triples: DataFrame,
@@ -444,7 +524,8 @@ def link_prediction_ranks(
     sc = spark.sparkContext
     ent2id = {e: i for i, e in enumerate(model.entities)}
     rel2id = {r: i for i, r in enumerate(model.relations)}
-    higher_is_better = model.scoring == "distmult"
+    higher_is_better = model.scoring in ("distmult", "complex")
+    is_complex = model.scoring == "complex"
     w_bc = sc.broadcast((model.ent_emb, model.rel_emb, ent2id, rel2id))
 
     def raw(batches):
@@ -457,8 +538,11 @@ def link_prediction_ranks(
                 r = chunk["pred"].map(r2i).to_numpy()
                 t = chunk["obj"].map(e2i).to_numpy()
                 if higher_is_better:
-                    q = ent[h] * rel[r]  # (B, d)
-                    d_all = q @ ent.T  # trilinear dot per candidate
+                    # DistMult q = h⊙r; ComplEx q = Re‖Im expansion of
+                    # h∘r (score = q·t in BOTH cases — one matmul)
+                    q = (_cx_grad_t(ent[h], rel[r]) if is_complex
+                         else ent[h] * rel[r])  # (B, d)
+                    d_all = q @ ent.T
                 else:
                     q = ent[h] + rel[r]  # (B, d)
                     # ||q - e||² = ||q||² - 2 q·e + ||e||² (one matmul)
@@ -503,7 +587,9 @@ def link_prediction_ranks(
             h = pdf["subj"].map(e2i).to_numpy()
             r = pdf["pred"].map(r2i).to_numpy()
             k = pdf["known_obj"].map(e2i).to_numpy()
-            if higher_is_better:
+            if is_complex:
+                d = (_cx_grad_t(ent[h], rel[r]) * ent[k]).sum(axis=1)
+            elif higher_is_better:
                 d = (ent[h] * rel[r] * ent[k]).sum(axis=1)
             else:
                 d = ((ent[h] + rel[r] - ent[k]) ** 2).sum(axis=1)

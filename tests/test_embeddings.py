@@ -236,4 +236,120 @@ def test_kge_scoring_mismatch_raises(spark, graph):
         train_distmult(graph, dim=8, epochs=1, seed=7, init=base)
     with pytest.raises(ValueError, match="unknown scoring"):
         from crfsuite_spark.kg.embeddings import train_kge
-        train_kge(graph, scoring="complex")
+        train_kge(graph, scoring="rotatee")
+    with pytest.raises(ValueError, match="dim must be even"):
+        from crfsuite_spark.kg.embeddings import train_complex
+        train_complex(graph, dim=7, epochs=1, seed=7)
+
+
+def test_complex_score_matches_complex_arithmetic():
+    """The Re‖Im-packed helpers equal literal numpy complex algebra:
+    score, and all three gradients via finite differences on s."""
+    from crfsuite_spark.kg.embeddings import (
+        _cx_grad_h, _cx_grad_r, _cx_grad_t)
+
+    rng = np.random.RandomState(0)
+    d = 5
+    h, r, t = rng.randn(3, 3, 2 * d)
+
+    def as_cx(x):
+        return x[..., :d] + 1j * x[..., d:]
+
+    s_ref = np.real(np.sum(as_cx(h) * as_cx(r) * np.conj(as_cx(t)),
+                           axis=-1))
+    s_packed = (_cx_grad_t(h, r) * t).sum(axis=-1)
+    assert np.allclose(s_packed, s_ref)
+    # gradient identities: s is linear in each argument
+    assert np.allclose((_cx_grad_h(r, t) * h).sum(axis=-1), s_ref)
+    assert np.allclose((_cx_grad_r(h, t) * r).sum(axis=-1), s_ref)
+    # finite differences on every packed coordinate of h, r, t
+    eps = 1e-6
+    for arr, grad in ((h, _cx_grad_h(r, t)), (r, _cx_grad_r(h, t)),
+                      (t, _cx_grad_t(h, r))):
+        for k in range(2 * d):
+            up = arr.copy()
+            up[..., k] += eps
+            if arr is h:
+                s_up = (_cx_grad_t(up, r) * t).sum(axis=-1)
+            elif arr is r:
+                s_up = (_cx_grad_t(h, up) * t).sum(axis=-1)
+            else:
+                s_up = (_cx_grad_t(h, r) * up).sum(axis=-1)
+            assert np.allclose((s_up - s_packed) / eps, grad[..., k],
+                               atol=1e-5)
+
+
+def test_complex_loss_decreases_and_beats_random(spark, graph):
+    from crfsuite_spark.kg.embeddings import train_complex
+
+    model = train_complex(graph, dim=16, epochs=40, lr=0.5, seed=7)
+    assert model.scoring == "complex"
+    assert model.log[-1]["loss"] < model.log[0]["loss"]
+    ranks = link_prediction_ranks(model, graph, known_triples=graph)
+    mrr = evaluate_link_prediction(ranks).collect()[0]["mrr"]
+    n_e = len(model.entities)
+    # random filtered MRR ≈ H(n)/n; the trained model must clear 2×
+    rand_mrr = sum(1.0 / k for k in range(1, n_e + 1)) / n_e
+    assert mrr > 2 * rand_mrr
+
+
+def test_complex_ranks_match_brute_force(spark, graph):
+    from crfsuite_spark.kg.embeddings import train_complex
+
+    rows = _block_graph()
+    known = set(rows)
+    model = train_complex(graph, dim=8, epochs=10, lr=0.3, seed=3)
+    e2i = {e: i for i, e in enumerate(model.entities)}
+    r2i = {r: i for i, r in enumerate(model.relations)}
+    d = model.dim // 2
+
+    def score(h, r, t):
+        eh = model.ent_emb[e2i[h]]
+        er = model.rel_emb[r2i[r]]
+        et = model.ent_emb[e2i[t]]
+        hc = eh[:d] + 1j * eh[d:]
+        rc = er[:d] + 1j * er[d:]
+        tc = et[:d] + 1j * et[d:]
+        return float(np.real(np.sum(hc * rc * np.conj(tc))))
+
+    exp = {}
+    for h, r, t in set(rows):
+        s_true = score(h, r, t)
+        better = sum(
+            1 for c in model.entities
+            if c != t and (h, r, c) not in known and score(h, r, c) > s_true
+        )
+        exp[(h, r, t)] = better + 1
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["rank"]
+        for r in link_prediction_ranks(
+            model, graph, known_triples=graph,
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_from_frames_restores_scoring(spark, graph, tmp_path):
+    """A parquet roundtrip keeps the model's rank direction: the
+    relation frame carries a ``scoring`` column, ``from_frames``
+    reads it (explicit arg still overrides), and frames without the
+    column (older writes / hand-built vector tables) default to
+    transe."""
+    from crfsuite_spark.kg.embeddings import train_complex
+
+    model = train_complex(graph, dim=8, epochs=2, lr=0.3, seed=5)
+    ent, rel = model.to_frames(spark)
+    ent.write.parquet(str(tmp_path / "ent"))
+    rel.write.parquet(str(tmp_path / "rel"))
+    loaded = TransEModel.from_frames(
+        spark.read.parquet(str(tmp_path / "ent")),
+        spark.read.parquet(str(tmp_path / "rel")),
+    )
+    assert loaded.scoring == "complex"
+    assert np.array_equal(loaded.ent_emb, model.ent_emb)
+    # explicit override wins
+    forced = TransEModel.from_frames(ent, rel, scoring="transe")
+    assert forced.scoring == "transe"
+    # legacy frames (no scoring column) fall back to transe
+    legacy = TransEModel.from_frames(ent, rel.drop("scoring"))
+    assert legacy.scoring == "transe"
