@@ -1370,6 +1370,26 @@ def q_kg_triangles(spark, sf):
     return triangle_count(com)
 
 
+def q_kg_link_heuristics(spark, sf):
+    """Neighborhood-overlap link-prediction baselines (kg/graph.py
+    link_heuristics): common-neighbors / Jaccard / Adamic-Adar /
+    preferential-attachment for every non-edge pair sharing a
+    neighbor in the undirected gold graph — one wedge self-join on
+    the center node, partial-aggregated pair groupBy, vocabulary-scale
+    degree joins. Oracle = the literal wedge join + degree CTEs."""
+    from crfsuite_spark.kg.graph import link_heuristics
+
+    out = link_heuristics(_gold_triples(spark))
+    return out.select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        "pref_attach",
+    )
+
+
 def q_kg_top_objects(spark, sf):
     """Heavy-hitter objects per predicate, aggregate-THEN-rank: the
     window sorts the distinct-pair frame, never the mention stream
@@ -1703,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof_snapshot": q_kg_asof_snapshot,
         "ds_cluster_sample": q_ds_cluster_sample,
         "kg_comention": q_kg_comention,
+        "kg_link_heuristics": q_kg_link_heuristics,
         "kg_triangles": q_kg_triangles,
         "kg_top_objects": q_kg_top_objects,
         "sim_cluster_assign": q_sim_cluster_assign,
@@ -2772,6 +2793,34 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS first_seen, max(ts) AS last_seen
             FROM t WHERE ts <= TIMESTAMP '2025-06-29 00:00:00'
             GROUP BY subj, pred, obj
+        """,
+        "kg_link_heuristics": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            e AS (SELECT DISTINCT least(subj, obj) AS a,
+                         greatest(subj, obj) AS b
+                  FROM t WHERE subj <> obj),
+            und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY a),
+            center AS (SELECT u.a AS w, u.b AS n, 1.0 / ln(d.deg) AS aa_w
+                       FROM und u JOIN deg d ON d.node = u.a
+                       WHERE d.deg >= 2),
+            pairs AS (SELECT l.n AS u, r.n AS v,
+                             count(*) AS common_neighbors,
+                             sum(l.aa_w) AS adamic_adar
+                      FROM center l JOIN center r
+                        ON l.w = r.w AND l.n < r.n
+                      GROUP BY l.n, r.n),
+            nk AS (SELECT p.* FROM pairs p WHERE NOT EXISTS
+                    (SELECT 1 FROM e WHERE e.a = p.u AND e.b = p.v))
+            SELECT nk.u, nk.v, nk.common_neighbors,
+                   round(nk.common_neighbors
+                         / (du.deg + dv.deg - nk.common_neighbors), 6)
+                     AS jaccard,
+                   round(nk.adamic_adar, 6) AS adamic_adar,
+                   CAST(du.deg * dv.deg AS BIGINT) AS pref_attach
+            FROM nk
+            JOIN deg du ON du.node = nk.u
+            JOIN deg dv ON dv.node = nk.v
         """,
         "kg_comention": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),

@@ -241,6 +241,107 @@ def triangle_count(
     )
 
 
+def link_heuristics(
+    triples: DataFrame,
+    subj: str = "subj",
+    obj: str = "obj",
+    max_degree: int | None = None,
+    exclude_known: bool = True,
+) -> DataFrame:
+    """Neighborhood-overlap link-prediction scores (Liben-Nowell &
+    Kleinberg 2003, "The Link Prediction Problem for Social
+    Networks"): for every unordered entity pair sharing at least one
+    neighbor in the undirected distinct-edge graph, the four classic
+    heuristics —
+
+    - ``common_neighbors`` = |N(u) ∩ N(v)|
+    - ``jaccard``          = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+    - ``adamic_adar``      = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))
+    - ``pref_attach``      = deg(u) · deg(v)
+
+    the non-embedding KG-completion baselines every embedding model
+    (kg/embeddings.py) is benchmarked against.  With
+    ``exclude_known=True`` (the link-prediction setting) pairs already
+    connected by an edge are anti-joined away.
+
+    Under ``max_degree`` the intersection is computed over surviving
+    centers only, and ``jaccard``'s union term stays the algebraic
+    deg(u) + deg(v) − CN with the CAPPED CN (degrees are never
+    capped) — a consistent, documented-loss proxy: a capped-out hub
+    still counts once per side in the union instead of once total,
+    so capped jaccard is a slight underestimate for exactly the pairs
+    whose evidence was a hub anyway.
+
+    Shape for 10^12 edges: one wedge self-join on the center node w —
+    the classic deg(w)² fan-out, so ``max_degree`` drops hub centers
+    before the join (same documented-loss guard as the hot-shingle
+    cap in operators/dedup.py ngram_jaccard_pairs; a stopword-grade
+    hub's wedges are noise for ranking anyway), and a w with one
+    neighbor can't close a wedge so ln(deg(w)) ≥ ln 2 — no division
+    guard needed.  Everything downstream is partial-aggregated
+    groupBys and vocabulary-scale degree joins on uniform keys."""
+    e = (
+        triples.select(F.col(subj).alias("x"), F.col(obj).alias("y"))
+        .where(F.col(subj) != F.col(obj))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "a", "node"
+    )
+    center = (
+        und.join(deg, und["a"] == deg["node"])
+        # a degree-1 center can't close a wedge (and ln(1)=0 would trap
+        # ANSI division) — prune before the weight is ever computed
+        .where(F.col("deg") >= 2)
+        .select(
+            F.col("a").alias("w"),
+            F.col("b").alias("n"),
+            (1.0 / F.log(F.col("deg"))).alias("aa_w"),
+            F.col("deg").alias("deg_w"),
+        )
+    )
+    if max_degree is not None:
+        center = center.where(F.col("deg_w") <= max_degree)
+    left = center.select("w", F.col("n").alias("u"), "aa_w")
+    right = center.select("w", F.col("n").alias("v"))
+    pairs = (
+        left.join(right, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("aa_w").alias("adamic_adar"),
+        )
+    )
+    if exclude_known:
+        pairs = pairs.join(
+            e,
+            (pairs["u"] == e["a"]) & (pairs["v"] == e["b"]),
+            "left_anti",
+        )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("__du") + F.col("__dv") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+            "adamic_adar",
+            (F.col("__du") * F.col("__dv")).alias("pref_attach"),
+        )
+    )
+
+
 def k_hop(
     triples: DataFrame,
     seeds: DataFrame,

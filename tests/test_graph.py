@@ -377,3 +377,83 @@ def test_label_propagation_drops_self_loops(spark):
     # carries its own label again — faithful to the update rule, and
     # the driver oracle replays the identical dynamics
     assert got == {"p": "p", "q": "q"}
+
+
+def test_link_heuristics_vs_python_mirror(spark):
+    """Exact parity with a brute-force pure-Python computation of all
+    four heuristics on a hand-built graph with a hub, a triangle, and
+    a pendant — plus the exclude-known and max-degree contracts."""
+    import math
+    from itertools import combinations
+
+    from crfsuite_spark.kg.graph import link_heuristics
+
+    rows = [
+        ("c1", 1, "a", "knows", "b"),
+        ("c1", 2, "b", "knows", "c"),
+        ("c1", 3, "a", "knows", "c"),   # triangle a-b-c
+        ("c2", 1, "h", "knows", "a"),
+        ("c2", 2, "h", "knows", "b"),
+        ("c2", 3, "h", "knows", "c"),
+        ("c2", 4, "h", "knows", "d"),   # hub h, pendant d
+        ("c3", 1, "a", "knows", "b"),   # duplicate mention collapses
+        ("c3", 2, "x", "knows", "x"),   # self-loop drops
+    ]
+    t = _triples(spark, rows)
+
+    adj = {}
+    for _, _, s, _, o in rows:
+        if s == o:
+            continue
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    edges = {
+        frozenset((u, v)) for u in adj for v in adj[u]
+    }
+
+    def mirror(exclude_known, max_degree=None):
+        exp = {}
+        for u, v in combinations(sorted(adj), 2):
+            if exclude_known and frozenset((u, v)) in edges:
+                continue
+            cn = {
+                w for w in adj[u] & adj[v]
+                if max_degree is None or len(adj[w]) <= max_degree
+            }
+            if not cn:
+                continue
+            # documented contract: the union term is the algebraic
+            # deg(u)+deg(v)-CN with the CAPPED CN (degrees uncapped)
+            exp[(u, v)] = (
+                len(cn),
+                len(cn) / (len(adj[u]) + len(adj[v]) - len(cn)),
+                sum(1.0 / math.log(len(adj[w])) for w in cn),
+                len(adj[u]) * len(adj[v]),
+            )
+        return exp
+
+    for kw in (
+        dict(exclude_known=True),
+        dict(exclude_known=False),
+        # cap drops hub h (deg 4) as a center; (a,b) keeps cn={c} and
+        # its jaccard uses the capped-CN union proxy 1/(3+3-1)
+        dict(exclude_known=False, max_degree=3),
+    ):
+        got = {
+            (r["u"], r["v"]): (
+                r["common_neighbors"],
+                r["jaccard"],
+                r["adamic_adar"],
+                r["pref_attach"],
+            )
+            for r in link_heuristics(t, **kw).collect()
+        }
+        exp = mirror(
+            kw["exclude_known"], kw.get("max_degree")
+        )
+        assert set(got) == set(exp), kw
+        for p in exp:
+            assert got[p][0] == exp[p][0], (p, kw)
+            assert got[p][1] == pytest.approx(exp[p][1]), (p, kw)
+            assert got[p][2] == pytest.approx(exp[p][2]), (p, kw)
+            assert got[p][3] == exp[p][3], (p, kw)
