@@ -1412,6 +1412,40 @@ def q_ta_unigram_nll(spark, sf):
     )
 
 
+_BM25_QUERY = ["customer", "vector", "merge", "quantum"]
+
+
+def q_ta_tfidf(spark, sf):
+    """TF-IDF inverted index (operators/relevance.py tfidf_terms):
+    one explode + partial-aggregated (doc, term) groupBy, df from the
+    index frame, N broadcast as a 1-row aggregate — no corpus text in
+    any shuffle. Oracle = the same explode/aggregate CTE chain."""
+    from crfsuite_spark.operators.relevance import tfidf_terms
+
+    d = _t(spark, sf, "documents")
+    out = tfidf_terms(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "term", "tf", "df",
+        F.round(F.col("tfidf"), 6).alias("tfidf"),
+    )
+
+
+def q_ta_bm25(spark, sf):
+    """Okapi BM25 of every document against a fixed query bag
+    (operators/relevance.py bm25_score; Lucene's always-positive idf).
+    The index is filtered to the query's terms at the scan, so the
+    posting lists touched bound per-query cost — one absent term
+    ('quantum') proves missing terms contribute nothing. Oracle = the
+    literal formula over the same token CTEs."""
+    from crfsuite_spark.operators.relevance import bm25_score
+
+    d = _t(spark, sf, "documents")
+    out = bm25_score(d, _BM25_QUERY, "doc_id", "text")
+    return out.select(
+        "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
+
+
 def q_ds_cluster_sample(spark, sf):
     """Cluster-balanced sampling: assign embeddings to the 8 fixed
     centroids (codegen argmin), then per-cluster deterministic hash
@@ -1729,6 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cluster_assign": q_sim_cluster_assign,
         "sim_group_centroids": q_sim_group_centroids,
         "ta_unigram_nll": q_ta_unigram_nll,
+        "ta_tfidf": q_ta_tfidf,
+        "ta_bm25": q_ta_bm25,
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
@@ -2871,6 +2907,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_tokens
             FROM t2 JOIN freq USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "ta_tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+              FROM documents),
+            t2 AS (SELECT * FROM toks WHERE term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM t2 GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, term, tf, df,
+                   round(tf * ln(n / df), 6) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        """,
+        "ta_bm25": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+              FROM documents),
+            t2 AS (SELECT * FROM toks WHERE term <> ''),
+            dl AS (SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+                     END AS dl
+                   FROM documents),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            q(term) AS (VALUES ('customer'), ('vector'), ('merge'), ('quantum')),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM t2 JOIN q USING (term) GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                         * tf * (1.2 + 1)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))),
+                     6) AS score
+            FROM tf JOIN dfreq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
         """,
         "sim_cluster_assign": """
             WITH c AS (
