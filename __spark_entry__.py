@@ -1390,6 +1390,24 @@ def q_kg_link_heuristics(spark, sf):
     )
 
 
+def q_kg_connected_components(spark, sf):
+    """Distributed min-label connected components
+    (kg/canonicalize.py connected_components: Kiveris et al.
+    hash-to-min with pointer jumping, localCheckpoint-truncated
+    rounds) over the undirected works_at graph —
+    ``small_graph_threshold=0`` forces the DISTRIBUTED iteration path
+    so the oracle pins the scale code, not the union-find fast path.
+    Oracle = DuckDB recursive reachability closure with min-reachable
+    node as the component representative."""
+    from crfsuite_spark.kg.canonicalize import connected_components
+
+    t = _gold_triples(spark)
+    edges = t.where(
+        (F.col("pred") == "works_at") & (F.col("subj") != F.col("obj"))
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return connected_components(edges, small_graph_threshold=0)
+
+
 def q_kg_top_objects(spark, sf):
     """Heavy-hitter objects per predicate, aggregate-THEN-rank: the
     window sorts the distinct-pair frame, never the mention stream
@@ -1758,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_cluster_sample": q_ds_cluster_sample,
         "kg_comention": q_kg_comention,
         "kg_link_heuristics": q_kg_link_heuristics,
+        "kg_connected_components": q_kg_connected_components,
         "kg_triangles": q_kg_triangles,
         "kg_top_objects": q_kg_top_objects,
         "sim_cluster_assign": q_sim_cluster_assign,
@@ -2829,6 +2848,20 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS first_seen, max(ts) AS last_seen
             FROM t WHERE ts <= TIMESTAMP '2025-06-29 00:00:00'
             GROUP BY subj, pred, obj
+        """,
+        "kg_connected_components": f"""
+            WITH RECURSIVE
+            e AS (SELECT DISTINCT subj AS a, obj AS b
+                  FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')
+                  WHERE pred = 'works_at' AND subj <> obj),
+            und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            nodes AS (SELECT DISTINCT a AS node FROM und),
+            reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT reach.node, und.b
+              FROM reach JOIN und ON und.a = reach.r)
+            SELECT node, min(r) AS component FROM reach GROUP BY node
         """,
         "kg_link_heuristics": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
