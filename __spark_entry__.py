@@ -1198,6 +1198,21 @@ def q_kg_link_pred_complex(spark, sf):
     return link_prediction_ranks(model, tests, known_triples=t)
 
 
+def q_kg_link_pred_rotate(spark, sf):
+    """Filtered tail ranks under ROTATE scoring (Sun et al. 2019:
+    −‖h∘r − t‖², LOWER distance = better) over the same hash
+    embeddings — pins the rotation-product rank scan and the distance
+    comparison direction cross-engine. Oracle = the same 4-component
+    h∘r expansion as kg_link_pred_complex ranked by squared
+    Euclidean distance with a strictly-smaller comparison."""
+    from crfsuite_spark.kg.embeddings import link_prediction_ranks
+
+    t, model = _hash_embedding_model(spark)
+    model.scoring = "rotate"
+    tests = t.filter(F.col("pred") == "works_at")
+    return link_prediction_ranks(model, tests, known_triples=t)
+
+
 def q_kg_link_pred_metrics(spark, sf):
     """Link-prediction summary metrics (MRR, Hits@k) over the filtered
     ranks — one partial-aggregated row, round-6 like the pagerank
@@ -1760,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_pred_metrics": q_kg_link_pred_metrics,
         "kg_link_pred_distmult": q_kg_link_pred_distmult,
         "kg_link_pred_complex": q_kg_link_pred_complex,
+        "kg_link_pred_rotate": q_kg_link_pred_rotate,
         "kg_match_negated": q_kg_match_negated,
         "kg_validate_required": q_kg_validate_required,
         "kg_validate_graph": q_kg_validate_graph,
@@ -2628,6 +2644,53 @@ def oracle_sql() -> dict[str, str]:
             strue AS (SELECT subj, pred, obj, s AS s_true FROM dist WHERE cand = obj)
             SELECT d.subj, d.pred, d.obj,
                    CAST(1 + count(*) FILTER (WHERE d.s > st.s_true
+                     AND d.cand <> d.obj
+                     AND NOT EXISTS (SELECT 1 FROM t k2
+                       WHERE k2.subj = d.subj AND k2.pred = d.pred
+                         AND k2.obj = d.cand)) AS BIGINT) AS "rank"
+            FROM dist d JOIN strue st USING (subj, pred, obj)
+            GROUP BY d.subj, d.pred, d.obj
+        """,
+        "kg_link_pred_rotate": f"""
+            WITH t AS (SELECT DISTINCT subj, pred, obj FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            ents AS (SELECT DISTINCT e FROM (SELECT subj AS e FROM t UNION SELECT obj FROM t)),
+            dims AS (SELECT unnest([0, 1, 2, 3]) AS k),
+            eemb AS (SELECT e, k,
+                       CAST(('0x' || substr(md5(concat_ws(':', e, k, '7')), 1, 8))::BIGINT % 21 - 10 AS DOUBLE) AS v
+                     FROM ents CROSS JOIN dims),
+            remb AS (SELECT pred AS r, k,
+                       CAST(('0x' || substr(md5(concat_ws(':', pred, k, '7')), 1, 8))::BIGINT % 21 - 10 AS DOUBLE) AS v
+                     FROM (SELECT DISTINCT pred FROM t) CROSS JOIN dims),
+            ew AS (SELECT e,
+                     max(CASE WHEN k = 0 THEN v END) AS v0,
+                     max(CASE WHEN k = 1 THEN v END) AS v1,
+                     max(CASE WHEN k = 2 THEN v END) AS v2,
+                     max(CASE WHEN k = 3 THEN v END) AS v3
+                   FROM eemb GROUP BY e),
+            rw AS (SELECT r,
+                     max(CASE WHEN k = 0 THEN v END) AS v0,
+                     max(CASE WHEN k = 1 THEN v END) AS v1,
+                     max(CASE WHEN k = 2 THEN v END) AS v2,
+                     max(CASE WHEN k = 3 THEN v END) AS v3
+                   FROM remb GROUP BY r),
+            tests AS (SELECT subj, pred, obj FROM t WHERE pred = 'works_at'),
+            q AS (SELECT ts.subj, ts.pred, ts.obj,
+                         h.v0 * r.v0 - h.v2 * r.v2 AS q0,
+                         h.v1 * r.v1 - h.v3 * r.v3 AS q1,
+                         h.v0 * r.v2 + h.v2 * r.v0 AS q2,
+                         h.v1 * r.v3 + h.v3 * r.v1 AS q3
+                  FROM tests ts
+                  JOIN ew h ON h.e = ts.subj
+                  JOIN rw r ON r.r = ts.pred),
+            dist AS (SELECT q.subj, q.pred, q.obj, c.e AS cand,
+                            (q.q0 - c.v0) * (q.q0 - c.v0)
+                            + (q.q1 - c.v1) * (q.q1 - c.v1)
+                            + (q.q2 - c.v2) * (q.q2 - c.v2)
+                            + (q.q3 - c.v3) * (q.q3 - c.v3) AS s
+                     FROM q CROSS JOIN ew c),
+            strue AS (SELECT subj, pred, obj, s AS s_true FROM dist WHERE cand = obj)
+            SELECT d.subj, d.pred, d.obj,
+                   CAST(1 + count(*) FILTER (WHERE d.s < st.s_true
                      AND d.cand <> d.obj
                      AND NOT EXISTS (SELECT 1 FROM t k2
                        WHERE k2.subj = d.subj AND k2.pred = d.pred

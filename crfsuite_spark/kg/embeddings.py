@@ -121,9 +121,10 @@ class TransEModel:
     trained under and ranking uses: ``"transe"`` (negative L2 distance
     ‖h+r−t‖², lower distance = better), ``"distmult"`` (trilinear
     dot Σ h⊙r⊙t, higher = better; Yang et al. 2015, "Embedding
-    Entities and Relations...") or ``"complex"`` (Re⟨h, r, conj(t)⟩
-    over Re‖Im-packed rows, higher = better; Trouillon et al.
-    2016)."""
+    Entities and Relations..."), ``"complex"`` (Re⟨h, r, conj(t)⟩
+    over Re‖Im-packed rows, higher = better; Trouillon et al. 2016)
+    or ``"rotate"`` (−‖h∘r − t‖² with unit-modulus relations, lower
+    distance = better; Sun et al. 2019)."""
 
     entities: list
     relations: list
@@ -326,10 +327,11 @@ def train_kge(
     """
     from crfsuite_spark.train.trainer import EPOCH_PARTIAL_SCHEMA
 
-    if scoring not in ("transe", "distmult", "complex"):
+    if scoring not in ("transe", "distmult", "complex", "rotate"):
         raise ValueError(f"unknown scoring {scoring!r}")
-    if scoring == "complex" and dim % 2:
-        raise ValueError("complex scoring packs Re|Im — dim must be even")
+    if scoring in ("complex", "rotate") and dim % 2:
+        raise ValueError(
+            f"{scoring} scoring packs Re|Im — dim must be even")
     sc = triples.sparkSession.sparkContext
     entities, relations = build_vocab(triples)
     ent2id = {e: i for i, e in enumerate(entities)}
@@ -342,11 +344,23 @@ def train_kge(
     n_triples = indexed.count()
     n_parts = indexed.rdd.getNumPartitions()
 
+    def _unit_modulus(rel):
+        """Project each packed complex component of every relation row
+        onto the unit circle — the RotatE constraint |r_j| = 1 as a
+        projected-gradient retraction (the paper's phase
+        parameterization reaches the same manifold)."""
+        d = rel.shape[1] // 2
+        rr, ri = rel[:, :d], rel[:, d:]
+        mod = np.maximum(np.sqrt(rr**2 + ri**2), 1e-12)
+        return np.concatenate([rr / mod, ri / mod], axis=1)
+
     rng = np.random.RandomState(seed)
     bound = 6.0 / np.sqrt(dim)
     ent_emb = rng.uniform(-bound, bound, (n_e, dim))
     ent_emb /= np.linalg.norm(ent_emb, axis=1, keepdims=True)
     rel_emb = rng.uniform(-bound, bound, (n_r, dim))
+    if scoring == "rotate":
+        rel_emb = _unit_modulus(rel_emb)
     if init is not None:
         if init.dim != dim:
             raise ValueError(
@@ -396,6 +410,9 @@ def train_kge(
                 if scoring == "transe":
                     d_pos_vec = ent[h] + rel[r] - ent[t]
                     d_pos = (d_pos_vec**2).sum(axis=1)
+                elif scoring == "rotate":  # minimize ||h∘r − t||²
+                    d_pos_vec = _cx_grad_t(ent[h], rel[r]) - ent[t]
+                    d_pos = (d_pos_vec**2).sum(axis=1)
                 elif scoring == "distmult":  # maximize s = Σ h⊙r⊙t
                     s_pos = (ent[h] * rel[r] * ent[t]).sum(axis=1)
                 else:  # complex: maximize s = Re⟨h, r, conj(t)⟩
@@ -411,6 +428,28 @@ def train_kge(
                         idx_parts += [h[viol], t[viol], nh[viol], nt[viol]]
                         val_parts += [gp, -gp, -gn, gn]
                         grel = gp - gn
+                    elif scoring == "rotate":
+                        # distance hinge like transe, but the product
+                        # h∘r is complex: ∂D/∂h = 2·conj(r)∘d and
+                        # ∂D/∂r = 2·conj(h)∘d (both = _cx_grad_h),
+                        # ∂D/∂t = −2d — Sun et al. 2019 with the
+                        # unit-modulus constraint enforced by
+                        # projection after the step instead of a
+                        # phase parameterization
+                        d_neg_vec = (_cx_grad_t(ent[nh], rel[r])
+                                     - ent[nt])
+                        d_neg = (d_neg_vec**2).sum(axis=1)
+                        hinge = margin + d_pos - d_neg
+                        viol = hinge > 0
+                        dp, dn = d_pos_vec[viol], d_neg_vec[viol]
+                        rv_ = rel[r][viol]
+                        idx_parts += [h[viol], t[viol], nh[viol], nt[viol]]
+                        val_parts += [2.0 * _cx_grad_h(rv_, dp),
+                                      -2.0 * dp,
+                                      -2.0 * _cx_grad_h(rv_, dn),
+                                      2.0 * dn]
+                        grel = 2.0 * (_cx_grad_h(ent[h][viol], dp)
+                                      - _cx_grad_h(ent[nh][viol], dn))
                     elif scoring == "distmult":
                         s_neg = (ent[nh] * rel[r] * ent[nt]).sum(axis=1)
                         hinge = margin - s_pos + s_neg
@@ -471,6 +510,8 @@ def train_kge(
         ent_emb = ent_emb.copy()
         ent_emb[ent_idx] -= scale * ent_rows
         rel_emb = rel_emb - scale * g_rel
+        if scoring == "rotate":
+            rel_emb = _unit_modulus(rel_emb)
         norms = np.linalg.norm(ent_emb, axis=1, keepdims=True)
         ent_emb = ent_emb / np.maximum(norms, 1e-12)
         log.append({"epoch": epoch, "loss": float(loss),
@@ -495,6 +536,15 @@ def train_complex(triples: DataFrame, **kw) -> TransEModel:
     """ComplEx (Trouillon et al. 2016) via :func:`train_kge` —
     ``dim`` is the REAL storage width (complex dimension = dim/2)."""
     return train_kge(triples, scoring="complex", **kw)
+
+
+def train_rotate(triples: DataFrame, **kw) -> TransEModel:
+    """RotatE (Sun et al. 2019, "RotatE: Knowledge Graph Embedding by
+    Relational Rotation in Complex Space") via :func:`train_kge`:
+    score = −‖h∘r − t‖² with relations projected to unit modulus per
+    complex component after every step.  ``dim`` is the REAL storage
+    width (complex dimension = dim/2)."""
+    return train_kge(triples, scoring="rotate", **kw)
 
 
 def link_prediction_ranks(
@@ -526,6 +576,7 @@ def link_prediction_ranks(
     rel2id = {r: i for i, r in enumerate(model.relations)}
     higher_is_better = model.scoring in ("distmult", "complex")
     is_complex = model.scoring == "complex"
+    is_rotate = model.scoring == "rotate"
     w_bc = sc.broadcast((model.ent_emb, model.rel_emb, ent2id, rel2id))
 
     def raw(batches):
@@ -544,8 +595,10 @@ def link_prediction_ranks(
                          else ent[h] * rel[r])  # (B, d)
                     d_all = q @ ent.T
                 else:
-                    q = ent[h] + rel[r]  # (B, d)
-                    # ||q - e||² = ||q||² - 2 q·e + ||e||² (one matmul)
+                    # TransE q = h + r; RotatE q = h∘r — both rank by
+                    # ||q − e||² = ||q||² − 2 q·e + ||e||² (one matmul)
+                    q = (_cx_grad_t(ent[h], rel[r]) if is_rotate
+                         else ent[h] + rel[r])  # (B, d)
                     d_all = (
                         (q**2).sum(axis=1, keepdims=True)
                         - 2.0 * q @ ent.T
@@ -591,6 +644,9 @@ def link_prediction_ranks(
                 d = (_cx_grad_t(ent[h], rel[r]) * ent[k]).sum(axis=1)
             elif higher_is_better:
                 d = (ent[h] * rel[r] * ent[k]).sum(axis=1)
+            elif is_rotate:
+                d = ((_cx_grad_t(ent[h], rel[r]) - ent[k]) ** 2).sum(
+                    axis=1)
             else:
                 d = ((ent[h] + rel[r] - ent[k]) ** 2).sum(axis=1)
             out = pdf[["subj", "pred", "obj", "d_true"]].copy()

@@ -353,3 +353,95 @@ def test_from_frames_restores_scoring(spark, graph, tmp_path):
     # legacy frames (no scoring column) fall back to transe
     legacy = TransEModel.from_frames(ent, rel.drop("scoring"))
     assert legacy.scoring == "transe"
+
+
+def test_rotate_distance_gradients_finite_difference():
+    """D(h,r,t) = ||h∘r − t||² in packed Re|Im form: the training
+    branch's closed-form gradients (2·conj(r)∘d for h, 2·conj(h)∘d
+    for r, −2d for t) match central finite differences."""
+    from crfsuite_spark.kg.embeddings import _cx_grad_h, _cx_grad_t
+
+    rng = np.random.RandomState(1)
+    d = 4
+    h, r, t = rng.randn(3, 5, 2 * d)
+
+    def D(h_, r_, t_):
+        return ((_cx_grad_t(h_, r_) - t_) ** 2).sum(axis=-1)
+
+    dvec = _cx_grad_t(h, r) - t
+    grads = {
+        "h": 2.0 * _cx_grad_h(r, dvec),
+        "r": 2.0 * _cx_grad_h(h, dvec),
+        "t": -2.0 * dvec,
+    }
+    eps = 1e-6
+    for name, arr in (("h", h), ("r", r), ("t", t)):
+        for k in range(2 * d):
+            up, dn = arr.copy(), arr.copy()
+            up[..., k] += eps
+            dn[..., k] -= eps
+            args_up = {"h": h, "r": r, "t": t, name: up}
+            args_dn = {"h": h, "r": r, "t": t, name: dn}
+            fd = (D(args_up["h"], args_up["r"], args_up["t"])
+                  - D(args_dn["h"], args_dn["r"], args_dn["t"])) / (2 * eps)
+            assert np.allclose(fd, grads[name][..., k], atol=1e-5), (name, k)
+
+
+def test_rotate_loss_decreases_and_relations_unit_modulus(spark, graph):
+    from crfsuite_spark.kg.embeddings import train_rotate
+
+    model = train_rotate(graph, dim=16, epochs=40, lr=0.5, seed=7)
+    assert model.scoring == "rotate"
+    assert model.log[-1]["loss"] < model.log[0]["loss"]
+    # |r_j| = 1 for every packed complex component after every step
+    d = model.dim // 2
+    mod = np.sqrt(model.rel_emb[:, :d] ** 2 + model.rel_emb[:, d:] ** 2)
+    assert np.allclose(mod, 1.0)
+    ranks = link_prediction_ranks(model, graph, known_triples=graph)
+    mrr = evaluate_link_prediction(ranks).collect()[0]["mrr"]
+    n_e = len(model.entities)
+    rand_mrr = sum(1.0 / k for k in range(1, n_e + 1)) / n_e
+    assert mrr > 2 * rand_mrr
+
+
+def test_rotate_ranks_match_brute_force(spark, graph):
+    from crfsuite_spark.kg.embeddings import train_rotate
+
+    rows = _block_graph()
+    known = set(rows)
+    model = train_rotate(graph, dim=8, epochs=10, lr=0.3, seed=3)
+    e2i = {e: i for i, e in enumerate(model.entities)}
+    r2i = {r: i for i, r in enumerate(model.relations)}
+    d = model.dim // 2
+
+    def dist(h, r, t):
+        eh = model.ent_emb[e2i[h]]
+        er = model.rel_emb[r2i[r]]
+        et = model.ent_emb[e2i[t]]
+        hc = eh[:d] + 1j * eh[d:]
+        rc = er[:d] + 1j * er[d:]
+        tc = et[:d] + 1j * et[d:]
+        return float(np.sum(np.abs(hc * rc - tc) ** 2))
+
+    exp = {}
+    for h, r, t in set(rows):
+        d_true = dist(h, r, t)
+        better = sum(
+            1 for c in model.entities
+            if c != t and (h, r, c) not in known and dist(h, r, c) < d_true
+        )
+        exp[(h, r, t)] = better + 1
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["rank"]
+        for r in link_prediction_ranks(
+            model, graph, known_triples=graph,
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_rotate_dim_must_be_even(spark, graph):
+    from crfsuite_spark.kg.embeddings import train_rotate
+
+    with pytest.raises(ValueError, match="dim must be even"):
+        train_rotate(graph, dim=5, epochs=1, seed=7)
