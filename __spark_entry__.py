@@ -806,6 +806,26 @@ def q_kg_pagerank(spark, sf):
     return res
 
 
+_PPR_SEEDS = ["per:alice_johnson", "org:acme_corp"]
+
+
+def q_kg_personalized_pagerank(spark, sf):
+    """Personalized PageRank (kg/graph.py pagerank with ``seeds``):
+    teleport mass restarts uniformly on two seed entities instead of
+    the whole node set — the entity-salience query "importance
+    relative to THESE entities". Same one-join-one-groupBy iteration
+    as kg_pagerank; the oracle chains the same three iterations with
+    the seeded teleport vector."""
+    from crfsuite_spark.kg.graph import pagerank
+
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS], ["entity"])
+    out = pagerank(_gold_triples(spark), n_iters=3, damping=0.85,
+                   seeds=seeds)
+    res = out.select("entity", F.round("rank", 6).alias("rank"))
+    res.pinned_caches = out.pinned_caches
+    return res
+
+
 def q_kg_k_hop(spark, sf):
     """Bounded 2-hop BFS from the lexicographically-first subject:
     (entity, min-hop). Seeds stay a frame (no collect)."""
@@ -1754,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_support": q_kg_triple_support,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_personalized_pagerank": q_kg_personalized_pagerank,
         "kg_communities": q_kg_communities,
         "ds_temperature_mix": q_ds_temperature_mix,
         "kg_k_hop": q_kg_k_hop,
@@ -2058,28 +2079,45 @@ def _semantic_dedup_oracle_sql(dim=64, n_planes=6, threshold=0.4, seed=42) -> st
         """
 
 
-def _pagerank_oracle_sql(gold: str, n_iters=3, damping=0.85) -> str:
-    """DuckDB SQL reproducing q_kg_pagerank: the same fixed-iteration
-    simple PageRank, one CTE pair (contrib, rank) per iteration."""
+def _pagerank_oracle_sql(gold: str, n_iters=3, damping=0.85,
+                         seeds: list | None = None) -> str:
+    """DuckDB SQL reproducing q_kg_pagerank / q_kg_personalized_pagerank:
+    the same fixed-iteration simple PageRank, one CTE pair
+    (contrib, rank) per iteration; with ``seeds`` the teleport vector
+    is uniform over the seed nodes (0 elsewhere) and r0 = teleport."""
     ctes = [
         f"t AS (SELECT * FROM read_parquet('{gold}'))",
         "e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM t)",
         "nodes AS (SELECT DISTINCT entity FROM "
         "(SELECT src AS entity FROM e0 UNION ALL SELECT dst FROM e0))",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
         "deg AS (SELECT src, count(*) AS out_deg FROM e0 GROUP BY src)",
         "e AS (SELECT e0.src, e0.dst, deg.out_deg FROM e0 JOIN deg USING (src))",
-        "r0 AS (SELECT entity, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
     ]
+    if seeds is None:
+        ctes += [
+            "nn AS (SELECT count(*) AS n FROM nodes)",
+            "tele AS (SELECT entity, 1.0 / nn.n AS tv "
+            "FROM nodes CROSS JOIN nn)",
+        ]
+    else:
+        values = ", ".join(f"('{s}')" for s in seeds)
+        ctes += [
+            f"seeds(entity) AS (VALUES {values})",
+            "ns AS (SELECT count(*) AS n FROM nodes JOIN seeds USING (entity))",
+            "tele AS (SELECT nodes.entity, "
+            "(CASE WHEN s.entity IS NOT NULL THEN 1.0 ELSE 0.0 END) / ns.n AS tv "
+            "FROM nodes LEFT JOIN seeds s USING (entity) CROSS JOIN ns)",
+        ]
+    ctes.append("r0 AS (SELECT entity, tv AS rank FROM tele)")
     for i in range(1, n_iters + 1):
         ctes.append(
             f"c{i} AS (SELECT e.dst AS entity, sum(r{i-1}.rank / e.out_deg) AS c "
             f"FROM e JOIN r{i-1} ON r{i-1}.entity = e.src GROUP BY e.dst)"
         )
         ctes.append(
-            f"r{i} AS (SELECT nodes.entity, "
-            f"(1.0 - {damping}) / nn.n + {damping} * coalesce(c{i}.c, 0) AS rank "
-            f"FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.entity = nodes.entity)"
+            f"r{i} AS (SELECT tele.entity, "
+            f"(1.0 - {damping}) * tele.tv + {damping} * coalesce(c{i}.c, 0) AS rank "
+            f"FROM tele LEFT JOIN c{i} ON c{i}.entity = tele.entity)"
         )
     body = ",\n            ".join(ctes)
     return f"""
@@ -2843,6 +2881,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"
+        ),
+        "kg_personalized_pagerank": _pagerank_oracle_sql(
+            f"{fixtures}/gold_triples_synthetic.parquet",
+            seeds=_PPR_SEEDS,
         ),
         "kg_communities": _label_prop_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"

@@ -86,24 +86,36 @@ def pagerank(
     damping: float = 0.85,
     subj: str = "subj",
     obj: str = "obj",
+    seeds: DataFrame | None = None,
+    seed_col: str = "entity",
 ) -> DataFrame:
     """Fixed-iteration PageRank over the distinct (subj → obj) edge
     set: (entity, rank).
 
-    r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/outdeg(u) — the simple
-    (non-dangling-redistributing) formulation: rank flowing into sink
-    nodes leaves the system, exactly like the textbook map-reduce
-    PageRank, which keeps every iteration ONE join + ONE
+    r_{t+1}(v) = (1-d)·s(v) + d · Σ_{u→v} r_t(u)/outdeg(u) — the
+    simple (non-dangling-redistributing) formulation: rank flowing
+    into sink nodes leaves the system, exactly like the textbook
+    map-reduce PageRank, which keeps every iteration ONE join + ONE
     partial-aggregated groupBy and makes the fixed-iteration result
-    reproducible in plain SQL (the ds driver oracle chains the same
+    reproducible in plain SQL (the driver oracles chain the same
     three iterations as CTEs). Convergence-to-tolerance is a caller
     loop away; fixed small n_iters is the production norm for entity
     importance at 10^12 edges, where each extra iteration is a full
     shuffle over the edge table.
 
-    The degree-annotated edge frame is persisted (it is scanned once
-    per iteration; unpersist via ``out.pinned_caches``). The node set
-    stays a frame; N is the one scalar (``count()``)."""
+    The teleport vector s is uniform 1/N without ``seeds``; with
+    ``seeds`` (a frame of ``seed_col`` entities) it is the
+    PERSONALIZED PageRank restart: 1/|S ∩ nodes| on the seed nodes,
+    0 elsewhere (Jeh & Widom 2003 / Page et al. §6 "personalized"
+    vector), and r_0 = s — the standard entity-salience query
+    ("importance relative to THESE entities", e.g. a conversation's
+    mention set). Seed mass not reachable stays 0: rank concentrates
+    around the seeds instead of spreading to the whole graph.
+
+    The degree-annotated edge frame and the teleport-annotated node
+    frame are persisted (scanned once per iteration; unpersist via
+    ``out.pinned_caches``). N and |S| are the only scalars (one
+    ``count()`` each)."""
     edges = triples.select(
         F.col(subj).alias("src"), F.col(obj).alias("dst")
     ).distinct()
@@ -111,12 +123,28 @@ def pagerank(
         edges.select(F.col("src").alias("entity"))
         .unionByName(edges.select(F.col("dst").alias("entity")))
         .distinct()
-        .persist()
     )
-    n = nodes.count()
+    if seeds is None:
+        nodes = nodes.persist()
+        n = nodes.count()
+        nodes_t = nodes.select("entity", F.lit(1.0 / n).alias("__tele"))
+    else:
+        sdf = seeds.select(F.col(seed_col).alias("entity")).distinct()
+        marked = nodes.join(
+            sdf.withColumn("__s", F.lit(1.0)), "entity", "left"
+        ).persist()
+        n_s = marked.where(F.col("__s").isNotNull()).count()
+        if n_s == 0:
+            marked.unpersist()
+            raise ValueError("no seed entity appears in the graph")
+        nodes = marked
+        nodes_t = marked.select(
+            "entity",
+            (F.coalesce(F.col("__s"), F.lit(0.0)) / n_s).alias("__tele"),
+        )
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     e = edges.join(deg, "src").persist()
-    ranks = nodes.select("entity", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes_t.select("entity", F.col("__tele").alias("rank"))
     for _ in range(n_iters):
         contrib = (
             e.join(ranks.withColumnRenamed("entity", "src"), "src")
@@ -127,10 +155,10 @@ def pagerank(
             .groupBy("entity")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(contrib, "entity", "left").select(
+        ranks = nodes_t.join(contrib, "entity", "left").select(
             "entity",
             (
-                F.lit((1.0 - damping) / n)
+                F.lit(1.0 - damping) * F.col("__tele")
                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )

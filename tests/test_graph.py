@@ -457,3 +457,41 @@ def test_link_heuristics_vs_python_mirror(spark):
             assert got[p][1] == pytest.approx(exp[p][1]), (p, kw)
             assert got[p][2] == pytest.approx(exp[p][2]), (p, kw)
             assert got[p][3] == exp[p][3], (p, kw)
+
+
+def test_personalized_pagerank_matches_numpy(spark, tiny):
+    """Seeded-teleport PPR equals the literal numpy iteration with
+    s = uniform over seeds; seeds outside the graph are ignored and
+    an all-unknown seed set raises."""
+    seeds = spark.createDataFrame(
+        [("a",), ("c",), ("zzz_not_in_graph",)], ["entity"]
+    )
+    out = pagerank(tiny, n_iters=3, damping=0.85, seeds=seeds)
+    got = {r["entity"]: r["rank"] for r in out.collect()}
+    for c in out.pinned_caches:
+        c.unpersist()
+
+    edges = {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("e", "a")}
+    nodes = sorted({x for p in edges for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    s_vec = np.zeros(len(nodes))
+    for sd in ("a", "c"):
+        s_vec[idx[sd]] = 0.5
+    r = s_vec.copy()
+    for _ in range(3):
+        nxt = 0.15 * s_vec
+        for u, v in edges:
+            nxt[idx[v]] += 0.85 * r[idx[u]] / outdeg[u]
+        r = nxt
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]]), v
+    # non-seed source nodes hold zero teleport mass
+    assert got["e"] == 0.0
+
+    with pytest.raises(ValueError, match="no seed entity"):
+        pagerank(tiny, seeds=spark.createDataFrame(
+            [("nope",)], ["entity"]))
