@@ -826,6 +826,24 @@ def q_kg_personalized_pagerank(spark, sf):
     return res
 
 
+def q_kg_hits(spark, sf):
+    """Fixed-3-iteration HITS hubs/authorities (kg/graph.py hits;
+    Kleinberg 1999) with per-iteration L2 normalization — two
+    uniform-key joins + two partial-aggregated groupBys per round,
+    norms crossJoin-broadcast back, plans localCheckpoint-truncated.
+    Oracle = the same three iterations unrolled as CTE quads."""
+    from crfsuite_spark.kg.graph import hits
+
+    out = hits(_gold_triples(spark), n_iters=3)
+    res = out.select(
+        "entity",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+    res.pinned_caches = out.pinned_caches
+    return res
+
+
 def q_kg_k_hop(spark, sf):
     """Bounded 2-hop BFS from the lexicographically-first subject:
     (entity, min-hop). Seeds stay a frame (no collect)."""
@@ -1775,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_personalized_pagerank": q_kg_personalized_pagerank,
+        "kg_hits": q_kg_hits,
         "kg_communities": q_kg_communities,
         "ds_temperature_mix": q_ds_temperature_mix,
         "kg_k_hop": q_kg_k_hop,
@@ -2123,6 +2142,44 @@ def _pagerank_oracle_sql(gold: str, n_iters=3, damping=0.85,
     return f"""
             WITH {body}
             SELECT entity, round(rank, 6) AS rank FROM r{n_iters}
+        """
+
+
+def _hits_oracle_sql(gold: str, n_iters=3) -> str:
+    """DuckDB SQL reproducing q_kg_hits: the same fixed-iteration
+    HITS with per-iteration L2 normalization, one CTE quad
+    (auth sum/fill/norm, hub sum/fill/norm) per iteration."""
+    ctes = [
+        f"t AS (SELECT * FROM read_parquet('{gold}'))",
+        "e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM t)",
+        "nodes AS (SELECT DISTINCT entity FROM "
+        "(SELECT src AS entity FROM e0 UNION ALL SELECT dst FROM e0))",
+        "h0 AS (SELECT entity, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes += [
+            f"ac{i} AS (SELECT e0.dst AS entity, sum(h{i-1}.hub) AS s "
+            f"FROM e0 JOIN h{i-1} ON h{i-1}.entity = e0.src GROUP BY e0.dst)",
+            f"af{i} AS (SELECT nodes.entity, coalesce(ac{i}.s, 0) AS authority "
+            f"FROM nodes LEFT JOIN ac{i} ON ac{i}.entity = nodes.entity)",
+            f"an{i} AS (SELECT entity, CASE WHEN nrm > 0 "
+            f"THEN authority / nrm ELSE 0 END AS authority FROM af{i} "
+            f"CROSS JOIN (SELECT sqrt(sum(authority * authority)) AS nrm "
+            f"FROM af{i}))",
+            f"hc{i} AS (SELECT e0.src AS entity, sum(an{i}.authority) AS s "
+            f"FROM e0 JOIN an{i} ON an{i}.entity = e0.dst GROUP BY e0.src)",
+            f"hf{i} AS (SELECT nodes.entity, coalesce(hc{i}.s, 0) AS hub "
+            f"FROM nodes LEFT JOIN hc{i} ON hc{i}.entity = nodes.entity)",
+            f"h{i} AS (SELECT entity, CASE WHEN nrm > 0 "
+            f"THEN hub / nrm ELSE 0 END AS hub FROM hf{i} "
+            f"CROSS JOIN (SELECT sqrt(sum(hub * hub)) AS nrm FROM hf{i}))",
+        ]
+    body = ",\n            ".join(ctes)
+    return f"""
+            WITH {body}
+            SELECT h.entity, round(h.hub, 6) AS hub,
+                   round(a.authority, 6) AS authority
+            FROM h{n_iters} h JOIN an{n_iters} a ON a.entity = h.entity
         """
 
 
@@ -2885,6 +2942,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_personalized_pagerank": _pagerank_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet",
             seeds=_PPR_SEEDS,
+        ),
+        "kg_hits": _hits_oracle_sql(
+            f"{fixtures}/gold_triples_synthetic.parquet"
         ),
         "kg_communities": _label_prop_oracle_sql(
             f"{fixtures}/gold_triples_synthetic.parquet"

@@ -166,6 +166,91 @@ def pagerank(
     return ranks
 
 
+def hits(
+    triples: DataFrame,
+    n_iters: int = 5,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999, "Authoritative Sources in
+    a Hyperlinked Environment") over the distinct directed edge set:
+    (entity, hub, authority), both L2-normalized per iteration —
+
+        a_{t+1}(v) = Σ_{u→v} h_t(u)   then a ← a/‖a‖₂
+        h_{t+1}(u) = Σ_{u→v} a_{t+1}(v)  then h ← h/‖h‖₂
+
+    the query-independent counterpart to :func:`pagerank` for
+    bipartite-ish KGs (hub = entity pointing at many authorities:
+    e.g. a conversation's active subject; authority = entity many
+    subjects point at). Sinks keep hub 0, sources authority 0; like
+    pagerank the fixed small iteration count is the production norm
+    at 10^12 edges and makes the result reproducible in plain SQL.
+
+    Per iteration: two uniform-key joins + two partial-aggregated
+    groupBys + two 1-row norm aggregates crossJoin-broadcast back —
+    no driver scalar per round, no window. The edge and node frames
+    persist across iterations (release via ``out.pinned_caches``)."""
+    edges = triples.select(
+        F.col(subj).alias("src"), F.col(obj).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .persist()
+    )
+
+    def _l2_normalized(df, col):
+        nrm = df.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__nrm")
+        )
+        return df.crossJoin(F.broadcast(nrm)).select(
+            "entity",
+            F.when(F.col("__nrm") > 0, F.col(col) / F.col("__nrm"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    hubs = nodes.select("entity", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(n_iters):
+        a_sum = (
+            edges.join(
+                hubs.withColumnRenamed("entity", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _l2_normalized(
+            nodes.join(a_sum, "entity", "left").select(
+                "entity",
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            ),
+            "authority",
+        )
+        h_sum = (
+            edges.join(
+                auth.withColumnRenamed("entity", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("entity"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hubs = _l2_normalized(
+            nodes.join(h_sum, "entity", "left").select(
+                "entity", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        # truncate the iterated plan each round (node-scale frames —
+        # cheap to materialize; without this Catalyst re-analysis of
+        # the doubled join chain grows superlinearly per iteration)
+        auth = auth.localCheckpoint(eager=False)
+        hubs = hubs.localCheckpoint(eager=False)
+    out = hubs.join(auth, "entity").select("entity", "hub", "authority")
+    out.pinned_caches = [edges, nodes]
+    return out
+
+
 def top_objects(
     triples: DataFrame,
     k: int = 3,

@@ -495,3 +495,36 @@ def test_personalized_pagerank_matches_numpy(spark, tiny):
     with pytest.raises(ValueError, match="no seed entity"):
         pagerank(tiny, seeds=spark.createDataFrame(
             [("nope",)], ["entity"]))
+
+
+def test_hits_matches_numpy_iteration(spark, tiny):
+    """Fixed-iteration HITS equals the literal numpy mirror with
+    per-iteration L2 normalization; sinks keep hub 0, sources
+    authority 0."""
+    from crfsuite_spark.kg.graph import hits
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("e", "a")]
+    nodes = sorted({x for p in edges for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    for iters in (1, 3):
+        h = np.ones(len(nodes))
+        a = np.zeros(len(nodes))
+        for _ in range(iters):
+            a = np.zeros(len(nodes))
+            for u, v in edges:
+                a[idx[v]] += h[idx[u]]
+            a /= np.linalg.norm(a)
+            h = np.zeros(len(nodes))
+            for u, v in edges:
+                h[idx[u]] += a[idx[v]]
+            h /= np.linalg.norm(h)
+        out = hits(tiny, n_iters=iters)
+        got = {r["entity"]: (r["hub"], r["authority"]) for r in out.collect()}
+        for c in out.pinned_caches:
+            c.unpersist()
+        assert set(got) == set(nodes)
+        for v in nodes:
+            assert got[v][0] == pytest.approx(h[idx[v]], abs=1e-12), v
+            assert got[v][1] == pytest.approx(a[idx[v]], abs=1e-12), v
+    # d is a pure sink (hub 0); e a pure source (authority 0)
+    assert got["d"][0] == 0.0 and got["e"][1] == 0.0
