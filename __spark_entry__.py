@@ -1517,6 +1517,23 @@ def q_ta_bm25(spark, sf):
     )
 
 
+def q_ta_bigram_nll(spark, sf):
+    """Per-document conditional bigram NLL under the corpus's own
+    Jelinek-Mercer-interpolated bigram LM (functions/analysis.py
+    bigram_nll, lam=0.8): pairing is a scan-local array transform
+    (no positional shuffle), three count tables broadcast back.
+    Oracle = the same counts via generate_subscripts adjacency
+    self-join."""
+    from crfsuite_spark.functions.analysis import bigram_nll
+
+    d = _t(spark, sf, "documents")
+    out = bigram_nll(d, "doc_id", "text", lam=0.8)
+    return out.select(
+        "doc_id", F.round(F.col("nll"), 6).alias("nll"),
+        "n_transitions",
+    )
+
+
 def q_ds_cluster_sample(spark, sf):
     """Cluster-balanced sampling: assign embeddings to the 8 fixed
     centroids (codegen argmin), then per-cluster deterministic hash
@@ -1840,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_unigram_nll": q_ta_unigram_nll,
         "ta_tfidf": q_ta_tfidf,
         "ta_bm25": q_ta_bm25,
+        "ta_bigram_nll": q_ta_bigram_nll,
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
@@ -3145,6 +3163,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN dl ON dl.doc_id = tf.doc_id
             CROSS JOIN stats
             GROUP BY tf.doc_id
+        """,
+        "ta_bigram_nll": """
+            WITH toks0 AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS ord,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+              FROM documents),
+            toks AS (SELECT * FROM toks0 WHERE tok <> ''),
+            pairs AS (SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+                      FROM toks a JOIN toks b
+                        ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+            pc AS (SELECT prev, cur, count(*) AS c_pair
+                   FROM pairs GROUP BY prev, cur),
+            cc AS (SELECT prev, sum(c_pair) AS c_ctx FROM pc GROUP BY prev),
+            uni AS (SELECT tok AS cur, count(*) AS c_uni
+                    FROM toks GROUP BY tok),
+            tot AS (SELECT sum(c_uni) AS n_tok FROM uni)
+            SELECT p.doc_id,
+                   round(avg(-ln(0.8 * c_pair / c_ctx
+                                 + 0.2 * c_uni / n_tok)), 6) AS nll,
+                   count(*) AS n_transitions
+            FROM pairs p JOIN pc USING (prev, cur) JOIN cc USING (prev)
+            JOIN uni ON uni.cur = p.cur CROSS JOIN tot
+            GROUP BY p.doc_id
         """,
         "sim_cluster_assign": """
             WITH c AS (

@@ -316,6 +316,90 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.8,
+    broadcast_vocab: bool = True,
+):
+    """Per-document CONDITIONAL bigram negative log-likelihood under
+    the corpus's own interpolated bigram LM — the next step up from
+    :func:`unigram_nll` for quality bucketing (low NLL = locally
+    predictable text: boilerplate, templated spam; high = gibberish):
+
+        P(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/ctx(w_{i-1})
+                           + (1−λ)·c(w_i)/N
+
+    where ctx counts TRANSITIONS out of the context (so the bigram
+    MLE rows sum to 1 per context) and the unigram term uses all-token
+    counts — Jelinek-Mercer interpolation, which also means no
+    zero-probability transitions (scoring corpus == training corpus,
+    every unigram has count ≥ 1). Scores average over transition
+    positions i ≥ 2 only; documents with < 2 tokens are absent.
+
+    Returns (id, nll, n_transitions). Shape: pairing is a scan-local
+    array ``transform`` (no posexplode self-join — the token stream
+    never carries positions through a shuffle); three partial-
+    aggregated count tables join back broadcast by default (same
+    stopword-skew rationale as :func:`unigram_nll`; set
+    ``broadcast_vocab=False`` when the bigram type table outgrows the
+    driver — uniform-ish keys + AQE handle it)."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1) for interpolation")
+    toks_arr = F.filter(_tokens(text_col), lambda t: t != "")
+    staged = df.select(F.col(id_col), toks_arr.alias("__toks"))
+    # (prev, cur) per transition, scan-local: pair element i of the
+    # n-1 prefix with element i+2 (1-based element_at) of the array
+    pairs = (
+        staged.where(F.size("__toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.expr("slice(__toks, 1, size(__toks) - 1)"),
+                    lambda x, i: F.struct(
+                        x.alias("prev"),
+                        F.element_at(F.col("__toks"), i + 2).alias(
+                            "cur"
+                        ),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        .select(id_col, F.col("__p.prev").alias("prev"),
+                F.col("__p.cur").alias("cur"))
+    )
+    pair_cnt = pairs.groupBy("prev", "cur").agg(
+        F.count("*").alias("c_pair")
+    )
+    ctx_cnt = pair_cnt.groupBy("prev").agg(
+        F.sum("c_pair").alias("c_ctx")
+    )
+    uni = (
+        staged.select(F.explode("__toks").alias("cur"))
+        .groupBy("cur")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    tot = uni.agg(F.sum("c_uni").alias("n_tok"))
+    b = F.broadcast if broadcast_vocab else (lambda x: x)
+    p = (
+        F.lit(lam) * F.col("c_pair") / F.col("c_ctx")
+        + F.lit(1.0 - lam) * F.col("c_uni") / F.col("n_tok")
+    )
+    return (
+        pairs.join(b(pair_cnt), ["prev", "cur"])
+        .join(b(ctx_cnt), "prev")
+        .join(b(uni), "cur")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.avg(-F.log(p)).alias("nll"),
+            F.count("*").alias("n_transitions"),
+        )
+    )
+
+
 # RE2-safe patterns (no lookaround/backrefs) so the same regex runs in
 # Spark (Java) and DuckDB (RE2) byte-for-byte
 _PII_PATTERNS = [

@@ -459,3 +459,55 @@ def test_temperature_mix_scale_factor(spark):
     assert abs(got["code"] - 50) < 25
     assert abs(got["web"] - 200) < 45
     assert abs(got["books"] - 100) < 35
+
+
+def test_bigram_nll_matches_python_mirror(spark):
+    """Interpolated conditional bigram NLL equals the literal Python
+    computation; <2-token docs absent; lam validated."""
+    import math
+    from collections import Counter
+
+    rows = [
+        ("d1", "a b a b c"),
+        ("d2", "a b"),
+        ("d3", "c c c"),
+        ("d4", "solo"),        # 1 token: absent
+        ("d5", ""),            # empty: absent
+        ("d6", None),          # NULL: absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    lam = 0.8
+    out = {
+        r["doc_id"]: (r["nll"], r["n_transitions"])
+        for r in an.bigram_nll(df, lam=lam).collect()
+    }
+
+    docs = {d: (t.strip().lower().split() if t and t.strip() else [])
+            for d, t in rows}
+    uni = Counter(w for ws in docs.values() for w in ws)
+    n_tok = sum(uni.values())
+    pair = Counter()
+    ctx = Counter()
+    for ws in docs.values():
+        for a, b in zip(ws, ws[1:]):
+            pair[(a, b)] += 1
+            ctx[a] += 1
+    exp = {}
+    for d, ws in docs.items():
+        trans = list(zip(ws, ws[1:]))
+        if not trans:
+            continue
+        nll = -sum(
+            math.log(lam * pair[(a, b)] / ctx[a]
+                     + (1 - lam) * uni[b] / n_tok)
+            for a, b in trans
+        ) / len(trans)
+        exp[d] = (nll, len(trans))
+    assert set(out) == set(exp) == {"d1", "d2", "d3"}
+    for d in exp:
+        assert out[d][1] == exp[d][1]
+        assert out[d][0] == pytest.approx(exp[d][0])
+    # templated text scores LOWER (more predictable) than mixed text
+    assert out["d3"][0] < out["d1"][0]
+    with pytest.raises(ValueError, match="lam"):
+        an.bigram_nll(df, lam=1.0)
