@@ -1,7 +1,7 @@
 """TransE scale bench: epoch throughput + filtered-rank eval over a
 synthetic power-law-ish graph, at a chosen parallelism.
 
-Usage: python tools/embed_bench.py [cores] [n_triples] [n_entities] [dim]
+Usage: python tools/embed_bench.py [cores] [n_triples] [n_entities] [dim] [scoring]
 
 Prints one JSON line: triples/sec per epoch (mean over epochs after
 the first), rank eval seconds, and config — run at two core counts
@@ -21,13 +21,14 @@ def main():
     n_ents = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
     n_rels = 50
     dim = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    scoring = sys.argv[5] if len(sys.argv) > 5 else "transe"
     epochs = 5
 
     from crfsuite_spark.session import get_spark
     from crfsuite_spark.kg.embeddings import (
         evaluate_link_prediction,
         link_prediction_ranks,
-        train_transe,
+        train_kge,
     )
 
     spark = get_spark("embed_bench", cores=cores)
@@ -44,8 +45,8 @@ def main():
     n = triples.count()
 
     t0 = time.time()
-    model = train_transe(triples, dim=dim, epochs=epochs, lr=0.5, seed=7,
-                         num_partitions=cores)
+    model = train_kge(triples, dim=dim, epochs=epochs, lr=0.5, seed=7,
+                      num_partitions=cores, scoring=scoring)
     train_s = time.time() - t0
     # steady-state epoch rate: skip epoch 1 (vocab build + first JIT)
     per_epoch = train_s / epochs
@@ -58,7 +59,8 @@ def main():
     eval_s = time.time() - t0
 
     print(json.dumps({
-        "cores": cores, "n_triples": n, "n_entities": len(model.entities),
+        "cores": cores, "scoring": scoring,
+        "n_triples": n, "n_entities": len(model.entities),
         "dim": dim, "epochs": epochs,
         "train_sec": round(train_s, 2),
         "triples_per_sec_per_epoch": round(n / per_epoch, 1),
