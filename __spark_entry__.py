@@ -1285,6 +1285,38 @@ def q_kg_validate_required(spark, sf):
     )
 
 
+def q_kg_match_exists(spark, sf):
+    """SPARQL FILTER EXISTS (kg/query.py match_patterns(exists=...)):
+    employees kept only when their org acquired something — a LEFT
+    SEMI join on the shared variable, the narrow dual of the
+    kg_match_not_exists anti join (solution rows never widen).
+    Oracle = the literal EXISTS subquery."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    return match_patterns(
+        _gold_triples(spark),
+        [("?p", "works_at", "?org")],
+        exists=[[("?org", "acquired", "?x")]],
+    )
+
+
+def q_kg_match_bind(spark, sf):
+    """SPARQL BIND (kg/query.py match_patterns(bind=...)): computed
+    variables chained after the required join (later binds reference
+    earlier ones), feeding FILTER and the projection — pure scan-local
+    column exprs, zero extra shuffle. Oracle = the same expressions
+    inline."""
+    from crfsuite_spark.kg.query import match_patterns
+
+    return match_patterns(
+        _gold_triples(spark),
+        [("?p", "works_at", "?org"), ("?org", "located_in", "?city")],
+        bind={"tag": "concat(p, '@', city)",
+              "tag_len": "length(tag)"},
+        filters=["tag_len >= 25"],
+    )
+
+
 def q_kg_match_negated(spark, sf):
     """SPARQL negated property set (kg/query.py `!p1|p2` ≡ !(p1|p2)):
     distinct endpoint pairs connected by anything OTHER than the
@@ -1834,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_pred_complex": q_kg_link_pred_complex,
         "kg_link_pred_rotate": q_kg_link_pred_rotate,
         "kg_match_negated": q_kg_match_negated,
+        "kg_match_exists": q_kg_match_exists,
+        "kg_match_bind": q_kg_match_bind,
         "kg_validate_required": q_kg_validate_required,
         "kg_validate_graph": q_kg_validate_graph,
         "kg_property_path": q_kg_property_path,
@@ -2819,6 +2853,23 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN "rank" <= 3 THEN 1.0 ELSE 0.0 END), 6) AS hits3,
                    round(avg(CASE WHEN "rank" <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10
             FROM ranks
+        """,
+        "kg_match_exists": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))
+            SELECT DISTINCT subj AS p, obj AS org FROM t
+            WHERE pred = 'works_at'
+              AND EXISTS (SELECT 1 FROM t t2
+                          WHERE t2.pred = 'acquired' AND t2.subj = t.obj)
+        """,
+        "kg_match_bind": f"""
+            WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            w AS (SELECT DISTINCT subj AS p, obj AS org FROM t WHERE pred = 'works_at'),
+            l AS (SELECT DISTINCT subj AS org, obj AS city FROM t WHERE pred = 'located_in'),
+            sol AS (SELECT DISTINCT p, org, city,
+                           concat(p, '@', city) AS tag
+                    FROM w JOIN l USING (org))
+            SELECT p, org, city, tag, length(tag) AS tag_len
+            FROM sol WHERE length(tag) >= 25
         """,
         "kg_match_negated": f"""
             WITH t AS (SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet'))

@@ -287,6 +287,8 @@ def match_patterns(
     select: list[str] | None = None,
     filters: list[str] | None = None,
     optional: list | None = None,
+    bind: dict[str, str] | None = None,
+    exists: list | None = None,
     not_exists: list | None = None,
     minus: list | None = None,
     values: dict[str, list] | None = None,
@@ -338,6 +340,20 @@ def match_patterns(
         length as ``patterns``, None entries fall back to ``triples``)
         — the hook semi-naive rule evaluation uses to point one body
         position at the last round's delta (``kg/rules.py``).
+    bind : SPARQL ``BIND(expr AS ?v)``: ``{"v": "sql expr"}`` adds
+        computed variables, evaluated immediately after the required
+        join chain (insertion order — later binds may reference
+        earlier ones), so ``filters``/``values``/``select``/
+        ``order_by`` can all use them; a bind may reference required-
+        pattern variables only (not OPTIONAL-bound ones), and
+        shadowing an existing variable raises (SPARQL forbids it
+        too).  Pure scan-local column exprs — no shuffle.
+    exists : list of pattern GROUPS applied as SPARQL ``FILTER
+        EXISTS``: solutions are KEPT only when the group matches
+        under the shared variables — a LEFT SEMI join on those
+        variables (the dual of ``not_exists``; same narrow-projection
+        build side).  A group sharing NO variable is an existence
+        probe: if it matches nothing, EVERY solution drops.
     not_exists : list of pattern GROUPS (each a ``patterns`` list)
         applied as SPARQL ``FILTER NOT EXISTS``: solutions are removed
         when the group matches under the shared variables — a LEFT
@@ -413,6 +429,13 @@ def match_patterns(
         acc = acc.join(frame, on=shared) if shared else acc.crossJoin(frame)
         bound |= set(frame.columns)
 
+    for var, expr in (bind or {}).items():
+        if var in bound:
+            raise ValueError(
+                f"bind would shadow already-bound variable {var!r}")
+        acc = acc.withColumn(var, F.expr(expr))
+        bound.add(var)
+
     for var, allowed in (values or {}).items():
         if var not in bound:
             raise ValueError(f"values restricts unbound variable {var!r}")
@@ -452,6 +475,30 @@ def match_patterns(
         acc = acc.join(frame, on=shared, how="left")
         bound |= set(frame.columns)
 
+    for grp in exists or []:
+        pos = match_patterns(
+            triples, grp, distinct=True,
+            assume_distinct=assume_distinct, path_hops=path_hops,
+        )
+        pinned += pos.pinned_caches
+        shared = sorted(set(pos.columns) & bound)
+        if shared:
+            # semi side projected to the shared variables only — the
+            # exact dual of the NOT EXISTS anti join below
+            acc = acc.join(
+                pos.select(*shared).distinct(), on=shared,
+                how="left_semi",
+            )
+        else:
+            # Disconnected EXISTS: one-row existence marker; an EMPTY
+            # group annihilates every solution, a non-empty keeps all.
+            marker = pos.limit(1).select(F.lit(1).alias("__k"))
+            acc = (
+                acc.withColumn("__k", F.lit(1))
+                .join(marker, on="__k", how="left_semi")
+                .drop("__k")
+            )
+
     for is_minus, groups in ((False, not_exists or []), (True, minus or [])):
         for grp in groups:
             neg = match_patterns(
@@ -489,6 +536,7 @@ def match_patterns(
             if (_is_var(term) and not term[1:].startswith("__")
                     and term[1:] not in all_vars):
                 all_vars.append(term[1:])
+    all_vars += [v for v in (bind or {}) if v not in all_vars]
     out_cols = select if select is not None else all_vars
     unknown = [c for c in out_cols if c not in bound]
     if unknown:

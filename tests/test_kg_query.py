@@ -882,3 +882,69 @@ def test_subquery_composition_via_bindings(triples, spark):
         bindings=inner,
     )
     assert rows(out) == [("acme", "berlin")]
+
+
+def test_filter_exists_semi_join(triples):
+    # employees kept only when their org has a located_in edge: all
+    # three orgs have one -> drop nothing; a stricter group (org
+    # acquired something) keeps only acme's people
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        exists=[[("?org", "located_in", "?c")]],
+    )
+    assert rows(out) == [
+        ("ada", "acme"), ("bob", "acme"), ("cyd", "initech")]
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        exists=[[("?org", "acquired", "?x")]],
+    )
+    assert rows(out) == [("ada", "acme"), ("bob", "acme")]
+    # solution rows never widen: EXISTS binds nothing
+    assert out.columns == ["p", "org"]
+
+
+def test_filter_exists_disconnected_probe(triples):
+    # a ground/disconnected EXISTS group: non-empty keeps everything,
+    # empty annihilates (the dual of the NOT EXISTS probe semantics)
+    keep = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        exists=[[("acme", "located_in", "berlin")]],
+    )
+    assert len(rows(keep)) == 3
+    drop = match_patterns(
+        triples,
+        [("?p", "works_at", "?org")],
+        exists=[[("acme", "located_in", "oslo")]],
+    )
+    assert rows(drop) == []
+
+
+def test_bind_computed_variable(triples):
+    # BIND feeds FILTER, default projection, and ORDER BY
+    out = match_patterns(
+        triples,
+        [("?p", "works_at", "?org"), ("?org", "located_in", "?city")],
+        bind={"tag": "concat(p, '@', city)",
+              "tag_len": "length(tag)"},  # later bind sees earlier
+        filters=["tag_len >= 9"],
+        order_by=["tag"],
+    )
+    assert out.columns == ["p", "org", "city", "tag", "tag_len"]
+    got = [tuple(r) for r in out.collect()]
+    # cyd@oslo (length 8) fails the filter on the bound variable
+    assert got == [
+        ("ada", "acme", "berlin", "ada@berlin", 10),
+        ("bob", "acme", "berlin", "bob@berlin", 10),
+    ]
+
+
+def test_bind_shadow_raises(triples):
+    with pytest.raises(ValueError, match="shadow"):
+        match_patterns(
+            triples,
+            [("?p", "works_at", "?org")],
+            bind={"org": "upper(p)"},
+        )
