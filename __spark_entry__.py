@@ -652,6 +652,32 @@ def q_ev_run_groups(spark, sf):
     )
 
 
+def q_tr_conv_stats(spark, sf):
+    """Per-conversation transcript rollup (operators/transcripts.py):
+    turn/role/tool counts, token volume, time span, max inter-turn gap,
+    role-alternation rate — one window + one groupBy, single Exchange.
+    Oracle recomputes every column in DuckDB window SQL from the
+    checked-in full-turn fixture."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import conv_stats
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    return conv_stats(spark.createDataFrame(data.transcripts))
+
+
+def q_tr_chat_examples(spark, sf):
+    """SFT training-example rendering: each conversation becomes one
+    newline-joined '<|role|>text' string with character-offset
+    loss-mask spans over assistant turns (operators/transcripts.py).
+    Oracle rebuilds the string and every span offset via ordered
+    string_agg + running-sum windows in DuckDB."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import chat_examples
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    return chat_examples(spark.createDataFrame(data.transcripts))
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: CRF decode, LSH, KG pipeline)
 # --------------------------------------------------------------------------
@@ -1900,6 +1926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "ev_sessionize": q_ev_sessionize,
         "ev_run_groups": q_ev_run_groups,
+        "tr_conv_stats": q_tr_conv_stats,
+        "tr_chat_examples": q_tr_chat_examples,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -3826,6 +3854,56 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS changed
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
             GROUP BY 1, 2, 3
+        """,
+        "tr_conv_stats": f"""
+            WITH t AS (
+              SELECT conv_id, role, tool,
+                     epoch_ms(ts) AS ms,
+                     epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms,
+                     CASE WHEN lag(role) OVER w IS NOT NULL
+                               AND lag(role) OVER w <> role
+                          THEN 1 ELSE 0 END AS sw,
+                     len(string_split(text, ' ')) AS n_tok
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                   CAST(count(tool) AS BIGINT) AS n_tool_calls,
+                   round(count(tool) * 1.0 / count(*), 6) AS tool_frac,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   round(avg(n_tok), 6) AS avg_turn_tokens,
+                   CAST(max(ms) - min(ms) AS BIGINT) AS span_ms,
+                   CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+                   CAST(sum(sw) AS BIGINT) AS n_role_switches,
+                   CASE WHEN count(*) > 1
+                        THEN round(sum(sw) * 1.0 / (count(*) - 1), 6)
+                   END AS alternation_rate
+            FROM t GROUP BY conv_id
+        """,
+        "tr_chat_examples": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role,
+                     '<|' || role || '|>' || text AS r
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+            ),
+            o AS (
+              SELECT *, len(r) AS l,
+                     COALESCE(sum(len(r) + 1) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS off
+              FROM t
+            )
+            SELECT conv_id,
+                   string_agg(r, chr(10) ORDER BY turn_idx) AS example_text,
+                   CAST(sum(l + 1) - 1 AS BIGINT) AS n_chars,
+                   COALESCE(string_agg(off || ':' || (off + l), ',' ORDER BY turn_idx)
+                            FILTER (WHERE role = 'assistant'), '') AS mask_spans
+            FROM o GROUP BY conv_id
         """,
         "a2_feature_refs": """
             WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),

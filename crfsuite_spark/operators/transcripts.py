@@ -1,0 +1,150 @@
+"""Conversation-level analytics and training-example rendering over the
+Iceberg-shaped transcript table ``(conv_id, turn_idx, role, text, tool, ts)``.
+
+The reference operates on one annotated document set at a time
+(`R/crfsuite.R` takes a flat token frame); at 10^12-turn transcript scale
+the per-conversation rollup is the unit a curation pipeline reasons
+about — which conversations are tool-heavy, degenerate (no role
+alternation), or stale. Both operators here are one-Exchange shapes:
+a window over ``conv_id`` followed by a ``groupBy(conv_id)`` reuses the
+window's hash partitioning, so the transcript text crosses the wire at
+most once regardless of corpus size.
+
+``chat_examples`` renders each conversation into a single training
+string with character-offset loss-mask spans over the assistant turns —
+the standard SFT layout (mask user/tool context, train on assistant
+tokens), produced entirely with JVM Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conv_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Per-conversation rollup: turn/role/tool counts, token volume,
+    time span, largest inter-turn gap, and role-alternation rate.
+
+    One window + one groupBy, both keyed on ``conv_col`` → a single
+    Exchange; every aggregate has a map-side partial. Doubles are
+    rounded to 6 places so cross-engine value hashes are stable.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap_ms = ms - F.unix_millis(F.lag("ts", 1).over(w).cast("timestamp"))
+    role_switch = F.when(
+        F.lag("role", 1).over(w).isNotNull()
+        & (F.lag("role", 1).over(w) != F.col("role")),
+        1,
+    ).otherwise(0)
+    n_tokens = F.size(F.split("text", " "))
+
+    turns = df.select(
+        conv_col,
+        F.col("role"),
+        F.col("tool"),
+        ms.alias("__ms"),
+        gap_ms.alias("__gap_ms"),
+        role_switch.alias("__switch"),
+        n_tokens.alias("__n_tok"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    return turns.groupBy(conv_col).agg(
+        n.alias("n_turns"),
+        F.countDistinct("role").cast("bigint").alias("n_roles"),
+        F.count("tool").cast("bigint").alias("n_tool_calls"),
+        F.round(F.count("tool") / n, 6).alias("tool_frac"),
+        F.sum((F.col("role") == F.lit("assistant")).cast("int")).cast("bigint")
+        .alias("n_assistant"),
+        F.sum("__n_tok").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("__n_tok"), 6).alias("avg_turn_tokens"),
+        (F.max("__ms") - F.min("__ms")).cast("bigint").alias("span_ms"),
+        F.max("__gap_ms").cast("bigint").alias("max_gap_ms"),
+        F.sum("__switch").cast("bigint").alias("n_role_switches"),
+        F.when(n > 1, F.round(F.sum("__switch") / (n - 1), 6))
+        .alias("alternation_rate"),
+    )
+
+
+def _rendered(role: Column, text: Column) -> Column:
+    return F.concat(F.lit("<|"), role, F.lit("|>"), text)
+
+
+def chat_examples(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    mask_role: str = "assistant",
+) -> DataFrame:
+    """Render each conversation into one newline-joined training string
+    with character-offset loss-mask spans over ``mask_role`` turns.
+
+    Output: (conv_id, example_text, n_chars, mask_spans) where
+    ``mask_spans`` is a comma-joined ``start:end`` list (end exclusive)
+    such that ``example_text[start:end]`` is exactly the rendered
+    ``<|role|>text`` of each masked turn — the invariant
+    tests/test_transcript_stats.py slices back out and checks.
+
+    Shape: a running-sum window over ``conv_col`` computes each turn's
+    byte offset, then a ``groupBy(conv_col)`` assembles the ordered
+    string via sort_array(collect_list(struct)) — partitioning is
+    reused, so the text shuffles once.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    rendered = _rendered(F.col("role"), F.col("text"))
+    # +1 for the '\n' separator that concat adds AFTER every turn but
+    # the last; offsets count it uniformly because turn i's offset only
+    # sums separators of turns < i.
+    piece_len = F.length(rendered) + F.lit(1)
+    offset = F.coalesce(
+        F.sum(piece_len).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    turns = df.select(
+        conv_col,
+        F.col(order_col).alias("__ord"),
+        F.col("role"),
+        rendered.alias("__r"),
+        offset.alias("__off"),
+        F.length(rendered).cast("bigint").alias("__len"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("__ord"), F.col("__r"), F.col("__off"),
+                                F.col("__len"), F.col("role")))
+    )
+    span = lambda x: F.concat(  # noqa: E731
+        x["__off"].cast("string"), F.lit(":"),
+        (x["__off"] + x["__len"]).cast("string"),
+    )
+    return (
+        turns.groupBy(conv_col)
+        .agg(ordered.alias("__t"))
+        .select(
+            conv_col,
+            F.array_join(
+                F.transform(F.col("__t"), lambda x: x["__r"]), "\n"
+            ).alias("example_text"),
+            F.aggregate(
+                F.col("__t"), F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x["__len"] + 1,
+            ).alias("__tot"),
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("__t"), lambda x: x["role"] == mask_role),
+                    span,
+                ),
+                ",",
+            ).alias("mask_spans"),
+        )
+        .select(
+            conv_col,
+            "example_text",
+            (F.col("__tot") - 1).alias("n_chars"),  # no trailing separator
+            "mask_spans",
+        )
+    )

@@ -1,0 +1,112 @@
+"""Conversation-level analytics (operators/transcripts.py): exact-value
+parity against a plain-pandas recomputation, the mask-span slice
+invariant for SFT example rendering, and the single-Exchange plan shape
+that makes both rollups a one-shuffle job at transcript scale."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crfsuite_spark.operators.transcripts import chat_examples, conv_stats
+
+
+@pytest.fixture(scope="module")
+def tdf(spark, synth):
+    return spark.createDataFrame(synth.transcripts).persist()
+
+
+def _pandas_conv_stats(t: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for conv_id, g in t.sort_values("turn_idx").groupby("conv_id"):
+        ms = g["ts"].astype("datetime64[ms]").astype("int64")
+        gaps = ms.diff().dropna()
+        switches = int((g["role"] != g["role"].shift()).iloc[1:].sum())
+        n = len(g)
+        n_tok = g["text"].str.split(" ").map(len)
+        rows.append({
+            "conv_id": conv_id,
+            "n_turns": n,
+            "n_roles": g["role"].nunique(),
+            "n_tool_calls": int(g["tool"].notna().sum()),
+            "tool_frac": round(g["tool"].notna().sum() / n, 6),
+            "n_assistant": int((g["role"] == "assistant").sum()),
+            "n_tokens": int(n_tok.sum()),
+            "avg_turn_tokens": round(n_tok.mean(), 6),
+            "span_ms": int(ms.max() - ms.min()),
+            "max_gap_ms": int(gaps.max()) if len(gaps) else None,
+            "n_role_switches": switches,
+            "alternation_rate": round(switches / (n - 1), 6) if n > 1 else None,
+        })
+    return pd.DataFrame(rows).sort_values("conv_id").reset_index(drop=True)
+
+
+def test_conv_stats_exact(tdf, synth):
+    got = (
+        conv_stats(tdf).orderBy("conv_id").toPandas().reset_index(drop=True)
+    )
+    want = _pandas_conv_stats(synth.transcripts)
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        pd.testing.assert_series_equal(
+            got[c], want[c], check_dtype=False, check_names=False,
+            obj=c,
+        )
+
+
+def test_conv_stats_single_turn_conversation(spark):
+    t = spark.createDataFrame(
+        pd.DataFrame({
+            "conv_id": ["c1"], "turn_idx": [0], "role": ["user"],
+            "text": ["hello there"], "tool": [None],
+            "ts": [pd.Timestamp("2025-01-01")],
+        })
+    )
+    row = conv_stats(t).collect()[0]
+    assert row.n_turns == 1
+    assert row.span_ms == 0
+    assert row.max_gap_ms is None
+    assert row.n_role_switches == 0
+    assert row.alternation_rate is None
+
+
+def test_chat_examples_mask_spans_slice_back(tdf):
+    for row in chat_examples(tdf).collect():
+        text = row.example_text
+        assert len(text) == row.n_chars
+        spans = row.mask_spans.split(",") if row.mask_spans else []
+        for sp in spans:
+            s, e = map(int, sp.split(":"))
+            piece = text[s:e]
+            assert piece.startswith("<|assistant|>"), piece
+            # a span covers a whole rendered turn: bounded by the
+            # separator (or the string edge) on both sides
+            assert s == 0 or text[s - 1] == "\n"
+            assert e == len(text) or text[e] == "\n"
+
+
+def test_chat_examples_reconstructs_ordered_turns(tdf, synth):
+    got = {r.conv_id: r.example_text for r in chat_examples(tdf).collect()}
+    t = synth.transcripts.sort_values(["conv_id", "turn_idx"])
+    for conv_id, g in t.groupby("conv_id"):
+        want = "\n".join("<|%s|>%s" % (r.role, r.text) for r in g.itertuples())
+        assert got[conv_id] == want
+
+
+def test_transcript_rollups_single_exchange(tdf):
+    for q in (conv_stats(tdf), chat_examples(tdf)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+
+
+def test_conv_stats_masked_role_parameter(spark):
+    t = spark.createDataFrame(
+        pd.DataFrame({
+            "conv_id": ["c", "c"], "turn_idx": [0, 1],
+            "role": ["user", "agent"], "text": ["hi", "yo"],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2025-01-01", "2025-01-02"]),
+        })
+    )
+    row = chat_examples(t, mask_role="agent").collect()[0]
+    s, e = map(int, row.mask_spans.split(":"))
+    assert row.example_text[s:e] == "<|agent|>yo"

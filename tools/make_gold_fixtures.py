@@ -88,6 +88,18 @@ def main() -> None:
     )
     print(f"alias_dict_synthetic: {len(data.alias_dict)} rows")
 
+    # the full turn table (all six input_hint columns) so the
+    # conversation-analytics oracles (tr_conv_stats, tr_chat_examples)
+    # can recompute the rollups in DuckDB SQL from the same rows
+    turns = data.transcripts[
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ].copy()
+    turns["ts"] = turns["ts"].astype("datetime64[us]")
+    turns.to_parquet(
+        os.path.join(FIXTURES, "gold_turns_synthetic.parquet"), index=False
+    )
+    print(f"gold_turns_synthetic: {len(turns)} rows")
+
 
 if __name__ == "__main__":
     main()
