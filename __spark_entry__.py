@@ -678,6 +678,33 @@ def q_tr_chat_examples(spark, sf):
     return chat_examples(spark.createDataFrame(data.transcripts))
 
 
+def q_tr_turn_transitions(spark, sf):
+    """Corpus-wide (prev_state -> state) turn-transition counts, tool
+    turns refined to 'tool:<name>' — the Markov skeleton of agent
+    flows. Oracle = the same lag + groupBy in DuckDB window SQL."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import turn_transitions
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    return turn_transitions(spark.createDataFrame(data.transcripts))
+
+
+def q_kg_coref_resolve(spark, sf):
+    """Conversation-scope pronoun coreference (kg/coref.py): each
+    pronoun resolves to the most recent strictly-preceding entity
+    mention of a compatible type, via per-type last(ignorenulls)
+    windows over a unioned mention/pronoun stream — one Exchange, no
+    join. Oracle mirrors it with DuckDB last_value(IGNORE NULLS)
+    windows over the checked-in crafted fixture."""
+    from crfsuite_spark.datagen.coref import coref_conversations
+    from crfsuite_spark.kg.coref import resolve_pronouns
+
+    toks, spans = coref_conversations(n_convs=24, seed=77)
+    return resolve_pronouns(
+        spark.createDataFrame(toks), spark.createDataFrame(spans)
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: CRF decode, LSH, KG pipeline)
 # --------------------------------------------------------------------------
@@ -1928,6 +1955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_run_groups": q_ev_run_groups,
         "tr_conv_stats": q_tr_conv_stats,
         "tr_chat_examples": q_tr_chat_examples,
+        "tr_turn_transitions": q_tr_turn_transitions,
+        "kg_coref_resolve": q_kg_coref_resolve,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -3904,6 +3933,73 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(string_agg(off || ':' || (off + l), ',' ORDER BY turn_idx)
                             FILTER (WHERE role = 'assistant'), '') AS mask_spans
             FROM o GROUP BY conv_id
+        """,
+        "tr_turn_transitions": f"""
+            SELECT prev_state, state, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT state,
+                     lag(state) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_state
+              FROM (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN tool IS NOT NULL THEN 'tool:' || tool
+                            ELSE role END AS state
+                FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')))
+            GROUP BY 1, 2
+        """,
+        "kg_coref_resolve": f"""
+            WITH p AS (
+              SELECT conv_id, turn_idx AS t, CAST(token_idx AS INT) AS pos,
+                     lower(token) AS pronoun
+              FROM read_parquet('{fixtures}/coref_tokens_synthetic.parquet')
+              WHERE lower(token) IN ('he','him','his','she','her',
+                                     'they','them','it','its','there')),
+            m AS (
+              SELECT conv_id, turn_idx AS t, CAST(end_tok AS INT) AS pos,
+                     entity_type, surface
+              FROM read_parquet('{fixtures}/coref_spans_synthetic.parquet')),
+            s AS (
+              SELECT conv_id, t, pos, pronoun,
+                     NULL AS entity_type, NULL AS surface, 1 AS k FROM p
+              UNION ALL
+              SELECT conv_id, t, pos, NULL, entity_type, surface, 0 FROM m),
+            wnd AS (
+              SELECT conv_id, t, pos, pronoun,
+                last_value(CASE WHEN entity_type = 'PER' THEN
+                  {{'t': t, 'p': pos, 'k': 'PER', 's': surface}} END
+                  IGNORE NULLS) OVER w AS c_per,
+                last_value(CASE WHEN entity_type = 'ORG' THEN
+                  {{'t': t, 'p': pos, 'k': 'ORG', 's': surface}} END
+                  IGNORE NULLS) OVER w AS c_org,
+                last_value(CASE WHEN entity_type = 'LOC' THEN
+                  {{'t': t, 'p': pos, 'k': 'LOC', 's': surface}} END
+                  IGNORE NULLS) OVER w AS c_loc
+              FROM s
+              WINDOW w AS (PARTITION BY conv_id ORDER BY t, pos, k
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            sel AS (
+              SELECT *,
+                CASE WHEN c_per IS NULL THEN c_org
+                     WHEN c_org IS NULL THEN c_per
+                     WHEN (c_per.t > c_org.t)
+                          OR (c_per.t = c_org.t AND c_per.p > c_org.p)
+                     THEN c_per ELSE c_org END AS c_perorg,
+                CASE WHEN c_org IS NULL THEN c_loc
+                     WHEN c_loc IS NULL THEN c_org
+                     WHEN (c_org.t > c_loc.t)
+                          OR (c_org.t = c_loc.t AND c_org.p > c_loc.p)
+                     THEN c_org ELSE c_loc END AS c_orgloc
+              FROM wnd WHERE pronoun IS NOT NULL),
+            typed AS (
+              SELECT conv_id, t, pos, pronoun,
+                CASE WHEN pronoun IN ('he','him','his','she','her') THEN c_per
+                     WHEN pronoun IN ('they','them') THEN c_perorg
+                     WHEN pronoun IN ('it','its') THEN c_orgloc
+                     ELSE c_loc END AS c
+              FROM sel)
+            SELECT conv_id, t AS turn_idx, pos AS token_idx, pronoun,
+                   (c).t AS ant_turn_idx, (c).p AS ant_pos,
+                   (c).k AS ant_type, (c).s AS ant_surface
+            FROM typed
         """,
         "a2_feature_refs": """
             WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),

@@ -71,6 +71,33 @@ def conv_stats(
     )
 
 
+def turn_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Corpus-wide (prev_state -> state) transition counts, where a
+    turn's state is its role, refined to ``tool:<name>`` for tool
+    turns — the Markov skeleton of agentic flows (user -> assistant ->
+    tool:search -> assistant ...). ``prev_state`` is NULL for
+    conversation-opening turns, so openers are counted too.
+
+    One window (lag over conv) + one global groupBy on a tiny key
+    domain (|roles ∪ tools|^2) — the second Exchange moves only
+    counted pairs, never text.
+    """
+    state = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.col("role"))
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    return (
+        df.select(F.col(conv_col), F.col(order_col), state.alias("state"))
+        .withColumn("prev_state", F.lag("state", 1).over(w))
+        .groupBy("prev_state", "state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 def _rendered(role: Column, text: Column) -> Column:
     return F.concat(F.lit("<|"), role, F.lit("|>"), text)
 

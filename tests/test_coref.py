@@ -1,0 +1,127 @@
+"""Pronoun coreference (kg/coref.py): brute-force reference parity on
+the crafted corpus, recovered-triple e2e through the relation grammar,
+and the one-Exchange plan contract."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crfsuite_spark.datagen.coref import coref_conversations
+from crfsuite_spark.kg.coref import (
+    PRONOUN_TYPES,
+    resolve_pronouns,
+    spans_with_antecedents,
+)
+
+
+def _brute_force(tokens: pd.DataFrame, spans: pd.DataFrame) -> pd.DataFrame:
+    """Per-pronoun linear scan over all prior mentions — the obvious
+    O(n^2) reference the window implementation must match."""
+    out = []
+    for conv, gt in tokens.groupby("conv_id"):
+        ms = spans[spans.conv_id == conv]
+        mentions = [
+            (int(r.turn_idx), int(r.end_tok), r.entity_type, r.surface)
+            for r in ms.itertuples()
+        ]
+        for r in gt.itertuples():
+            pron = r.token.lower()
+            if pron not in PRONOUN_TYPES:
+                continue
+            ok_types = PRONOUN_TYPES[pron]
+            prior = [
+                m for m in mentions
+                if m[2] in ok_types
+                and (m[0], m[1]) < (int(r.turn_idx), int(r.token_idx))
+            ]
+            best = max(prior, key=lambda m: (m[0], m[1])) if prior else None
+            out.append({
+                "conv_id": conv, "turn_idx": int(r.turn_idx),
+                "token_idx": int(r.token_idx), "pronoun": pron,
+                "ant_turn_idx": best[0] if best else None,
+                "ant_pos": best[1] if best else None,
+                "ant_type": best[2] if best else None,
+                "ant_surface": best[3] if best else None,
+            })
+    return (
+        pd.DataFrame(out)
+        .sort_values(["conv_id", "turn_idx", "token_idx"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("seed", [77, 101, 202])
+def test_resolve_matches_brute_force(spark, seed):
+    toks, spans = coref_conversations(n_convs=12, seed=seed)
+    got = (
+        resolve_pronouns(spark.createDataFrame(toks),
+                         spark.createDataFrame(spans))
+        .orderBy("conv_id", "turn_idx", "token_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = _brute_force(toks, spans)
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        pd.testing.assert_series_equal(
+            got[c], want[c], check_dtype=False, check_names=False, obj=c
+        )
+
+
+def test_unresolvable_openers_stay_null(spark):
+    toks, spans = coref_conversations(n_convs=24, seed=77)
+    got = resolve_pronouns(
+        spark.createDataFrame(toks), spark.createDataFrame(spans)
+    ).toPandas()
+    # the builder opens some conversations with pronoun-only turns
+    # before any mention — those must come back NULL, not resolved
+    first_mention = spans.groupby("conv_id").turn_idx.min()
+    openers = got[
+        got.apply(
+            lambda r: r.turn_idx < first_mention.get(r.conv_id, 10**9), axis=1
+        )
+    ]
+    assert len(openers) > 0
+    assert openers.ant_surface.isna().all()
+
+
+def test_recovers_pronominal_triples(spark):
+    """'Alice Johnson founded Acme Corp . / She works at Globex .'
+    yields (Alice Johnson, works_at, Globex) only via coref."""
+    from crfsuite_spark.kg.spans import assemble_relations
+
+    rows = []
+    for ti, words in enumerate([
+        "Alice Johnson founded Acme Corp .".split(),
+        "She works at Globex .".split(),
+    ]):
+        rows += [("c1", ti, i, w) for i, w in enumerate(words)]
+    tokens = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "token_idx", "token"])
+    )
+    spans = spark.createDataFrame(pd.DataFrame(
+        [("c1", 0, 1, "PER", "Alice Johnson", 0, 1),
+         ("c1", 0, 2, "ORG", "Acme Corp", 3, 4),
+         ("c1", 1, 1, "REL", "works at", 1, 2),
+         ("c1", 1, 2, "ORG", "Globex", 3, 3)],
+        columns=["conv_id", "turn_idx", "span_id", "entity_type", "surface",
+                 "start_tok", "end_tok"],
+    ))
+    entity_spans = spans.where(F.col("entity_type") != "REL")
+    resolved = resolve_pronouns(tokens, entity_spans)
+    augmented = spans_with_antecedents(spans, resolved)
+    rels = assemble_relations(augmented).collect()
+    got = {(r.subj_surface, r.pred, r.obj_surface) for r in rels}
+    assert ("Alice Johnson", "works_at", "Globex") in got, got
+    # without coref the turn-1 relation has no subject
+    base = {(r.subj_surface, r.pred, r.obj_surface)
+            for r in assemble_relations(spans).collect()}
+    assert ("Alice Johnson", "works_at", "Globex") not in base
+
+
+def test_resolve_single_exchange(spark):
+    toks, spans = coref_conversations(n_convs=4, seed=77)
+    q = resolve_pronouns(spark.createDataFrame(toks),
+                         spark.createDataFrame(spans))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -100,6 +100,19 @@ def main() -> None:
     )
     print(f"gold_turns_synthetic: {len(turns)} rows")
 
+    # pronoun-bearing conversations for the coref oracle
+    # (kg_coref_resolve): token stream + gold entity spans
+    from crfsuite_spark.datagen.coref import coref_conversations
+
+    ctoks, cspans = coref_conversations(n_convs=24, seed=77)
+    ctoks.to_parquet(
+        os.path.join(FIXTURES, "coref_tokens_synthetic.parquet"), index=False
+    )
+    cspans.to_parquet(
+        os.path.join(FIXTURES, "coref_spans_synthetic.parquet"), index=False
+    )
+    print(f"coref fixtures: {len(ctoks)} tokens, {len(cspans)} spans")
+
 
 if __name__ == "__main__":
     main()
