@@ -705,6 +705,25 @@ def q_kg_coref_resolve(spark, sf):
     )
 
 
+def q_kg_disambiguate(spark, sf):
+    """Context-based entity disambiguation (kg/disambiguate.py):
+    ambiguous aliases score every dictionary candidate by the integer
+    dot product of md5 hashed bag-of-words embeddings (context vs
+    entity profile) and keep the argmax — broadcast dictionary joins,
+    map-side embedding, one min_by groupBy. Exact-integer scores, so
+    the DuckDB oracle reproduces choice AND score bit-identically."""
+    from crfsuite_spark.datagen.disambig import disambig_mentions
+    from crfsuite_spark.kg.disambiguate import disambiguate_mentions
+
+    m, a, p = disambig_mentions(n_mentions=200, seed=13)
+    return disambiguate_mentions(
+        spark.createDataFrame(m.drop(columns=["gold_id"])),
+        spark.createDataFrame(a),
+        spark.createDataFrame(p),
+        dim=16,
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: CRF decode, LSH, KG pipeline)
 # --------------------------------------------------------------------------
@@ -1957,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_chat_examples": q_tr_chat_examples,
         "tr_turn_transitions": q_tr_turn_transitions,
         "kg_coref_resolve": q_kg_coref_resolve,
+        "kg_disambiguate": q_kg_disambiguate,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -4000,6 +4020,44 @@ def oracle_sql() -> dict[str, str]:
                    (c).t AS ant_turn_idx, (c).p AS ant_pos,
                    (c).k AS ant_type, (c).s AS ant_surface
             FROM typed
+        """,
+        "kg_disambiguate": f"""
+            WITH m AS (
+              SELECT mention_id, surface,
+                     list_transform(range(0, 16), k ->
+                       list_sum(list_transform(
+                         string_split(lower(context), ' '), t ->
+                         (('0x' || substr(md5(t || ':' || k || ':7'), 1, 8))
+                            ::BIGINT % 21) - 10))) AS ctx
+              FROM read_parquet('{fixtures}/disambig_mentions_synthetic.parquet')),
+            a AS (
+              SELECT alias AS surface, canonical_id
+              FROM read_parquet('{fixtures}/disambig_alias_synthetic.parquet')),
+            p AS (
+              SELECT canonical_id,
+                     list_transform(range(0, 16), k ->
+                       list_sum(list_transform(
+                         string_split(lower(profile), ' '), t ->
+                         (('0x' || substr(md5(t || ':' || k || ':7'), 1, 8))
+                            ::BIGINT % 21) - 10))) AS prof
+              FROM read_parquet('{fixtures}/disambig_profiles_synthetic.parquet')),
+            scored AS (
+              SELECT m.mention_id, m.surface, a.canonical_id,
+                     list_sum(list_transform(range(1, 17), i ->
+                       ctx[i] * prof[i])) AS score
+              FROM m JOIN a USING (surface) JOIN p USING (canonical_id)),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY mention_id, surface
+                                        ORDER BY score DESC, canonical_id)
+                       AS rn,
+                     count(*) OVER (PARTITION BY mention_id, surface)
+                       AS n_candidates
+              FROM scored)
+            SELECT mention_id, surface, canonical_id,
+                   CAST(score AS BIGINT) AS score,
+                   CAST(n_candidates AS BIGINT) AS n_candidates
+            FROM r WHERE rn = 1
         """,
         "a2_feature_refs": """
             WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),

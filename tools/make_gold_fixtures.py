@@ -113,6 +113,25 @@ def main() -> None:
     )
     print(f"coref fixtures: {len(ctoks)} tokens, {len(cspans)} spans")
 
+    # ambiguous-alias mentions + dictionary + entity profiles for the
+    # disambiguation oracle (kg_disambiguate)
+    from crfsuite_spark.datagen.disambig import disambig_mentions
+
+    dm, da, dp = disambig_mentions(n_mentions=200, seed=13)
+    dm.to_parquet(
+        os.path.join(FIXTURES, "disambig_mentions_synthetic.parquet"),
+        index=False,
+    )
+    da.to_parquet(
+        os.path.join(FIXTURES, "disambig_alias_synthetic.parquet"), index=False
+    )
+    dp.to_parquet(
+        os.path.join(FIXTURES, "disambig_profiles_synthetic.parquet"),
+        index=False,
+    )
+    print(f"disambig fixtures: {len(dm)} mentions, {len(da)} aliases, "
+          f"{len(dp)} profiles")
+
 
 if __name__ == "__main__":
     main()
