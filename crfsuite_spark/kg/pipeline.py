@@ -74,6 +74,14 @@ class PipelineConfig:
     # the token stream never shuffles. Auto-falls back to the canonical
     # path when terms aren't text-derivable (anything beyond token/pos).
     fused_decode: bool = True
+    # resolve pronouns to their most recent compatible prior mention
+    # within the conversation (kg/coref.py) and feed them into relation
+    # assembly as extra mention rows — recovers triples whose subject
+    # or object is pronominal. With fused_decode the decode still runs
+    # in the zero-shuffle Arrow pass (emit='spans'); only relation
+    # assembly moves back to the staged aggregation, since the
+    # turn-local fused grammar cannot see cross-turn antecedents.
+    coref: bool = False
 
 
 def featurize_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -133,8 +141,16 @@ def extract_triples(
     spans = span_fn(decoded, seq_cols=SEQ_COLS, order_col="token_idx").persist()
     spans.count()  # one decode pass fills the cache BEFORE the self-join
     # below scans spans twice (REL side + entity side)
+    rel_input = spans
+    if cfg.coref:
+        from crfsuite_spark.kg.coref import resolve_pronouns, spans_with_antecedents
+
+        # REL spans match no pronoun type, so the full span table is a
+        # valid mention stream; decoded already carries the token rows
+        resolved = resolve_pronouns(decoded, spans)
+        rel_input = spans_with_antecedents(spans, resolved)
     rels = assemble_relations(
-        spans, seq_cols=SEQ_COLS, predicate_map=predicate_map
+        rel_input, seq_cols=SEQ_COLS, predicate_map=predicate_map
     ).persist()
     rels.count()
     # the span cache only exists to fan the decode pass out into the
@@ -218,13 +234,40 @@ def run_pipeline(
         src = transcripts
         if cfg.num_partitions:
             src = src.repartition(cfg.num_partitions)
+        pred_map = (
+            predicate_map if predicate_map is not None else default_predicate_map()
+        )
+        if cfg.coref:
+            # decode stays fused (zero-shuffle spans), but relation
+            # assembly needs the cross-turn antecedent stream, so it
+            # runs staged over the augmented span table
+            from crfsuite_spark.decode.fused import decode_spans_fused
+            from crfsuite_spark.kg.coref import (
+                resolve_pronouns,
+                spans_with_antecedents,
+            )
+
+            spans = decode_spans_fused(
+                src, model, seq_cols=SEQ_COLS, terms=cfg.terms,
+                from_offset=cfg.from_offset, to_offset=cfg.to_offset,
+                ngram_max=cfg.ngram_max,
+            ).persist()
+            spans.count()
+            resolved = resolve_pronouns(
+                tokenize(src, with_offsets=False), spans
+            )
+            rels = assemble_relations(
+                spans_with_antecedents(spans, resolved),
+                seq_cols=SEQ_COLS, predicate_map=pred_map,
+            ).persist()
+            rels.count()
+            out = _link_and_join(rels, alias_dict, cfg)
+            spans.unpersist()
+            return out
         raw = decode_relations_fused(
             src, model, seq_cols=SEQ_COLS, terms=cfg.terms,
             from_offset=cfg.from_offset, to_offset=cfg.to_offset,
             ngram_max=cfg.ngram_max,
-        )
-        pred_map = (
-            predicate_map if predicate_map is not None else default_predicate_map()
         )
         rels = raw.withColumn(
             "pred", predicate_column(pred_map, "related_to")

@@ -119,6 +119,68 @@ def test_recovers_pronominal_triples(spark):
     assert ("Alice Johnson", "works_at", "Globex") not in base
 
 
+def _pronoun_corpus(spark):
+    """Two-turn conversation whose second relation is only reachable
+    through coref, plus the lexicon model and alias dictionary that let
+    the full pipeline decode and link it."""
+    import numpy as np
+
+    from crfsuite_spark.train.model import CRFModel
+
+    turns = [
+        ("c1", 0, "Alice Johnson founded Acme Corp .",
+         ["B-PER", "I-PER", "B-REL", "B-ORG", "I-ORG", "O"]),
+        ("c1", 1, "She works at Globex .",
+         ["O", "B-REL", "I-REL", "B-ORG", "O"]),
+    ]
+    tdf = spark.createDataFrame(
+        pd.DataFrame(
+            [(c, t, "user", s, None, pd.Timestamp("2025-01-01"))
+             for c, t, s, _ in turns],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        )
+    )
+    votes = {}
+    for _, _, text, labels in turns:
+        for tok, lab in zip(text.split(), labels):
+            votes.setdefault(tok, lab)
+    labels = sorted(set(votes.values()))
+    attrs = sorted("token[t]=" + t for t in votes)
+    state_w = np.zeros((len(attrs), len(labels)))
+    for tok, lab in votes.items():
+        state_w[attrs.index("token[t]=" + tok), labels.index(lab)] = 5.0
+    model = CRFModel(labels=labels, attrs=attrs, state_w=state_w,
+                     trans_w=np.zeros((len(labels), len(labels))))
+    alias = spark.createDataFrame(pd.DataFrame(
+        {"alias": ["Alice Johnson", "Acme Corp", "Globex"],
+         "canonical_id": ["per:alice", "org:acme", "org:globex"],
+         "weight": [1.0, 1.0, 1.0]}
+    ))
+    return tdf, model, alias
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_pipeline_coref_recovers_triple(spark, fused):
+    from crfsuite_spark.kg.pipeline import PipelineConfig, run_pipeline
+
+    tdf, model, alias = _pronoun_corpus(spark)
+    base_cfg = dict(fuzzy_linking=False, canonicalize=False,
+                    fused_decode=fused)
+    with_coref = {
+        (r.subj, r.pred, r.obj)
+        for r in run_pipeline(tdf, model, alias,
+                              PipelineConfig(coref=True, **base_cfg)).collect()
+    }
+    without = {
+        (r.subj, r.pred, r.obj)
+        for r in run_pipeline(tdf, model, alias,
+                              PipelineConfig(coref=False, **base_cfg)).collect()
+    }
+    assert ("per:alice", "founded", "org:acme") in without
+    assert ("per:alice", "works_at", "org:globex") not in without
+    assert with_coref == without | {("per:alice", "works_at", "org:globex")}
+
+
 def test_resolve_single_exchange(spark):
     toks, spans = coref_conversations(n_convs=4, seed=77)
     q = resolve_pronouns(spark.createDataFrame(toks),
