@@ -360,6 +360,16 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
         train_transe(t, dim=16, epochs=3, lr=0.5, seed=7,
                      num_partitions=cores)
 
+    def conv_stats():
+        from crfsuite_spark.operators.transcripts import conv_stats as cs
+
+        cs(spark.read.parquet(tpath)).count()
+
+    def chat_examples():
+        from crfsuite_spark.operators.transcripts import chat_examples as ce
+
+        ce(spark.read.parquet(tpath)).agg(F.sum("n_chars")).collect()
+
     timed("w1_window_templates", w1)
     timed("dedup_minhash", dedup)
     timed("sim_cosine_topk", topk)
@@ -376,6 +386,8 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
         ensure_triples()
     timed("kg_bgp_query", bgp_query)
     timed("kg_transe_train", transe_train)
+    timed("tr_conv_stats", conv_stats)
+    timed("tr_chat_examples", chat_examples)
 
     total = round(sum(results.values()), 3)
     if "kg_pipeline" in results:
