@@ -705,6 +705,25 @@ def q_kg_coref_resolve(spark, sf):
     )
 
 
+def q_tr_pack_chats(spark, sf):
+    """The composed SFT data path: transcripts → chat_examples render →
+    pack_documents concat-then-chunk layout (budget 128, 4 shards) —
+    two independently-oracled operators chained; the oracle replays
+    the whole chain (ordered string_agg render, portable md5 shard,
+    running-offset chunking) in one DuckDB CTE pipeline."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.sampling import pack_documents
+    from crfsuite_spark.operators.transcripts import chat_examples
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    ce = chat_examples(spark.createDataFrame(data.transcripts))
+    return pack_documents(
+        ce.select("conv_id", "example_text"),
+        id_col="conv_id", text_col="example_text",
+        token_budget=128, n_shards=4,
+    )
+
+
 def q_kg_disambiguate(spark, sf):
     """Context-based entity disambiguation (kg/disambiguate.py):
     ambiguous aliases score every dictionary candidate by the integer
@@ -1977,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_turn_transitions": q_tr_turn_transitions,
         "kg_coref_resolve": q_kg_coref_resolve,
         "kg_disambiguate": q_kg_disambiguate,
+        "tr_pack_chats": q_tr_pack_chats,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -4058,6 +4078,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(score AS BIGINT) AS score,
                    CAST(n_candidates AS BIGINT) AS n_candidates
             FROM r WHERE rn = 1
+        """,
+        "tr_pack_chats": f"""
+            WITH ce AS (
+              SELECT conv_id,
+                     string_agg('<|' || role || '|>' || text,
+                                chr(10) ORDER BY turn_idx) AS example_text
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+              GROUP BY conv_id),
+            t AS (
+              SELECT conv_id,
+                     CAST(CASE WHEN trim(coalesce(example_text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(
+                                 trim(lower(coalesce(example_text, ''))),
+                                 '\\s+'))
+                     END AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substr(md5(concat(CAST(conv_id AS VARCHAR),
+                                                     ':42')), 1, 8))::BIGINT
+                          % 4 AS INTEGER) AS shard
+              FROM ce),
+            o AS (
+              SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY conv_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS off
+              FROM t),
+            b AS (
+              SELECT *, CAST(off // 128 AS BIGINT) AS c0,
+                     CAST(CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // 128
+                          ELSE off // 128 END AS BIGINT) AS c1
+              FROM o),
+            p AS (
+              SELECT conv_id, n_tokens, shard, off,
+                     unnest(range(c0, c1 + 1)) AS chunk
+              FROM b)
+            SELECT conv_id, n_tokens, shard,
+                   CAST(chunk AS BIGINT) AS chunk,
+                   CAST(shard * 4294967296 + chunk AS BIGINT) AS pack_id,
+                   CAST(row_number() OVER (PARTITION BY shard, chunk
+                                           ORDER BY conv_id) - 1 AS BIGINT)
+                     AS slot,
+                   CAST(greatest(off - chunk * 128, 0) AS BIGINT) AS pack_offset,
+                   CAST(greatest(chunk * 128 - off, 0) AS BIGINT) AS token_start,
+                   CAST(least(n_tokens, (chunk + 1) * 128 - off) AS BIGINT)
+                     AS token_end
+            FROM p
         """,
         "a2_feature_refs": """
             WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
