@@ -251,3 +251,62 @@ def test_stream_inferred_closure_maintenance(spark, synth, staged, tmp_path):
     assert spark.read.parquet(
         *glob.glob(os.path.join(closure, "epoch=*"))
     ).count() == n_rows
+
+
+def test_streaming_coref_matches_batch(spark, tmp_path):
+    """Streaming pronoun coreference == the batch window resolver, with
+    the corpus split MID-conversation across two arrival files so
+    antecedent state must survive a micro-batch boundary."""
+    import pandas as pd
+
+    from crfsuite_spark.datagen.coref import coref_conversations
+    from crfsuite_spark.kg.coref import PRONOUN_TYPES, resolve_pronouns
+    from crfsuite_spark.streaming.coref_state import streaming_coref
+
+    toks, spans = coref_conversations(n_convs=10, seed=31)
+
+    # per-turn annotation rows: pronoun and mention arrays
+    prons = toks[toks.token.str.lower().isin(PRONOUN_TYPES)]
+    rows = {}
+    for (c, t), g in toks.groupby(["conv_id", "turn_idx"]):
+        rows[(c, t)] = {"conv_id": c, "turn_idx": int(t),
+                        "prons": [], "mentions": []}
+    for r in prons.itertuples():
+        rows[(r.conv_id, int(r.turn_idx))]["prons"].append(
+            {"pos": int(r.token_idx), "pronoun": r.token.lower()})
+    for r in spans.itertuples():
+        rows[(r.conv_id, int(r.turn_idx))]["mentions"].append(
+            {"pos": int(r.end_tok), "etype": r.entity_type,
+             "surface": r.surface})
+    ann = pd.DataFrame(sorted(rows.values(),
+                              key=lambda x: (x["conv_id"], x["turn_idx"])))
+    schema = ("conv_id string, turn_idx int, "
+              "prons array<struct<pos:int,pronoun:string>>, "
+              "mentions array<struct<pos:int,etype:string,surface:string>>")
+    src = str(tmp_path / "in")
+    half = ann.turn_idx.median()
+    adf = spark.createDataFrame(
+        [(x["conv_id"], x["turn_idx"], x["prons"], x["mentions"])
+         for x in rows.values()], schema=schema)
+    adf.where(F.col("turn_idx") <= half).coalesce(1).write.parquet(src)
+    adf.where(F.col("turn_idx") > half).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (streaming_coref(stream)
+         .writeStream.format("memory").queryName("coref_stream")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_coref"))
+         .start())
+    q.awaitTermination(180)
+    got = (spark.sql("select * from coref_stream")
+           .orderBy("conv_id", "turn_idx", "token_idx").toPandas())
+
+    want = (resolve_pronouns(spark.createDataFrame(toks),
+                             spark.createDataFrame(spans))
+            .orderBy("conv_id", "turn_idx", "token_idx").toPandas())
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        pd.testing.assert_series_equal(
+            got[c].reset_index(drop=True), want[c].reset_index(drop=True),
+            check_dtype=False, check_names=False, obj=c)
