@@ -3932,7 +3932,10 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN lag(role) OVER w IS NOT NULL
                                AND lag(role) OVER w <> role
                           THEN 1 ELSE 0 END AS sw,
-                     len(string_split(text, ' ')) AS n_tok
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(
+                                 trim(lower(coalesce(text, ''))), '\\s+'))
+                     END AS n_tok
               FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
               WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
             )

@@ -35,9 +35,6 @@ PRONOUN_TYPES: dict[str, tuple[str, ...]] = {
     "there": ("LOC",),
 }
 
-_TYPES = ("PER", "ORG", "LOC")
-
-
 def resolve_pronouns(
     tokens: DataFrame,
     spans: DataFrame,
@@ -89,8 +86,11 @@ def resolve_pronouns(
         .orderBy("__turn", "__pos", F.col("pronoun").isNotNull().cast("int"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # candidate windows driven by the configured type universe, so
+    # custom pronoun_types maps (new types, >2 types per pronoun) work
+    tracked = sorted({t for ts in pronoun_types.values() for t in ts})
     cand = {}
-    for t in _TYPES:
+    for t in tracked:
         packed = F.when(
             F.col("__etype") == t,
             F.struct(
@@ -103,21 +103,23 @@ def resolve_pronouns(
 
     out = stream.select(
         conv_col, "__turn", "__pos", "pronoun",
-        *[cand[t].alias(f"__c_{t}") for t in _TYPES],
+        *[cand[t].alias(f"__c_{t}") for t in tracked],
     ).where(F.col("pronoun").isNotNull())
 
     def best_for(types: tuple[str, ...]):
+        # most recent of the compatible candidates, folded pairwise;
+        # (turn, pos) comparison — positions are unique per conv
         cols = [F.col(f"__c_{t}").withField("k", F.lit(t)) for t in types]
-        if len(cols) == 1:
-            return cols[0]
-        # most recent of the compatible candidates; struct comparison
-        # is lexicographic over (t, p), positions are unique per conv
-        a, b = cols
-        return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(
-            F.when(
-                (a["t"] > b["t"]) | ((a["t"] == b["t"]) & (a["p"] > b["p"])), a
-            ).otherwise(b)
-        )
+        best = cols[0]
+        for c in cols[1:]:
+            best = F.when(best.isNull(), c).when(c.isNull(), best).otherwise(
+                F.when(
+                    (best["t"] > c["t"])
+                    | ((best["t"] == c["t"]) & (best["p"] > c["p"])),
+                    best,
+                ).otherwise(c)
+            )
+        return best
 
     chosen = None
     for pron, types in pronoun_types.items():

@@ -34,6 +34,8 @@ def conv_stats(
     Exchange; every aggregate has a map-side partial. Doubles are
     rounded to 6 places so cross-engine value hashes are stable.
     """
+    from crfsuite_spark.functions.analysis import token_count
+
     w = Window.partitionBy(conv_col).orderBy(order_col)
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     gap_ms = ms - F.unix_millis(F.lag("ts", 1).over(w).cast("timestamp"))
@@ -42,7 +44,9 @@ def conv_stats(
         & (F.lag("role", 1).over(w) != F.col("role")),
         1,
     ).otherwise(0)
-    n_tokens = F.size(F.split("text", " "))
+    # the repo-wide whitespace token count (NULL/empty -> 0), so these
+    # stats reconcile with pack_documents budgets on the same corpus
+    n_tokens = token_count("text")
 
     turns = df.select(
         conv_col,
@@ -99,7 +103,9 @@ def turn_transitions(
 
 
 def _rendered(role: Column, text: Column) -> Column:
-    return F.concat(F.lit("<|"), role, F.lit("|>"), text)
+    # NULL text is in-contract upstream (tokenize documents it); render
+    # it as an empty turn so n_chars keeps describing the emitted string
+    return F.concat(F.lit("<|"), role, F.lit("|>"), F.coalesce(text, F.lit("")))
 
 
 def chat_examples(

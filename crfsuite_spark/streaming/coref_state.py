@@ -65,11 +65,13 @@ def coref_state_fn(state_ttl_ms: int = 3_600_000):
         for pdf in pdfs:
             for row in pdf.sort_values("turn_idx").itertuples():
                 # one merged (pos-ordered) event stream per turn;
-                # mentions sort before pronouns at the same pos
-                events = [
-                    (int(m["pos"]), 0, m) for m in (row.mentions or [])
-                ] + [
-                    (int(p["pos"]), 1, p) for p in (row.prons or [])
+                # mentions sort before pronouns at the same pos.
+                # Arrow delivers array cells as numpy.ndarray, whose
+                # truthiness throws for len >= 2 — test None explicitly
+                mentions = [] if row.mentions is None else list(row.mentions)
+                prons = [] if row.prons is None else list(row.prons)
+                events = [(int(m["pos"]), 0, m) for m in mentions] + [
+                    (int(p["pos"]), 1, p) for p in prons
                 ]
                 for pos, kind, ev in sorted(events, key=lambda e: (e[0], e[1])):
                     if kind == 0:

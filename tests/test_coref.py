@@ -181,6 +181,62 @@ def test_pipeline_coref_recovers_triple(spark, fused):
     assert with_coref == without | {("per:alice", "works_at", "org:globex")}
 
 
+def test_custom_pronoun_types_three_way_and_new_type(spark):
+    """The pronoun_types override supports >2 compatible types and
+    types outside the built-in PER/ORG/LOC universe."""
+    toks = spark.createDataFrame(pd.DataFrame(
+        [("c", 2, 0, "they"), ("c", 3, 0, "it")],
+        columns=["conv_id", "turn_idx", "token_idx", "token"],
+    ))
+    spans = spark.createDataFrame(pd.DataFrame(
+        [("c", 0, "GPE", "Ruritania", 0, 0),
+         ("c", 1, "ORG", "Acme", 0, 0)],
+        columns=["conv_id", "turn_idx", "entity_type", "surface",
+                 "start_tok", "end_tok"],
+    ))
+    got = {
+        r.pronoun: (r.ant_type, r.ant_surface)
+        for r in resolve_pronouns(
+            toks, spans,
+            pronoun_types={"they": ("PER", "ORG", "GPE"), "it": ("GPE",)},
+        ).collect()
+    }
+    # 'they': ORG at turn 1 is more recent than GPE at turn 0
+    assert got["they"] == ("ORG", "Acme")
+    assert got["it"] == ("GPE", "Ruritania")
+
+
+def test_streaming_state_fn_multi_mention_turn():
+    """Arrow hands array cells to the state fn as numpy.ndarray; a turn
+    with two mentions and two pronouns must not trip ndarray truthiness
+    (regression for `row.mentions or []`)."""
+    import numpy as np
+
+    from crfsuite_spark.streaming.coref_state import coref_state_fn
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.v = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    pdf = pd.DataFrame({
+        "conv_id": ["c"], "turn_idx": [0],
+        "prons": [np.array([{"pos": 3, "pronoun": "she"},
+                            {"pos": 5, "pronoun": "it"}])],
+        "mentions": [np.array([
+            {"pos": 1, "etype": "PER", "surface": "Alice Johnson"},
+            {"pos": 2, "etype": "ORG", "surface": "Acme"}])],
+    })
+    out = pd.concat(list(coref_state_fn()(("c",), iter([pdf]), FakeState())))
+    got = {r.pronoun: r.ant_surface for r in out.itertuples()}
+    assert got == {"she": "Alice Johnson", "it": "Acme"}
+
+
 def test_resolve_single_exchange(spark):
     toks, spans = coref_conversations(n_convs=4, seed=77)
     q = resolve_pronouns(spark.createDataFrame(toks),

@@ -22,7 +22,9 @@ def _pandas_conv_stats(t: pd.DataFrame) -> pd.DataFrame:
         gaps = ms.diff().dropna()
         switches = int((g["role"] != g["role"].shift()).iloc[1:].sum())
         n = len(g)
-        n_tok = g["text"].str.split(" ").map(len)
+        n_tok = g["text"].map(
+            lambda t: len(t.split()) if t is not None and t.strip() else 0
+        )
         rows.append({
             "conv_id": conv_id,
             "n_turns": n,
@@ -96,6 +98,28 @@ def test_transcript_rollups_single_exchange(tdf):
     for q in (conv_stats(tdf), chat_examples(tdf)):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
+
+
+def test_chat_examples_null_text_keeps_invariants(spark):
+    """NULL text renders as an empty turn: n_chars still equals
+    len(example_text) and mask spans still slice rendered turns."""
+    t = spark.createDataFrame(
+        pd.DataFrame({
+            "conv_id": ["c", "c", "c"], "turn_idx": [0, 1, 2],
+            "role": ["user", "assistant", "user"],
+            "text": ["hi", None, "bye"],
+            "tool": [None, None, None],
+            "ts": pd.to_datetime(["2025-01-01"] * 3),
+        })
+    )
+    row = chat_examples(t).collect()[0]
+    assert row.example_text == "<|user|>hi\n<|assistant|>\n<|user|>bye"
+    assert row.n_chars == len(row.example_text)
+    s, e = map(int, row.mask_spans.split(":"))
+    assert row.example_text[s:e] == "<|assistant|>"
+    # conv_stats: NULL text counts 0 tokens, not NULL aggregates
+    stats = conv_stats(t).collect()[0]
+    assert stats.n_tokens == 2
 
 
 def test_conv_stats_masked_role_parameter(spark):
