@@ -724,6 +724,49 @@ def q_tr_pack_chats(spark, sf):
     )
 
 
+def _doubled_chat_corpus(spark, mutate: bool):
+    """Rendered conversations ∪ a copy under '<id>_b' — exact copies
+    (mutate=False) for exact dedup, one-token-appended copies
+    (mutate=True) for near-dup pairing."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import chat_examples
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    ce = chat_examples(spark.createDataFrame(data.transcripts)).select(
+        "conv_id", "example_text"
+    )
+    copy = ce.select(
+        F.concat("conv_id", F.lit("_b")).alias("conv_id"),
+        (F.concat("example_text", F.lit(" extra")) if mutate
+         else F.col("example_text")).alias("example_text"),
+    )
+    return ce.unionByName(copy)
+
+
+def q_tr_conv_dedup(spark, sf):
+    """Conversation-level exact dedup: rendered conversations doubled
+    with exact copies, exact_dedup keeps the min-id survivor per text
+    group (map-side-combined min_by groupBy — the 100 TB shape)."""
+    from crfsuite_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(
+        _doubled_chat_corpus(spark, mutate=False), "conv_id", "example_text"
+    )
+
+
+def q_tr_conv_neardup(spark, sf):
+    """Conversation-level near-dup pairs: rendered conversations
+    doubled with one-token-appended copies, SimHash (portable md5_32)
+    pigeonhole banding at Hamming ≤ 6 — template-reuse / bot-loop
+    detection at conversation granularity."""
+    from crfsuite_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _doubled_chat_corpus(spark, mutate=True), "conv_id", "example_text",
+        max_hamming=6, hash_fn="md5_32",
+    )
+
+
 def q_kg_disambiguate(spark, sf):
     """Context-based entity disambiguation (kg/disambiguate.py):
     ambiguous aliases score every dictionary candidate by the integer
@@ -1997,6 +2040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_resolve": q_kg_coref_resolve,
         "kg_disambiguate": q_kg_disambiguate,
         "tr_pack_chats": q_tr_pack_chats,
+        "tr_conv_dedup": q_tr_conv_dedup,
+        "tr_conv_neardup": q_tr_conv_neardup,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -4126,6 +4171,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(n_tokens, (chunk + 1) * 128 - off) AS BIGINT)
                      AS token_end
             FROM p
+        """,
+        "tr_conv_dedup": f"""
+            WITH ce AS (
+              SELECT conv_id,
+                     string_agg('<|' || role || '|>' || coalesce(text, ''),
+                                chr(10) ORDER BY turn_idx) AS example_text
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+              GROUP BY conv_id),
+            dbl AS (
+              SELECT conv_id, example_text FROM ce
+              UNION ALL
+              SELECT conv_id || '_b', example_text FROM ce)
+            SELECT conv_id, example_text FROM (
+              SELECT *, row_number() OVER (PARTITION BY md5(example_text)
+                                           ORDER BY conv_id) AS rn
+              FROM dbl)
+            WHERE rn = 1
+        """,
+        "tr_conv_neardup": f"""
+            WITH ce AS (
+              SELECT conv_id,
+                     string_agg('<|' || role || '|>' || coalesce(text, ''),
+                                chr(10) ORDER BY turn_idx) AS example_text
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+              GROUP BY conv_id),
+            dbl AS (
+              SELECT conv_id, example_text FROM ce
+              UNION ALL
+              SELECT conv_id || '_b', example_text || ' extra' FROM ce),
+            toks AS (
+              SELECT conv_id,
+                     unnest(regexp_split_to_array(lower(example_text),
+                                                  '\\s+')) AS t
+              FROM dbl),
+            tt AS (
+              SELECT conv_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+              FROM toks WHERE t <> ''),
+            votes AS (
+              SELECT conv_id, r.j,
+                     sum(CASE WHEN (h >> CAST(r.j AS INTEGER)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS s
+              FROM tt, range(0, 32) r(j) GROUP BY 1, 2),
+            sim AS (
+              SELECT conv_id,
+                     CAST(sum(CASE WHEN s > 0
+                              THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                              ELSE 0 END) AS BIGINT) AS fp
+              FROM votes GROUP BY 1)
+            SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+            FROM sim a JOIN sim b ON a.conv_id < b.conv_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 6
         """,
         "a2_feature_refs": """
             WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
