@@ -724,6 +724,19 @@ def q_tr_pack_chats(spark, sf):
     )
 
 
+def q_tr_sft_pairs(spark, sf):
+    """Per-assistant-turn SFT pairs (operators/transcripts.py
+    sft_pairs): context = previous ≤4 rendered turns via ONE bounded
+    window frame, target = the turn's text. Oracle mirrors the frame
+    with DuckDB's windowed string_agg."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import sft_pairs
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    return sft_pairs(spark.createDataFrame(data.transcripts),
+                     max_context_turns=4)
+
+
 def _doubled_chat_corpus(spark, mutate: bool):
     """Rendered conversations ∪ a copy under '<id>_b' — exact copies
     (mutate=False) for exact dedup, one-token-appended copies
@@ -2042,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_pack_chats": q_tr_pack_chats,
         "tr_conv_dedup": q_tr_conv_dedup,
         "tr_conv_neardup": q_tr_conv_neardup,
+        "tr_sft_pairs": q_tr_sft_pairs,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -4223,6 +4237,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
             FROM sim a JOIN sim b ON a.conv_id < b.conv_id
             WHERE bit_count(xor(a.fp, b.fp)) <= 6
+        """,
+        "tr_sft_pairs": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role,
+                     coalesce(text, '') AS target,
+                     COALESCE(string_agg('<|' || role || '|>'
+                                         || coalesce(text, ''), chr(10))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
+                       '') AS context
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet'))
+            SELECT conv_id, turn_idx, context, target,
+                   CAST(length(context) AS BIGINT) AS n_context_chars
+            FROM t WHERE role = 'assistant'
         """,
         "a2_feature_refs": """
             WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),

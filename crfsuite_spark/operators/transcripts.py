@@ -75,6 +75,48 @@ def conv_stats(
     )
 
 
+def sft_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    target_role: str = "assistant",
+    max_context_turns: int = 8,
+) -> DataFrame:
+    """One training pair per ``target_role`` turn: the newline-joined
+    render of the previous ≤ ``max_context_turns`` turns as context,
+    the turn's own text as target — the per-turn SFT layout (one
+    example per assistant reply) complementing ``chat_examples``'s
+    whole-conversation layout.
+
+    A single bounded window (ROWS k PRECEDING .. 1 PRECEDING) over
+    ``conv_col`` — one Exchange, state bounded by k turns regardless
+    of conversation length, so a 10^5-turn agent log costs the same
+    per row as a 3-turn chat.
+    """
+    rendered = _rendered(F.col("role"), F.col("text"))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(-max_context_turns, -1)
+    )
+    ctx = F.array_join(F.collect_list(rendered).over(w), "\n")
+    return (
+        df.select(
+            conv_col,
+            F.col(order_col),
+            F.col("role"),
+            F.coalesce(F.col("text"), F.lit("")).alias("__target"),
+            ctx.alias("context"),
+        )
+        .where(F.col("role") == target_role)
+        .select(
+            conv_col, order_col, "context",
+            F.col("__target").alias("target"),
+            F.length("context").cast("bigint").alias("n_context_chars"),
+        )
+    )
+
+
 def turn_transitions(
     df: DataFrame,
     conv_col: str = "conv_id",

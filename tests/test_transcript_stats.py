@@ -122,6 +122,49 @@ def test_chat_examples_null_text_keeps_invariants(spark):
     assert stats.n_tokens == 2
 
 
+def test_sft_pairs_bounded_context(spark, synth):
+    from crfsuite_spark.operators.transcripts import sft_pairs
+
+    k = 3
+    got = {
+        (r.conv_id, r.turn_idx): (r.context, r.target)
+        for r in sft_pairs(
+            spark.createDataFrame(synth.transcripts), max_context_turns=k
+        ).collect()
+    }
+    t = synth.transcripts.sort_values(["conv_id", "turn_idx"])
+    n_checked = 0
+    for conv_id, g in t.groupby("conv_id"):
+        rows = list(g.itertuples())
+        for i, r in enumerate(rows):
+            if r.role != "assistant":
+                assert (conv_id, r.turn_idx) not in got
+                continue
+            want_ctx = "\n".join(
+                "<|%s|>%s" % (p.role, p.text) for p in rows[max(0, i - k):i]
+            )
+            ctx, target = got[(conv_id, r.turn_idx)]
+            assert ctx == want_ctx, (conv_id, r.turn_idx)
+            assert target == r.text
+            n_checked += 1
+    assert n_checked > 20
+
+
+def test_sft_pairs_first_turn_empty_context(spark):
+    from crfsuite_spark.operators.transcripts import sft_pairs
+
+    t = spark.createDataFrame(
+        pd.DataFrame({
+            "conv_id": ["c"], "turn_idx": [0], "role": ["assistant"],
+            "text": ["hello"], "tool": [None],
+            "ts": pd.to_datetime(["2025-01-01"]),
+        })
+    )
+    row = sft_pairs(t).collect()[0]
+    assert row.context == "" and row.n_context_chars == 0
+    assert row.target == "hello"
+
+
 def test_conv_stats_masked_role_parameter(spark):
     t = spark.createDataFrame(
         pd.DataFrame({
