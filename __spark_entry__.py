@@ -737,6 +737,38 @@ def q_tr_sft_pairs(spark, sf):
                      max_context_turns=4)
 
 
+def q_tr_episodes(spark, sf):
+    """Episode segmentation: split conversations at inter-turn gaps
+    > 60 min (operators/transcripts.py conv_episodes) — the bounded
+    skew unit for per-conversation windows at 10^12-turn scale."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import conv_episodes
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    return conv_episodes(spark.createDataFrame(data.transcripts)).select(
+        "conv_id", "turn_idx", "episode"
+    )
+
+
+def q_tr_repeated_turns(spark, sf):
+    """Bot-loop detection: turns whose text repeats any of the
+    previous 5 turns (bounded-digest window). Each conversation's last
+    turn is re-appended at turn_idx+1000, so every conversation has at
+    least one guaranteed repeat for both engines to flag."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import repeated_turns
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    t = spark.createDataFrame(data.transcripts)
+    last = t.groupBy("conv_id").agg(F.max("turn_idx").alias("turn_idx"))
+    dup = t.join(last, ["conv_id", "turn_idx"]).withColumn(
+        "turn_idx", F.col("turn_idx") + 1000
+    )
+    return repeated_turns(t.unionByName(dup)).select(
+        "conv_id", "turn_idx", "is_repeat"
+    )
+
+
 def _doubled_chat_corpus(spark, mutate: bool):
     """Rendered conversations ∪ a copy under '<id>_b' — exact copies
     (mutate=False) for exact dedup, one-token-appended copies
@@ -2056,6 +2088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_conv_dedup": q_tr_conv_dedup,
         "tr_conv_neardup": q_tr_conv_neardup,
         "tr_sft_pairs": q_tr_sft_pairs,
+        "tr_episodes": q_tr_episodes,
+        "tr_repeated_turns": q_tr_repeated_turns,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -4251,6 +4285,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, context, target,
                    CAST(length(context) AS BIGINT) AS n_context_chars
             FROM t WHERE role = 'assistant'
+        """,
+        "tr_episodes": f"""
+            WITH g AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                               > 60 * 60000
+                          THEN 1 ELSE 0 END AS brk
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, turn_idx,
+                   CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS episode
+            FROM g
+        """,
+        "tr_repeated_turns": f"""
+            WITH base AS (
+              SELECT conv_id, turn_idx, text
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')),
+            dup AS (
+              SELECT b.conv_id, b.turn_idx + 1000 AS turn_idx, b.text
+              FROM base b
+              JOIN (SELECT conv_id, max(turn_idx) AS turn_idx
+                    FROM base GROUP BY conv_id) m
+                USING (conv_id, turn_idx)),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
+            SELECT conv_id, turn_idx,
+                   CASE WHEN text IS NULL THEN false
+                        ELSE COALESCE(list_contains(
+                          list(md5(text)) OVER (
+                            PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+                          md5(text)), false)
+                   END AS is_repeat
+            FROM u
         """,
         "a2_feature_refs": """
             WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),

@@ -144,6 +144,66 @@ def turn_transitions(
     )
 
 
+def conv_episodes(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    gap_minutes: int = 60,
+) -> DataFrame:
+    """Segment each conversation into episodes at inter-turn time gaps
+    > ``gap_minutes`` (the sessionize recipe applied to transcripts).
+
+    Output: the input columns + ``episode`` (0-based, per conv).
+    This is the principled bound on hot-conversation skew: a 10^5-turn
+    agent log is one window partition for every per-conversation
+    operator, but its (conv, episode) pieces are bounded by activity
+    bursts — downstream windows keyed on (conv_col, "episode") get
+    skew-unit = one episode. One window Exchange, reused by the
+    running-sum numbering.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.unix_millis(F.lag("ts", 1).over(w).cast("timestamp"))
+    brk = F.when(gap > gap_minutes * 60_000, 1).otherwise(0)
+    return df.withColumn(
+        "episode",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+
+
+def repeated_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    lookback: int = 5,
+) -> DataFrame:
+    """Flag turns whose text exactly repeats any of the previous
+    ``lookback`` turns in the conversation — the bot-loop / retry-storm
+    signal SFT curation drops before training.
+
+    Compares md5 digests inside a bounded window frame (collect_list
+    over ROWS lookback PRECEDING .. 1 PRECEDING), so per-row state is
+    ``lookback`` digests regardless of conversation length. Output:
+    input columns + ``is_repeat`` (boolean, NULL-text turns never
+    match).
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    digest = F.md5(F.col("text"))
+    prev = F.collect_list(digest).over(w)
+    return df.withColumn(
+        "is_repeat",
+        F.when(
+            F.col("text").isNotNull(),
+            F.array_contains(prev, digest),
+        ).otherwise(F.lit(False)),
+    )
+
+
 def _rendered(role: Column, text: Column) -> Column:
     # NULL text is in-contract upstream (tokenize documents it); render
     # it as an empty turn so n_chars keeps describing the emitted string

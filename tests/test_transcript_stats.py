@@ -165,6 +165,47 @@ def test_sft_pairs_first_turn_empty_context(spark):
     assert row.target == "hello"
 
 
+def test_conv_episodes_splits_at_gaps(spark):
+    from crfsuite_spark.operators.transcripts import conv_episodes
+
+    ts = pd.to_datetime([
+        "2025-01-01 10:00", "2025-01-01 10:30",   # episode 0
+        "2025-01-01 12:01",                        # 91-min gap -> 1
+        "2025-01-01 12:30", "2025-01-02 09:00",   # overnight -> 2
+    ])
+    t = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c"] * 5, "turn_idx": range(5),
+        "role": ["user"] * 5, "text": ["x"] * 5, "tool": [None] * 5,
+        "ts": ts,
+    }))
+    got = {r.turn_idx: r.episode
+           for r in conv_episodes(t, gap_minutes=60).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_repeated_turns_bounded_lookback(spark):
+    from crfsuite_spark.operators.transcripts import repeated_turns
+
+    texts = ["a", "b", "a",          # 'a' repeats within lookback 2
+             "c", "d", "a"]          # 'a' again, but >2 turns back
+    t = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c"] * 6, "turn_idx": range(6),
+        "role": ["user"] * 6, "text": texts, "tool": [None] * 6,
+        "ts": pd.to_datetime(["2025-01-01"] * 6),
+    }))
+    got = {r.turn_idx: r.is_repeat
+           for r in repeated_turns(t, lookback=2).collect()}
+    assert got == {0: False, 1: False, 2: True,
+                   3: False, 4: False, 5: False}
+    # NULL text never matches, even against itself
+    t2 = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c"] * 2, "turn_idx": [0, 1],
+        "role": ["user"] * 2, "text": [None, None], "tool": [None] * 2,
+        "ts": pd.to_datetime(["2025-01-01"] * 2),
+    }))
+    assert all(not r.is_repeat for r in repeated_turns(t2).collect())
+
+
 def test_conv_stats_masked_role_parameter(spark):
     t = spark.createDataFrame(
         pd.DataFrame({
