@@ -4178,7 +4178,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_pack_chats": f"""
             WITH ce AS (
               SELECT conv_id,
-                     string_agg('<|' || role || '|>' || text,
+                     string_agg('<|' || role || '|>' || coalesce(text, ''),
                                 chr(10) ORDER BY turn_idx) AS example_text
               FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
               GROUP BY conv_id),

@@ -443,9 +443,12 @@ def run_decode(sf_dir: str, cores: int) -> dict:
 def run_scaling(sf_dir: str) -> None:
     """Same job, two parallelism levels → BENCH/BASELINE.md."""
     rows = {}
-    # the scaling comparison needs a compute-bound slice: big enough that
-    # per-core work, not scheduler fixed costs, dominates at 4N cores
-    tsf = os.environ.get("SPARK_GRAFT_TRANSCRIPT_SF", "10.0")
+    # the scaling comparison needs a compute-bound slice: big enough
+    # that per-core work, not fixed per-job cost (~3.6 s: driver-side
+    # linking mirror + serial stage scheduling), dominates at 4N cores.
+    # Default 30 (10.8M turns) per the round-5 protocol note in
+    # BENCH/BASELINE.md; the legacy 3.6M slice via TRANSCRIPT_SF=10.
+    tsf = os.environ.get("SPARK_GRAFT_TRANSCRIPT_SF", "30.0")
     # N and 4N CPU-bound runs (the north rule allows "N and 4N cores").
     # Both runs are bound to their core count with taskset: a single
     # local-mode JVM otherwise spills GC/shuffle/Python-worker threads

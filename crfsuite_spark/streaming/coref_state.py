@@ -4,9 +4,11 @@ The batch resolver (kg/coref.py) is one window over the whole
 conversation; on a live stream the same semantics need carried state —
 the most recent completed mention per entity type — updated as turns
 arrive and read by pronouns in later micro-batches. This is the
-``applyInPandasWithState`` shape: per-conv_id state of three (turn,
-pos, surface) slots (PER/ORG/LOC), bounded and TTL-evicted, so state
-size tracks ACTIVE conversations at 10^12-turn scale, never history.
+``applyInPandasWithState`` shape: per-conv_id state of one (turn,
+pos, surface) slot per tracked entity type (the pronoun_types map's
+type universe; PER/ORG/LOC by default), bounded and TTL-evicted, so
+state size tracks ACTIVE conversations at 10^12-turn scale, never
+history.
 
 Input rows are turns ALREADY annotated by the upstream extraction pass
 (the fused decoder emits spans per turn inside the same micro-batch):
@@ -30,8 +32,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from crfsuite_spark.kg.coref import PRONOUN_TYPES
 
-_TYPES = ("PER", "ORG", "LOC")
-
 STATE_SCHEMA = "turns array<int>, poss array<int>, surfaces array<string>"
 OUTPUT_SCHEMA = (
     "conv_id string, turn_idx int, token_idx int, pronoun string, "
@@ -39,10 +39,18 @@ OUTPUT_SCHEMA = (
 )
 
 
-def coref_state_fn(state_ttl_ms: int = 3_600_000):
+def coref_state_fn(
+    state_ttl_ms: int = 3_600_000,
+    pronoun_types: dict | None = None,
+):
     """Build the applyInPandasWithState function: resolve pronouns
     against carried per-type last-mention state, mention-before-pronoun
-    at identical (turn, pos) like the batch window's tie order."""
+    at identical (turn, pos) like the batch window's tie order.
+    ``pronoun_types`` follows the batch resolver's contract; the state
+    slots are driven by its type universe, so custom maps carry their
+    types across micro-batches exactly like the defaults."""
+    pronoun_types = PRONOUN_TYPES if pronoun_types is None else pronoun_types
+    tracked = sorted({t for ts in pronoun_types.values() for t in ts})
 
     def fn(
         key: Tuple[Any, ...],
@@ -56,14 +64,22 @@ def coref_state_fn(state_ttl_ms: int = 3_600_000):
             turns, poss, surfaces = state.get
             last = {
                 t: (turns[i], poss[i], surfaces[i])
-                for i, t in enumerate(_TYPES)
-                if turns[i] >= 0
+                for i, t in enumerate(tracked)
+                if i < len(turns) and turns[i] >= 0
             }
         else:
             last = {}
         out = []
-        for pdf in pdfs:
-            for row in pdf.sort_values("turn_idx").itertuples():
+        # a conversation can span several Arrow chunks within one
+        # micro-batch (maxRecordsPerBatch); per-chunk sorting would
+        # process turns out of order across chunk boundaries, so
+        # buffer the group's chunks and sort ONCE
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        merged = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(merged):
+            for row in merged.sort_values("turn_idx").itertuples():
                 # one merged (pos-ordered) event stream per turn;
                 # mentions sort before pronouns at the same pos.
                 # Arrow delivers array cells as numpy.ndarray, whose
@@ -82,7 +98,7 @@ def coref_state_fn(state_ttl_ms: int = 3_600_000):
                     pron = ev["pronoun"].lower()
                     cands = [
                         (t,) + last[t]
-                        for t in PRONOUN_TYPES.get(pron, ())
+                        for t in pronoun_types.get(pron, ())
                         if t in last
                     ]
                     best = (
@@ -99,9 +115,9 @@ def coref_state_fn(state_ttl_ms: int = 3_600_000):
                         "ant_surface": best[3] if best else None,
                     })
         state.update((
-            [last[t][0] if t in last else -1 for t in _TYPES],
-            [last[t][1] if t in last else -1 for t in _TYPES],
-            [last[t][2] if t in last else "" for t in _TYPES],
+            [last[t][0] if t in last else -1 for t in tracked],
+            [last[t][1] if t in last else -1 for t in tracked],
+            [last[t][2] if t in last else "" for t in tracked],
         ))
         state.setTimeoutDuration(state_ttl_ms)
         if out:
@@ -111,7 +127,9 @@ def coref_state_fn(state_ttl_ms: int = 3_600_000):
 
 
 def streaming_coref(
-    annotated: DataFrame, state_ttl_ms: int = 3_600_000
+    annotated: DataFrame,
+    state_ttl_ms: int = 3_600_000,
+    pronoun_types: dict | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of resolved pronouns (batch-parity schema).
 
@@ -119,7 +137,7 @@ def streaming_coref(
     — see module docstring for the array element types.
     """
     return annotated.groupBy("conv_id").applyInPandasWithState(
-        coref_state_fn(state_ttl_ms),
+        coref_state_fn(state_ttl_ms, pronoun_types),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -237,6 +237,69 @@ def test_streaming_state_fn_multi_mention_turn():
     assert got == {"she": "Alice Johnson", "it": "Acme"}
 
 
+class _FakeState:
+    exists = False
+    hasTimedOut = False
+
+    def update(self, v):
+        self.v = v
+        self.exists = True
+
+    @property
+    def get(self):
+        return self.v
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_streaming_state_fn_multi_chunk_ordering():
+    """One micro-batch delivered as TWO Arrow chunks with the later
+    turns in the FIRST chunk: the state fn must merge and sort across
+    chunks, not per chunk (regression for per-chunk sort_values)."""
+    from crfsuite_spark.streaming.coref_state import coref_state_fn
+
+    chunk_late = pd.DataFrame({
+        "conv_id": ["c"], "turn_idx": [5],
+        "prons": [[{"pos": 0, "pronoun": "she"}]],
+        "mentions": [[{"pos": 1, "etype": "PER", "surface": "Carol Wu"}]],
+    })
+    chunk_early = pd.DataFrame({
+        "conv_id": ["c"], "turn_idx": [1],
+        "prons": [[]],
+        "mentions": [[{"pos": 0, "etype": "PER", "surface": "Alice Johnson"}]],
+    })
+    out = pd.concat(list(
+        coref_state_fn()(("c",), iter([chunk_late, chunk_early]),
+                         _FakeState())
+    ))
+    # turn 1's Alice precedes turn 5's pronoun; turn 5's own mention
+    # (pos 1) is AFTER the pronoun (pos 0) so must not win
+    assert out.iloc[0].ant_surface == "Alice Johnson"
+
+
+def test_streaming_state_fn_custom_types_survive_state():
+    """A custom pronoun_types map's types persist across micro-batches
+    (regression for the hardcoded PER/ORG/LOC state slots)."""
+    from crfsuite_spark.streaming.coref_state import coref_state_fn
+
+    types = {"it": ("GPE",)}
+    fn = coref_state_fn(pronoun_types=types)
+    state = _FakeState()
+    batch1 = pd.DataFrame({
+        "conv_id": ["c"], "turn_idx": [0], "prons": [[]],
+        "mentions": [[{"pos": 0, "etype": "GPE", "surface": "Ruritania"}]],
+    })
+    list(fn(("c",), iter([batch1]), state))
+    batch2 = pd.DataFrame({
+        "conv_id": ["c"], "turn_idx": [1],
+        "prons": [[{"pos": 0, "pronoun": "it"}]], "mentions": [[]],
+    })
+    out = pd.concat(list(fn(("c",), iter([batch2]), state)))
+    assert out.iloc[0].ant_surface == "Ruritania"
+    assert out.iloc[0].ant_type == "GPE"
+
+
 def test_resolve_single_exchange(spark):
     toks, spans = coref_conversations(n_convs=4, seed=77)
     q = resolve_pronouns(spark.createDataFrame(toks),
