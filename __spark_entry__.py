@@ -737,6 +737,26 @@ def q_tr_sft_pairs(spark, sf):
                      max_context_turns=4)
 
 
+def q_tr_conv_stats_merge(spark, sf):
+    """Incremental conv_stats maintenance: the transcript set split
+    into two contiguous batches (turns <4 / ≥4), each aggregated to
+    mergeable deltas, folded, finalized. The oracle aggregates the
+    FULL set in one pass — green means merge(agg(A), agg(B)) ==
+    agg(A ∪ B) holds cross-engine (the kg_edge_merge invariant,
+    applied to conversation rollups incl. the window-dependent gap
+    and switch stats via boundary-turn stitching)."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import (
+        conv_stats_deltas, finalize_conv_deltas, merge_conv_deltas,
+    )
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    t = spark.createDataFrame(data.transcripts)
+    a = conv_stats_deltas(t.where(F.col("turn_idx") < 4))
+    b = conv_stats_deltas(t.where(F.col("turn_idx") >= 4))
+    return finalize_conv_deltas(merge_conv_deltas(a, b))
+
+
 def q_tr_episodes(spark, sf):
     """Episode segmentation: split conversations at inter-turn gaps
     > 60 min (operators/transcripts.py conv_episodes) — the bounded
@@ -2090,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_sft_pairs": q_tr_sft_pairs,
         "tr_episodes": q_tr_episodes,
         "tr_repeated_turns": q_tr_repeated_turns,
+        "tr_conv_stats_merge": q_tr_conv_stats_merge,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -2675,6 +2696,14 @@ def _triples_e2e_oracle_sql(fixtures: str) -> str:
 def oracle_sql() -> dict[str, str]:
     fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tests", "fixtures")
+    out = _oracle_sql_dict(fixtures)
+    # incremental-maintenance queries share the one-pass oracle: green
+    # hash == merge(agg(A), agg(B)) equals agg(A ∪ B) cross-engine
+    out["tr_conv_stats_merge"] = out["tr_conv_stats"]
+    return out
+
+
+def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
     return {
         # seed-deterministic synthetic queries: expected outputs derived
         # INDEPENDENTLY of the pipeline (tools/make_gold_fixtures.py —

@@ -144,6 +144,136 @@ def turn_transitions(
     )
 
 
+def conv_stats_deltas(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Mergeable per-conversation partial state for :func:`conv_stats`.
+
+    The incremental-maintenance form (same contract as
+    kg/lifecycle.py's edge deltas): aggregate each arriving batch to
+    deltas, fold batches with :func:`merge_conv_deltas`, finalize with
+    :func:`finalize_conv_deltas` — and the result equals conv_stats
+    over the union, so a 10^12-turn log absorbs daily batches without
+    recomputation. Window-dependent stats (max gap, role switches)
+    merge exactly because each delta carries its boundary turns: the
+    only cross-batch pair is (A.last, B.first). CONTRACT: batches
+    split conversations contiguously in ``order_col`` (batch A's turns
+    all precede batch B's), the natural shape of time-partitioned logs.
+    """
+    from crfsuite_spark.functions.analysis import token_count
+
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap_ms = ms - F.unix_millis(F.lag("ts", 1).over(w).cast("timestamp"))
+    role_switch = F.when(
+        F.lag("role", 1).over(w).isNotNull()
+        & (F.lag("role", 1).over(w) != F.col("role")),
+        1,
+    ).otherwise(0)
+    turns = df.select(
+        conv_col,
+        F.col(order_col).alias("__ord"),
+        F.col("role"),
+        F.col("tool"),
+        ms.alias("__ms"),
+        gap_ms.alias("__gap_ms"),
+        role_switch.alias("__switch"),
+        token_count("text").alias("__n_tok"),
+    )
+    bound = F.struct(F.col("__ord").alias("o"), F.col("role").alias("r"),
+                     F.col("__ms").alias("m"))
+    return turns.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.collect_set("role").alias("roles"),
+        F.count("tool").cast("bigint").alias("n_tool_calls"),
+        F.sum((F.col("role") == F.lit("assistant")).cast("int"))
+        .cast("bigint").alias("n_assistant"),
+        F.sum("__n_tok").cast("bigint").alias("n_tokens"),
+        F.min("__ms").cast("bigint").alias("min_ms"),
+        F.max("__ms").cast("bigint").alias("max_ms"),
+        F.max("__gap_ms").cast("bigint").alias("max_gap_ms"),
+        F.sum("__switch").cast("bigint").alias("n_role_switches"),
+        F.min_by(bound, F.col("__ord")).alias("first_turn"),
+        F.max_by(bound, F.col("__ord")).alias("last_turn"),
+    )
+
+
+def merge_conv_deltas(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two delta frames (batch A's turns precede batch B's per
+    the conv_stats_deltas contract). Conversations present in only one
+    side pass through unchanged; for shared conversations the single
+    cross-batch adjacency (A.last_turn, B.first_turn) supplies the
+    boundary gap and switch."""
+    an = a.select(*[F.col(c).alias(f"a_{c}") for c in a.columns])
+    bn = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+    conv = a.columns[0]
+    j = an.join(
+        bn, an[f"a_{conv}"] == bn[f"b_{conv}"], "full_outer"
+    )
+    both = j[f"a_{conv}"].isNotNull() & j[f"b_{conv}"].isNotNull()
+    a_only = j[f"b_{conv}"].isNull()
+
+    def pick(c, merged):
+        return (
+            F.when(a_only, F.col(f"a_{c}"))
+            .when(~both, F.col(f"b_{c}"))
+            .otherwise(merged)
+        )
+
+    boundary_gap = F.col("b_first_turn.m") - F.col("a_last_turn.m")
+    boundary_switch = (
+        F.col("a_last_turn.r") != F.col("b_first_turn.r")
+    ).cast("bigint")
+    return j.select(
+        F.coalesce(F.col(f"a_{conv}"), F.col(f"b_{conv}")).alias(conv),
+        pick("n_turns", F.col("a_n_turns") + F.col("b_n_turns"))
+        .alias("n_turns"),
+        pick("roles", F.array_distinct(
+            F.concat(F.col("a_roles"), F.col("b_roles")))).alias("roles"),
+        pick("n_tool_calls",
+             F.col("a_n_tool_calls") + F.col("b_n_tool_calls"))
+        .alias("n_tool_calls"),
+        pick("n_assistant", F.col("a_n_assistant") + F.col("b_n_assistant"))
+        .alias("n_assistant"),
+        pick("n_tokens", F.col("a_n_tokens") + F.col("b_n_tokens"))
+        .alias("n_tokens"),
+        pick("min_ms", F.least("a_min_ms", "b_min_ms")).alias("min_ms"),
+        pick("max_ms", F.greatest("a_max_ms", "b_max_ms")).alias("max_ms"),
+        pick("max_gap_ms", F.greatest(
+            F.coalesce(F.col("a_max_gap_ms"), F.lit(None).cast("bigint")),
+            F.col("b_max_gap_ms"),
+            boundary_gap,
+        )).alias("max_gap_ms"),
+        pick("n_role_switches",
+             F.col("a_n_role_switches") + F.col("b_n_role_switches")
+             + boundary_switch).alias("n_role_switches"),
+        pick("first_turn", F.col("a_first_turn")).alias("first_turn"),
+        pick("last_turn", F.col("b_last_turn")).alias("last_turn"),
+    )
+
+
+def finalize_conv_deltas(deltas: DataFrame) -> DataFrame:
+    """Delta frame → the exact :func:`conv_stats` output schema."""
+    n = F.col("n_turns")
+    return deltas.select(
+        deltas.columns[0],
+        "n_turns",
+        F.size("roles").cast("bigint").alias("n_roles"),
+        "n_tool_calls",
+        F.round(F.col("n_tool_calls") / n, 6).alias("tool_frac"),
+        "n_assistant",
+        "n_tokens",
+        F.round(F.col("n_tokens") / n, 6).alias("avg_turn_tokens"),
+        (F.col("max_ms") - F.col("min_ms")).cast("bigint").alias("span_ms"),
+        "max_gap_ms",
+        "n_role_switches",
+        F.when(n > 1, F.round(F.col("n_role_switches") / (n - 1), 6))
+        .alias("alternation_rate"),
+    )
+
+
 def conv_episodes(
     df: DataFrame,
     conv_col: str = "conv_id",

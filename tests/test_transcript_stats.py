@@ -206,6 +206,56 @@ def test_repeated_turns_bounded_lookback(spark):
     assert all(not r.is_repeat for r in repeated_turns(t2).collect())
 
 
+def _stats_pd(df):
+    return (
+        df.orderBy("conv_id").toPandas().reset_index(drop=True)
+    )
+
+
+def test_conv_deltas_merge_equals_one_pass(tdf, spark):
+    """merge(agg(A), agg(B)) == agg(A ∪ B) for contiguous turn splits,
+    including conversations entirely inside one batch."""
+    from crfsuite_spark.operators.transcripts import (
+        conv_stats_deltas, finalize_conv_deltas, merge_conv_deltas,
+    )
+
+    a = tdf.where(F.col("turn_idx") < 4)
+    b = tdf.where(F.col("turn_idx") >= 4)
+    merged = finalize_conv_deltas(
+        merge_conv_deltas(conv_stats_deltas(a), conv_stats_deltas(b))
+    )
+    want = _stats_pd(conv_stats(tdf))
+    got = _stats_pd(merged)
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        pd.testing.assert_series_equal(
+            got[c], want[c], check_dtype=False, check_names=False, obj=c
+        )
+
+
+def test_conv_deltas_three_way_fold(tdf):
+    """Folding three contiguous batches in sequence matches one pass
+    (associativity of the merge under the contiguity contract)."""
+    from crfsuite_spark.operators.transcripts import (
+        conv_stats_deltas, finalize_conv_deltas, merge_conv_deltas,
+    )
+
+    parts = [
+        tdf.where(F.col("turn_idx") < 2),
+        tdf.where((F.col("turn_idx") >= 2) & (F.col("turn_idx") < 6)),
+        tdf.where(F.col("turn_idx") >= 6),
+    ]
+    acc = conv_stats_deltas(parts[0])
+    for p in parts[1:]:
+        acc = merge_conv_deltas(acc, conv_stats_deltas(p))
+    got = _stats_pd(finalize_conv_deltas(acc))
+    want = _stats_pd(conv_stats(tdf))
+    for c in want.columns:
+        pd.testing.assert_series_equal(
+            got[c], want[c], check_dtype=False, check_names=False, obj=c
+        )
+
+
 def test_conv_stats_masked_role_parameter(spark):
     t = spark.createDataFrame(
         pd.DataFrame({
