@@ -757,6 +757,36 @@ def q_tr_conv_stats_merge(spark, sf):
     return finalize_conv_deltas(merge_conv_deltas(a, b))
 
 
+def q_tr_curate_convs(spark, sf):
+    """Composed conversation-curation gate (the SFT pre-filter):
+    survivors must alternate roles (rate ≥ 0.3), contain an assistant
+    turn, carry 20-2000 tokens, and have NO turn repeating any of its
+    previous 5 (bot-loop gate) — conv_stats ⋈ repeated_turns, both
+    independently oracled; the oracle replays the whole composition."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import conv_stats, repeated_turns
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    t = spark.createDataFrame(data.transcripts)
+    stats = conv_stats(t)
+    loops = (
+        repeated_turns(t)
+        .groupBy("conv_id")
+        .agg(F.sum(F.col("is_repeat").cast("int")).cast("bigint")
+             .alias("n_repeats"))
+    )
+    return (
+        stats.join(loops, "conv_id")
+        .where(
+            (F.col("alternation_rate") >= 0.3)
+            & (F.col("n_assistant") > 0)
+            & F.col("n_tokens").between(20, 2000)
+            & (F.col("n_repeats") == 0)
+        )
+        .select("conv_id", "n_turns", "n_tokens", "alternation_rate")
+    )
+
+
 def q_tr_episodes(spark, sf):
     """Episode segmentation: split conversations at inter-turn gaps
     > 60 min (operators/transcripts.py conv_episodes) — the bounded
@@ -2111,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_episodes": q_tr_episodes,
         "tr_repeated_turns": q_tr_repeated_turns,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
+        "tr_curate_convs": q_tr_curate_convs,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -4314,6 +4345,41 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
             SELECT conv_id, turn_idx, context, target,
                    CAST(length(context) AS BIGINT) AS n_context_chars
             FROM t WHERE role = 'assistant'
+        """,
+        "tr_curate_convs": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role, text,
+                     CASE WHEN lag(role) OVER w IS NOT NULL
+                               AND lag(role) OVER w <> role
+                          THEN 1 ELSE 0 END AS sw,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(
+                                 trim(lower(coalesce(text, ''))), '\\s+'))
+                     END AS n_tok,
+                     CASE WHEN text IS NULL THEN false
+                          ELSE COALESCE(list_contains(
+                            list(md5(text)) OVER (
+                              PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+                            md5(text)), false)
+                     END AS is_repeat
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            s AS (
+              SELECT conv_id,
+                     CAST(count(*) AS BIGINT) AS n_turns,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                     CASE WHEN count(*) > 1
+                          THEN round(sum(sw) * 1.0 / (count(*) - 1), 6)
+                     END AS alternation_rate,
+                     sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                       AS n_assistant,
+                     sum(CASE WHEN is_repeat THEN 1 ELSE 0 END) AS n_repeats
+              FROM t GROUP BY conv_id)
+            SELECT conv_id, n_turns, n_tokens, alternation_rate
+            FROM s
+            WHERE alternation_rate >= 0.3 AND n_assistant > 0
+              AND n_tokens BETWEEN 20 AND 2000 AND n_repeats = 0
         """,
         "tr_episodes": f"""
             WITH g AS (
