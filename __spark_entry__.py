@@ -757,6 +757,22 @@ def q_tr_conv_stats_merge(spark, sf):
     return finalize_conv_deltas(merge_conv_deltas(a, b))
 
 
+def q_tr_episode_stats(spark, sf):
+    """Episode-scoped rollups: conv_episodes assigns the bounded skew
+    unit, then conv_stats runs keyed on conv#episode — the composition
+    a hot 10^5-turn conversation needs. Oracle replays both stages."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import conv_episodes, conv_stats
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    t = conv_episodes(spark.createDataFrame(data.transcripts))
+    keyed = t.withColumn(
+        "conv_episode",
+        F.concat_ws("#", "conv_id", F.col("episode").cast("string")),
+    )
+    return conv_stats(keyed, conv_col="conv_episode")
+
+
 def q_tr_curate_convs(spark, sf):
     """Composed conversation-curation gate (the SFT pre-filter):
     survivors must alternate roles (rate ≥ 0.3), contain an assistant
@@ -2142,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_repeated_turns": q_tr_repeated_turns,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
         "tr_curate_convs": q_tr_curate_convs,
+        "tr_episode_stats": q_tr_episode_stats,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -4345,6 +4362,51 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
             SELECT conv_id, turn_idx, context, target,
                    CAST(length(context) AS BIGINT) AS n_context_chars
             FROM t WHERE role = 'assistant'
+        """,
+        "tr_episode_stats": f"""
+            WITH g AS (
+              SELECT *,
+                     CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                               > 60 * 60000
+                          THEN 1 ELSE 0 END AS brk
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            e AS (
+              SELECT *, conv_id || '#' ||
+                     CAST(sum(brk) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx
+                                         ROWS UNBOUNDED PRECEDING)
+                          AS VARCHAR) AS conv_episode
+              FROM g),
+            t AS (
+              SELECT conv_episode, role, tool,
+                     epoch_ms(ts) AS ms,
+                     epoch_ms(ts) - lag(epoch_ms(ts)) OVER we AS gap_ms,
+                     CASE WHEN lag(role) OVER we IS NOT NULL
+                               AND lag(role) OVER we <> role
+                          THEN 1 ELSE 0 END AS sw,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(
+                                 trim(lower(coalesce(text, ''))), '\\s+'))
+                     END AS n_tok
+              FROM e
+              WINDOW we AS (PARTITION BY conv_episode ORDER BY turn_idx))
+            SELECT conv_episode,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                   CAST(count(tool) AS BIGINT) AS n_tool_calls,
+                   round(count(tool) * 1.0 / count(*), 6) AS tool_frac,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   round(avg(n_tok), 6) AS avg_turn_tokens,
+                   CAST(max(ms) - min(ms) AS BIGINT) AS span_ms,
+                   CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+                   CAST(sum(sw) AS BIGINT) AS n_role_switches,
+                   CASE WHEN count(*) > 1
+                        THEN round(sum(sw) * 1.0 / (count(*) - 1), 6)
+                   END AS alternation_rate
+            FROM t GROUP BY conv_episode
         """,
         "tr_curate_convs": f"""
             WITH t AS (

@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--partitions", type=int, default=None,
                     help="decode parallelism (default: spark.default.parallelism)")
     ap.add_argument("--no-fuzzy", action="store_true", help="disable MinHash-LSH fuzzy linking")
+    ap.add_argument("--coref", action="store_true",
+                    help="resolve pronouns to prior in-conversation "
+                         "mentions before relation assembly (kg/coref.py)")
     ap.add_argument("--edge-table", default=None,
                     help="optional standing edge-table directory: this run's "
                          "triples are folded in as one crash-atomic epoch "
@@ -84,7 +87,8 @@ def main(argv=None):
         alias = read(args.alias_dict)
         model = CRFModel.load(args.model)
         cfg = PipelineConfig(num_partitions=args.partitions,
-                             fuzzy_linking=not args.no_fuzzy)
+                             fuzzy_linking=not args.no_fuzzy,
+                             coref=args.coref)
         triples = run_pipeline(transcripts, model, alias, cfg)
         report = materialize(triples, args.output, n_buckets=args.buckets,
                              epoch=args.epoch)
