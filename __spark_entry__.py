@@ -757,6 +757,35 @@ def q_tr_conv_stats_merge(spark, sf):
     return finalize_conv_deltas(merge_conv_deltas(a, b))
 
 
+def q_tr_conv_search(spark, sf):
+    """Conversation retrieval: rank rendered conversations against a
+    query string by the integer dot product of md5 hashed bag-of-words
+    embeddings (kg/disambiguate.py's hash_embedding over
+    chat_examples' render), top 10 — scan → map-side embed → codegen
+    dot → TakeOrdered, no shuffle of conversation text. Exact-integer
+    scores reproduce bit-identically in DuckDB."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.kg.disambiguate import hash_embedding
+    from crfsuite_spark.operators.transcripts import chat_examples
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    ce = chat_examples(spark.createDataFrame(data.transcripts))
+    q = "Globex acquired Hooli in Berlin"
+    scored = ce.select(
+        "conv_id",
+        F.aggregate(
+            F.zip_with(
+                hash_embedding("example_text", dim=16),
+                hash_embedding(f"'{q}'", dim=16),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("conv_id")).limit(10)
+
+
 def q_tr_episode_stats(spark, sf):
     """Episode-scoped rollups: conv_episodes assigns the bounded skew
     unit, then conv_stats runs keyed on conv#episode — the composition
@@ -2159,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
         "tr_curate_convs": q_tr_curate_convs,
         "tr_episode_stats": q_tr_episode_stats,
+        "tr_conv_search": q_tr_conv_search,
         "crf_decode_synthetic": q_crf_decode_synthetic,
         "crf_decode_fused": q_crf_decode_fused,
         "kg_spans_fused": q_kg_spans_fused,
@@ -4362,6 +4392,34 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
             SELECT conv_id, turn_idx, context, target,
                    CAST(length(context) AS BIGINT) AS n_context_chars
             FROM t WHERE role = 'assistant'
+        """,
+        "tr_conv_search": f"""
+            WITH ce AS (
+              SELECT conv_id,
+                     string_agg('<|' || role || '|>' || coalesce(text, ''),
+                                chr(10) ORDER BY turn_idx) AS example_text
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+              GROUP BY conv_id),
+            emb AS (
+              SELECT conv_id,
+                     list_transform(range(0, 16), k ->
+                       list_sum(list_transform(
+                         string_split(lower(example_text), ' '), t ->
+                         (('0x' || substr(md5(t || ':' || k || ':7'), 1, 8))
+                            ::BIGINT % 21) - 10))) AS e
+              FROM ce),
+            qe AS (
+              SELECT list_transform(range(0, 16), k ->
+                       list_sum(list_transform(
+                         string_split(lower('Globex acquired Hooli in Berlin'),
+                                      ' '), t ->
+                         (('0x' || substr(md5(t || ':' || k || ':7'), 1, 8))
+                            ::BIGINT % 21) - 10))) AS e)
+            SELECT emb.conv_id,
+                   CAST(list_sum(list_transform(range(1, 17), i ->
+                          emb.e[i] * qe.e[i])) AS BIGINT) AS score
+            FROM emb, qe
+            ORDER BY score DESC, conv_id LIMIT 10
         """,
         "tr_episode_stats": f"""
             WITH g AS (

@@ -256,6 +256,40 @@ def test_conv_deltas_three_way_fold(tdf):
         )
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_conv_deltas_random_contiguous_splits(tdf, synth, seed):
+    """Random PER-CONVERSATION split points (not one global cut):
+    each conversation is cut at its own random turn, batches stay
+    contiguous, and the fold still matches one pass."""
+    import numpy as np
+
+    from crfsuite_spark.operators.transcripts import (
+        conv_stats_deltas, finalize_conv_deltas, merge_conv_deltas,
+    )
+
+    rng = np.random.default_rng(seed)
+    cuts = {
+        conv: int(rng.integers(0, g.turn_idx.max() + 2))
+        for conv, g in synth.transcripts.groupby("conv_id")
+    }
+    cut_expr = F.coalesce(
+        *[
+            F.when(F.col("conv_id") == c, F.lit(v)) for c, v in cuts.items()
+        ]
+    ) if len(cuts) else F.lit(0)
+    marked = tdf.withColumn("__cut", cut_expr)
+    a = marked.where(F.col("turn_idx") < F.col("__cut")).drop("__cut")
+    b = marked.where(F.col("turn_idx") >= F.col("__cut")).drop("__cut")
+    got = _stats_pd(finalize_conv_deltas(
+        merge_conv_deltas(conv_stats_deltas(a), conv_stats_deltas(b))
+    ))
+    want = _stats_pd(conv_stats(tdf))
+    for c in want.columns:
+        pd.testing.assert_series_equal(
+            got[c], want[c], check_dtype=False, check_names=False, obj=c
+        )
+
+
 def test_conv_stats_masked_role_parameter(spark):
     t = spark.createDataFrame(
         pd.DataFrame({
