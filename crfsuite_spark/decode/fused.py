@@ -236,6 +236,8 @@ def decode_fused(
     bos_eos: bool = True,
     with_marginal: bool = False,
     emit: str = "tokens",
+    pronouns: "set[str] | None" = None,
+    span_filter_col: "str | None" = None,
 ) -> DataFrame:
     """Viterbi-tag every turn straight off the transcript table.
 
@@ -255,7 +257,20 @@ def decode_fused(
     in the pass too; one row per (subject, REL, object) candidate,
     identical to ``assemble_relations(assemble_spans(...))`` minus the
     predicate-map column (applied JVM-side by the pipeline so the map
-    stays a Catalyst literal). All three modes are zero-Exchange.
+    stays a Catalyst literal). All modes are zero-Exchange.
+
+    ``emit="coref"``: ONE pass emits a kind-tagged union of the
+    relation rows (kind='rel'), the mention span rows (kind='span'),
+    and the turn's pronoun tokens (kind='pron', matched against
+    ``pronouns`` lowercase) — everything the pipeline's coref stage
+    needs, so pronoun resolution costs one scan plus work proportional
+    to the PRONOUN-BEARING turns instead of a second decode pass and
+    corpus-wide staged relation assembly (kg/pipeline.py). With
+    ``span_filter_col`` (a boolean input column, e.g. "conversation
+    contains a pronoun" pre-computed by a cheap JVM scan), span and
+    pronoun rows are emitted ONLY for rows where it is true — relation
+    rows are always emitted — so the union's overhead scales with
+    pronoun density, not corpus size.
 
     Only derivable terms are supported (``token``, ``pos``): both are
     pure functions of the row's text, which is what makes the fusion
@@ -267,8 +282,15 @@ def decode_fused(
         raise ValueError(
             f"decode_fused only derives terms {FUSED_TERMS}; got {sorted(unsupported)}"
         )
-    if emit not in ("tokens", "spans", "relations"):
+    if emit not in ("tokens", "spans", "relations", "coref"):
         raise ValueError(f"unknown emit mode {emit!r}")
+    if emit == "coref" and not pronouns:
+        raise ValueError("emit='coref' requires a non-empty pronouns set")
+    if span_filter_col is not None and emit != "coref":
+        raise ValueError("span_filter_col only applies to emit='coref'")
+    if span_filter_col is not None and span_filter_col not in transcripts.columns:
+        raise ValueError(f"span_filter_col {span_filter_col!r} not in input")
+    pron_list = sorted({p.lower() for p in pronouns}) if pronouns else []
     if emit != "tokens" and with_marginal:
         raise ValueError("with_marginal only applies to emit='tokens'")
     terms = list(terms)
@@ -337,13 +359,27 @@ def decode_fused(
         )
         out_cols = [*seq_cols, "span_id", "entity_type", "surface",
                     "start_tok", "end_tok"]
-    else:
+    elif emit == "relations":
         out_schema += (
             ", subj_surface string, subj_type string, obj_surface string"
             ", obj_type string, rel_surface string"
         )
         out_cols = [*seq_cols, "subj_surface", "subj_type",
                     "obj_surface", "obj_type", "rel_surface"]
+    else:  # coref: kind-tagged union of rel + span + pron rows
+        out_schema += (
+            ", kind string"
+            ", span_id bigint, entity_type string, surface string"
+            ", start_tok int, end_tok int"
+            ", subj_surface string, subj_type string, obj_surface string"
+            ", obj_type string, rel_surface string"
+            ", pron_pos int, pronoun string"
+        )
+        out_cols = [*seq_cols, "kind",
+                    "span_id", "entity_type", "surface",
+                    "start_tok", "end_tok",
+                    "subj_surface", "subj_type", "obj_surface",
+                    "obj_type", "rel_surface", "pron_pos", "pronoun"]
 
     def run(batches):
         attr2row, state_w, trans_w, labels = bc.value
@@ -508,6 +544,69 @@ def decode_fused(
             r_seq, ssur, styp, osur, otyp, rsur = _relations_from_spans(
                 span_seq, etype_a, st, en, surf
             )
+            if emit == "coref":
+                def _int_arr(vals, n_out, np_dtype):
+                    # vectorized nullable ints: a per-element
+                    # [pd.NA]*n list was the hot spot at 2.7M rows
+                    if vals is None:
+                        return pd.arrays.IntegerArray(
+                            np.zeros(n_out, dtype=np_dtype),
+                            np.ones(n_out, dtype=bool),
+                        )
+                    return pd.arrays.IntegerArray(
+                        np.asarray(vals, dtype=np_dtype),
+                        np.zeros(n_out, dtype=bool),
+                    )
+
+                def uni(n_out, rowsel, kind, **cols):
+                    f = pd.DataFrame(index=pd.RangeIndex(n_out))
+                    for c in seq_cols:
+                        f[c] = pdf[c].to_numpy()[rowsel]
+                    f["kind"] = kind
+                    for name_, np_dtype in (("span_id", np.int64),
+                                            ("start_tok", np.int32),
+                                            ("end_tok", np.int32),
+                                            ("pron_pos", np.int32)):
+                        f[name_] = _int_arr(cols.get(name_), n_out, np_dtype)
+                    for name_ in ("entity_type", "surface", "subj_surface",
+                                  "subj_type", "obj_surface", "obj_type",
+                                  "rel_surface", "pronoun"):
+                        f[name_] = cols.get(name_)
+                    return f[out_cols]
+                low = pd.Series(tok).str.lower().to_numpy()
+                pmask = np.isin(low, pron_list)
+                if span_filter_col is not None:
+                    row_flag = (
+                        pdf[span_filter_col].fillna(False)
+                        .to_numpy().astype(bool)
+                    )
+                    pmask &= row_flag[seq_row]
+                    span_keep = row_flag[seq2row[span_seq]]
+                else:
+                    span_keep = np.ones(len(span_seq), dtype=bool)
+                parts = []
+                if len(r_seq):
+                    parts.append(uni(
+                        len(r_seq), seq2row[r_seq], "rel",
+                        subj_surface=ssur, subj_type=styp,
+                        obj_surface=osur, obj_type=otyp, rel_surface=rsur,
+                    ))
+                if span_keep.any():
+                    parts.append(uni(
+                        int(span_keep.sum()),
+                        seq2row[span_seq[span_keep]], "span",
+                        span_id=span_id[span_keep],
+                        entity_type=etype_a[span_keep],
+                        surface=surf[span_keep],
+                        start_tok=st[span_keep], end_tok=en[span_keep],
+                    ))
+                if pmask.any():
+                    parts.append(uni(
+                        int(pmask.sum()), seq_row[pmask], "pron",
+                        pron_pos=token_idx[pmask], pronoun=low[pmask],
+                    ))
+                yield pd.concat(parts, ignore_index=True) if parts else empty()
+                continue
             rows = seq2row[r_seq]
             out = pd.DataFrame(index=pd.RangeIndex(len(r_seq)))
             for c in seq_cols:
@@ -519,7 +618,10 @@ def decode_fused(
             out["rel_surface"] = rsur
             yield out
 
-    pruned = transcripts.select(*seq_cols, text_col)
+    keep_cols = [*seq_cols, text_col] + (
+        [span_filter_col] if span_filter_col is not None else []
+    )
+    pruned = transcripts.select(*keep_cols)
     return pruned.mapInPandas(run, out_schema)
 
 

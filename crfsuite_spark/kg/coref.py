@@ -59,10 +59,29 @@ def resolve_pronouns(
     pron_lc = F.lower(F.col("token"))
     prons = tokens.where(pron_lc.isin(*pronoun_types.keys())).select(
         conv_col,
-        F.col(turn_col).alias("__turn"),
-        F.col(pos_col).cast("int").alias("__pos"),
+        F.col(turn_col).alias("turn_idx"),
+        F.col(pos_col).cast("int").alias("token_idx"),
         pron_lc.alias("pronoun"),
     )
+    return resolve_pronoun_stream(
+        prons, spans, conv_col=conv_col, turn_col=turn_col,
+        pronoun_types=pronoun_types,
+    )
+
+
+def resolve_pronoun_stream(
+    prons: DataFrame,
+    spans: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    pronoun_types: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """The window core of :func:`resolve_pronouns` for callers that
+    already extracted the pronoun stream (e.g. the fused decoder's
+    emit='coref' union): ``prons`` is (conv_col, turn_idx, token_idx,
+    pronoun[lowercase]), ``spans`` the usual mention span frame.
+    Output and semantics identical to resolve_pronouns."""
+    pronoun_types = PRONOUN_TYPES if pronoun_types is None else pronoun_types
     mentions = spans.select(
         conv_col,
         F.col(turn_col).alias("__turn"),
@@ -74,7 +93,10 @@ def resolve_pronouns(
         F.col("surface").alias("__surface"),
     )
     stream = prons.select(
-        conv_col, "__turn", "__pos", "pronoun",
+        conv_col,
+        F.col("turn_idx").alias("__turn"),
+        F.col("token_idx").cast("int").alias("__pos"),
+        "pronoun",
         F.lit(None).cast("string").alias("__etype"),
         F.lit(None).cast("string").alias("__surface"),
     ).unionByName(mentions)

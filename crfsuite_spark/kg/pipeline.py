@@ -22,7 +22,7 @@ module just wires the default pipeline and carries the config.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -238,31 +238,95 @@ def run_pipeline(
             predicate_map if predicate_map is not None else default_predicate_map()
         )
         if cfg.coref:
-            # decode stays fused (zero-shuffle spans), but relation
-            # assembly needs the cross-turn antecedent stream, so it
-            # runs staged over the augmented span table
-            from crfsuite_spark.decode.fused import decode_spans_fused
+            # ONE fused pass (emit='coref') yields the relation rows,
+            # the mention spans, AND the pronoun tokens as a tagged
+            # union — still zero-Exchange. Pronouns resolve over the
+            # small span/pronoun stream; then relation assembly is
+            # re-run staged ONLY for the turns that actually resolved
+            # a pronoun (broadcast-pruned), so coref's extra cost is
+            # proportional to pronoun density, not corpus size.
+            # Turn-locality of the relation grammar makes the
+            # fused/staged split exact: for every other turn the fused
+            # rows are parity-identical to staged assembly.
             from crfsuite_spark.kg.coref import (
-                resolve_pronouns,
+                PRONOUN_TYPES,
+                resolve_pronoun_stream,
                 spans_with_antecedents,
             )
 
-            spans = decode_spans_fused(
-                src, model, seq_cols=SEQ_COLS, terms=cfg.terms,
-                from_offset=cfg.from_offset, to_offset=cfg.to_offset,
-                ngram_max=cfg.ngram_max,
+            # cheap JVM pre-scan: which conversations contain any
+            # pronoun token at all? Span/pronoun emission (and the
+            # whole resolve window) prunes to those conversations, so
+            # a pronoun-light corpus pays ~nothing for coref. The
+            # flag set is conversation-count-bounded and broadcast.
+            pron_arr = F.array(*[F.lit(p) for p in PRONOUN_TYPES])
+            conv_col = SEQ_COLS[0]
+            pron_convs = (
+                src.where(F.arrays_overlap(
+                    F.split(F.lower(F.col("text")), " "), pron_arr))
+                .select(conv_col).distinct()
+                .withColumn("__has_pron", F.lit(True))
             ).persist()
-            spans.count()
-            resolved = resolve_pronouns(
-                tokenize(src, with_offsets=False), spans
+            n_pron_convs = pron_convs.count()
+            if n_pron_convs == 0:
+                # pronoun-free corpus: coref is a no-op by definition —
+                # the only cost paid was the JVM pre-scan above
+                pron_convs.unpersist()
+                cfg = replace(cfg, coref=False)
+                return run_pipeline(transcripts, model, alias_dict, cfg,
+                                    predicate_map=predicate_map)
+            flagged = src.join(F.broadcast(pron_convs), conv_col, "left")
+            flagged = flagged.withColumn(
+                "__has_pron", F.coalesce("__has_pron", F.lit(False))
             )
-            rels = assemble_relations(
-                spans_with_antecedents(spans, resolved),
-                seq_cols=SEQ_COLS, predicate_map=pred_map,
+            combo = decode_fused(
+                flagged, model, seq_cols=SEQ_COLS, terms=cfg.terms,
+                from_offset=cfg.from_offset, to_offset=cfg.to_offset,
+                ngram_max=cfg.ngram_max, emit="coref",
+                pronouns=set(PRONOUN_TYPES),
+                span_filter_col="__has_pron",
             ).persist()
+            combo.count()
+            pron_convs.unpersist()
+            rel_cols = ["subj_surface", "subj_type", "obj_surface",
+                        "obj_type", "rel_surface"]
+            rels_fused = combo.where(F.col("kind") == "rel").select(
+                *SEQ_COLS, *rel_cols
+            )
+            spans = combo.where(F.col("kind") == "span").select(
+                *SEQ_COLS, "span_id", "entity_type", "surface",
+                "start_tok", "end_tok",
+            )
+            prons = combo.where(F.col("kind") == "pron").select(
+                *SEQ_COLS,
+                F.col("pron_pos").alias("token_idx"),
+                "pronoun",
+            )
+            # hits is consumed twice (antecedent rows + the turn set);
+            # persist WITHOUT an eager count — the first broadcast
+            # materializes it, saving one blocking job in the serial
+            # stage chain (fixed cost that dominates at bench scale)
+            hits = resolve_pronoun_stream(prons, spans).where(
+                F.col("ant_surface").isNotNull()
+            ).persist()
+            pron_turns = hits.select(*SEQ_COLS).distinct()
+            aug = spans_with_antecedents(
+                spans.join(F.broadcast(pron_turns), SEQ_COLS), hits
+            )
+            rels_p = assemble_relations(
+                aug, seq_cols=SEQ_COLS, predicate_map=pred_map
+            ).select(*SEQ_COLS, "subj_surface", "subj_type", "pred",
+                     *rel_cols[2:])
+            rels_f = rels_fused.join(
+                F.broadcast(pron_turns), SEQ_COLS, "left_anti"
+            ).withColumn("pred", predicate_column(pred_map, "related_to")
+                         ).select(*SEQ_COLS, "subj_surface", "subj_type",
+                                  "pred", *rel_cols[2:])
+            rels = rels_f.unionByName(rels_p).persist()
             rels.count()
             out = _link_and_join(rels, alias_dict, cfg)
-            spans.unpersist()
+            combo.unpersist()
+            hits.unpersist()
             return out
         raw = decode_relations_fused(
             src, model, seq_cols=SEQ_COLS, terms=cfg.terms,

@@ -237,6 +237,29 @@ def test_streaming_state_fn_multi_mention_turn():
     assert got == {"she": "Alice Johnson", "it": "Acme"}
 
 
+def test_pipeline_coref_fused_matches_staged_exactly(spark):
+    """The pronoun-pruned fused coref path (emit='coref' union +
+    staged re-assembly of resolved-pronoun turns only) must emit the
+    SAME rows as full staged assembly over augmented spans."""
+    from crfsuite_spark.kg.pipeline import PipelineConfig, run_pipeline
+
+    tdf, model, alias = _pronoun_corpus(spark)
+    base = dict(fuzzy_linking=False, canonicalize=False, coref=True)
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj",
+            "subj_surface", "obj_surface", "rel_surface"]
+    fused = sorted(
+        tuple(r) for r in run_pipeline(
+            tdf, model, alias, PipelineConfig(fused_decode=True, **base)
+        ).select(*cols).collect()
+    )
+    staged = sorted(
+        tuple(r) for r in run_pipeline(
+            tdf, model, alias, PipelineConfig(fused_decode=False, **base)
+        ).select(*cols).collect()
+    )
+    assert fused == staged and len(fused) == 2
+
+
 class _FakeState:
     exists = False
     hasTimedOut = False
