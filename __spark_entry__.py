@@ -724,6 +724,29 @@ def q_tr_pack_chats(spark, sf):
     )
 
 
+def q_tr_pack_masked(spark, sf):
+    """Mask-preserving SFT packing: transcripts → chat_examples render
+    (char-offset assistant loss-mask spans) → pack_with_spans
+    (operators/sampling.py): the pack_documents concat-then-chunk
+    layout in character units, with every piece carrying its text
+    slice AND its mask spans clipped/split at pack boundaries and
+    re-based to pack-local offsets — the packed rows a trainer can
+    consume directly. The oracle replays the whole chain (ordered
+    string_agg render + offset windows, portable md5 shard, char-unit
+    layout CTEs, lateral span unnest with interval clipping) in
+    DuckDB."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.sampling import pack_with_spans
+    from crfsuite_spark.operators.transcripts import chat_examples
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    ce = chat_examples(spark.createDataFrame(data.transcripts))
+    return pack_with_spans(
+        ce, id_col="conv_id", text_col="example_text",
+        spans_col="mask_spans", char_budget=100, n_shards=4,
+    )
+
+
 def q_tr_sft_pairs(spark, sf):
     """Per-assistant-turn SFT pairs (operators/transcripts.py
     sft_pairs): context = previous ≤4 rendered turns via ONE bounded
@@ -2180,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_resolve": q_kg_coref_resolve,
         "kg_disambiguate": q_kg_disambiguate,
         "tr_pack_chats": q_tr_pack_chats,
+        "tr_pack_masked": q_tr_pack_masked,
         "tr_conv_dedup": q_tr_conv_dedup,
         "tr_conv_neardup": q_tr_conv_neardup,
         "tr_sft_pairs": q_tr_sft_pairs,
@@ -4326,6 +4350,96 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    CAST(least(n_tokens, (chunk + 1) * 128 - off) AS BIGINT)
                      AS token_end
             FROM p
+        """,
+        "tr_pack_masked": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role,
+                     '<|' || role || '|>' || text AS r
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+            ),
+            o AS (
+              SELECT *, len(r) AS l,
+                     COALESCE(sum(len(r) + 1) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS toff
+              FROM t
+            ),
+            ce AS (
+              SELECT conv_id,
+                     string_agg(r, chr(10) ORDER BY turn_idx) AS example_text,
+                     COALESCE(string_agg(toff || ':' || (toff + l), ','
+                                ORDER BY turn_idx)
+                              FILTER (WHERE role = 'assistant'), '')
+                       AS mask_spans
+              FROM o GROUP BY conv_id),
+            h AS (
+              SELECT *, CAST(len(example_text) AS BIGINT) AS n_chars,
+                     CAST(('0x' || substr(md5(concat(CAST(conv_id AS VARCHAR),
+                                                     ':42')), 1, 8))::BIGINT
+                          % 4 AS INTEGER) AS shard
+              FROM ce),
+            woff AS (
+              SELECT *, CAST(COALESCE(sum(n_chars) OVER (
+                       PARTITION BY shard ORDER BY conv_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS off
+              FROM h),
+            b AS (
+              SELECT *, CAST(off // 100 AS BIGINT) AS c0,
+                     CAST(CASE WHEN n_chars > 0 THEN (off + n_chars - 1) // 100
+                          ELSE off // 100 END AS BIGINT) AS c1
+              FROM woff),
+            pp AS (
+              SELECT conv_id, example_text, mask_spans, n_chars, shard, off,
+                     CAST(unnest(range(c0, c1 + 1)) AS BIGINT) AS chunk
+              FROM b),
+            pc AS (
+              SELECT *,
+                     CAST(shard * 4294967296 + chunk AS BIGINT) AS pack_id,
+                     CAST(greatest(off - chunk * 100, 0) AS BIGINT) AS pack_offset,
+                     CAST(greatest(chunk * 100 - off, 0) AS BIGINT) AS char_start,
+                     CAST(least(n_chars, (chunk + 1) * 100 - off) AS BIGINT) AS char_end,
+                     CAST(row_number() OVER (PARTITION BY shard, chunk
+                                             ORDER BY conv_id) - 1 AS BIGINT)
+                       AS slot
+              FROM pp),
+            sp AS (
+              SELECT conv_id,
+                     CAST(split_part(s, ':', 1) AS BIGINT) AS a,
+                     CAST(split_part(s, ':', 2) AS BIGINT) AS b, ord
+              FROM (SELECT conv_id,
+                           unnest(string_split(mask_spans, ',')) AS s,
+                           generate_subscripts(
+                             string_split(mask_spans, ','), 1) AS ord
+                    FROM ce)
+              WHERE s <> ''),
+            pm AS (
+              SELECT pc.conv_id, pc.chunk,
+                     COALESCE(string_agg(
+                       (pc.pack_offset + greatest(sp.a, pc.char_start)
+                        - pc.char_start)
+                       || ':' ||
+                       (pc.pack_offset + least(sp.b, pc.char_end)
+                        - pc.char_start),
+                       ',' ORDER BY sp.ord)
+                       -- sp.a IS NOT NULL guard: DuckDB's greatest/least
+                       -- IGNORE nulls, so the LEFT JOIN's null-padding row
+                       -- for span-less convs would otherwise collapse to
+                       -- the full piece interval and pass the clip test
+                       FILTER (WHERE sp.a IS NOT NULL
+                               AND least(sp.b, pc.char_end)
+                               > greatest(sp.a, pc.char_start)), '')
+                       AS piece_mask_spans
+              FROM pc LEFT JOIN sp ON pc.conv_id = sp.conv_id
+              GROUP BY pc.conv_id, pc.chunk)
+            SELECT pc.conv_id, n_chars, shard, pc.chunk AS chunk, pack_id, slot,
+                   pack_offset, char_start, char_end,
+                   substr(example_text, CAST(char_start + 1 AS INTEGER),
+                          CAST(char_end - char_start AS INTEGER)) AS piece_text,
+                   pm.piece_mask_spans
+            FROM pc JOIN pm ON pc.conv_id = pm.conv_id
+                           AND pc.chunk = pm.chunk
         """,
         "tr_conv_dedup": f"""
             WITH ce AS (

@@ -179,26 +179,45 @@ def pack_documents(
     shard partitioning (all chunks of a shard are co-located), so
     Catalyst inserts only a per-partition sort, no second exchange
     (plan-audited)."""
-    B = int(token_budget)
+    base = df.select(
+        id_col,
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+        _portable_hash_expr(id_col, n_shards, seed).cast("int").alias("shard"),
+    )
+    out = _pack_layout(base, id_col, int(token_budget), "n_tokens",
+                       "token_start", "token_end")
+    return out.select(
+        id_col, "n_tokens", "shard", "chunk", "pack_id", "slot",
+        "pack_offset", "token_start", "token_end",
+    )
+
+
+def _pack_layout(
+    base: DataFrame,
+    id_col: str,
+    budget: int,
+    n_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Shared concat-then-chunk layout math (the pack_documents
+    docstring's contract, unit-agnostic): ``base`` must carry
+    (``id_col``, ``n_col`` = per-document unit count, ``shard``) plus
+    any passenger columns, which ride through untouched. Adds
+    (chunk, pack_id, slot, pack_offset, ``start_col``, ``end_col``)
+    with document units [start, end) filling pack ``pack_id`` at
+    ``pack_offset``. ONE hash exchange total (see pack_documents)."""
+    B = int(budget)
     w = Window.partitionBy("shard").orderBy(id_col)
-    base = (
-        df.select(
-            id_col,
-            token_count(text_col).cast("bigint").alias("n_tokens"),
-            _portable_hash_expr(id_col, n_shards, seed).cast("int").alias("shard"),
-        )
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("n_tokens").over(
-                    w.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).cast("bigint"),
-        )
+    base = base.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum(n_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint"),
     )
     off = F.col("__off")
-    n = F.col("n_tokens")
+    n = F.col(n_col)
     c0 = F.floor(off / B)
     c_last = F.when(n > 0, F.floor((off + n - 1) / B)).otherwise(c0)
     pieces = (
@@ -212,21 +231,106 @@ def pack_documents(
             F.greatest(off - F.col("chunk") * B, F.lit(0)).cast("bigint"),
         )
         .withColumn(
-            "token_start",
+            start_col,
             F.greatest(F.col("chunk") * B - off, F.lit(0)).cast("bigint"),
         )
         .withColumn(
-            "token_end",
+            end_col,
             F.least(n, (F.col("chunk") + 1) * B - off).cast("bigint"),
         )
     )
     slot_w = Window.partitionBy("shard", "chunk").orderBy(id_col)
-    out = pieces.withColumn(
+    return pieces.withColumn(
         "slot", (F.row_number().over(slot_w) - 1).cast("bigint")
     )
-    return out.select(
-        id_col, "n_tokens", "shard", "chunk", "pack_id", "slot",
-        "pack_offset", "token_start", "token_end",
+
+
+def pack_with_spans(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "example_text",
+    spans_col: str = "mask_spans",
+    char_budget: int = 2048,
+    n_shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Mask-preserving sequence packing: the :func:`pack_documents`
+    concat-then-chunk layout in CHARACTER units, carrying per-document
+    annotation spans (``spans_col``, the ``"start:end,start:end"``
+    char-offset format :func:`~crfsuite_spark.operators.transcripts.
+    chat_examples` emits as ``mask_spans``) through the chunk slicing —
+    the composition an SFT data pipeline actually needs: after packing,
+    every training row must still know WHICH of its characters are
+    loss-masked, and a document split across a pack boundary must split
+    its mask spans with it.
+
+    One output row per (document × pack it spans):
+    (``*id``, n_chars, shard, chunk, pack_id, slot, pack_offset,
+    char_start, char_end, piece_text, piece_mask_spans) where
+    ``piece_text = text[char_start:char_end]`` and
+    ``piece_mask_spans`` re-bases each input span clipped to
+    [char_start, char_end) into PACK-local coordinates:
+    ``pack_offset + (clip_start − char_start) : pack_offset +
+    (clip_end − char_start)`` — so ``pack_text[a:b]`` is masked text
+    for every ``a:b`` in any piece of that pack (the invariant
+    tests/test_invariants.py slices back out). Spans that miss the
+    piece vanish; spans straddling a boundary are split — mask
+    coverage in characters is exactly conserved (tested).
+
+    Shape: identical ONE hash exchange as :func:`pack_documents` (the
+    shard window; the slot window reuses its partitioning) — but here
+    the text rides the shuffle ONCE, unavoidably: a materialized packed
+    corpus must move each byte once. Span parsing, clipping and
+    re-basing are scan-local array HOFs after the window (staged as
+    named columns — duplicating nested-lambda trees inside one
+    projection mis-binds lambda variables under Spark 4.1's resolver,
+    see operators/dedup.py).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        id_col,
+        txt.alias("__txt"),
+        F.coalesce(F.col(spans_col), F.lit("")).alias("__sp"),
+        F.length(txt).cast("bigint").alias("n_chars"),
+        _portable_hash_expr(id_col, n_shards, seed).cast("int").alias("shard"),
+    )
+    out = _pack_layout(base, id_col, int(char_budget), "n_chars",
+                       "char_start", "char_end")
+    s, e, po = F.col("char_start"), F.col("char_end"), F.col("pack_offset")
+    parsed = F.transform(
+        F.filter(F.split(F.col("__sp"), ","), lambda x: x != F.lit("")),
+        lambda x: F.struct(
+            F.split(x, ":")[0].cast("bigint").alias("a"),
+            F.split(x, ":")[1].cast("bigint").alias("b"),
+        ),
+    )
+    staged = out.withColumn("__parsed", parsed).withColumn(
+        "__clipped",
+        F.filter(
+            F.transform(
+                F.col("__parsed"),
+                lambda x: F.struct(
+                    F.greatest(x["a"], s).alias("lo"),
+                    F.least(x["b"], e).alias("hi"),
+                ),
+            ),
+            lambda x: x["hi"] > x["lo"],
+        ),
+    )
+    rebased = F.transform(
+        F.col("__clipped"),
+        lambda x: F.concat(
+            (po + x["lo"] - s).cast("string"), F.lit(":"),
+            (po + x["hi"] - s).cast("string"),
+        ),
+    )
+    return staged.select(
+        id_col, "n_chars", "shard", "chunk", "pack_id", "slot",
+        "pack_offset", "char_start", "char_end",
+        F.col("__txt").substr(
+            (s + 1).cast("int"), (e - s).cast("int")
+        ).alias("piece_text"),
+        F.array_join(rebased, ",").alias("piece_mask_spans"),
     )
 
 

@@ -265,6 +265,109 @@ def test_pack_documents_zero_token_doc(spark):
     assert (nonempty["token_end"] > nonempty["token_start"]).all()
 
 
+def test_pack_with_spans_mask_invariants(spark):
+    """Mask-preserving packing over real chat renders: (a) piece_text
+    slices the original render exactly and reconstructs it in chunk
+    order; (b) mask coverage in characters is exactly conserved through
+    clipping/splitting; (c) every re-based pack-local span slices
+    masked text out of the assembled pack string — per document, those
+    slices concatenate (chunk order, span order) to the document's
+    original masked text; (d) deterministic under repartitioning."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.sampling import pack_with_spans
+    from crfsuite_spark.operators.transcripts import chat_examples
+
+    data = generate(n_convs=12, turns_per_conv=8, seed=42)
+    ce = chat_examples(spark.createDataFrame(data.transcripts))
+    src = {r["conv_id"]: (r["example_text"], r["mask_spans"])
+           for r in ce.collect()}
+    # budget far below a render's length → every conv splits, many
+    # masks straddle pack boundaries
+    out = pack_with_spans(ce, "conv_id", "example_text", "mask_spans",
+                          char_budget=64, n_shards=3).toPandas()
+    assert (out.groupby("conv_id").size() > 1).all()
+
+    def spans_of(s):
+        return [tuple(map(int, p.split(":"))) for p in s.split(",") if p]
+
+    # (a) piece slicing + reconstruction
+    for conv_id, g in out.sort_values("chunk").groupby("conv_id"):
+        text, _ = src[conv_id]
+        for r in g.itertuples():
+            assert r.piece_text == text[r.char_start:r.char_end]
+        assert "".join(g["piece_text"]) == text
+
+    # (b) mask character count conserved
+    orig_mask_chars = sum(b - a for (_, ms) in src.values()
+                          for (a, b) in spans_of(ms))
+    piece_mask_chars = sum(b - a for ms in out["piece_mask_spans"]
+                           for (a, b) in spans_of(ms))
+    assert orig_mask_chars > 0 and piece_mask_chars == orig_mask_chars
+
+    # (c) pack-local spans slice masked text; per-doc concatenation in
+    # (chunk, span) order rebuilds the original masked text exactly
+    packs = {}
+    for pack_id, g in out.groupby("pack_id"):
+        buf = {}
+        for r in g.itertuples():
+            for i, ch in enumerate(r.piece_text):
+                buf[r.pack_offset + i] = ch
+        packs[pack_id] = "".join(buf[i] for i in range(len(buf)))
+    for conv_id, g in out.sort_values("chunk").groupby("conv_id"):
+        text, ms = src[conv_id]
+        got = "".join(
+            packs[r.pack_id][a:b]
+            for r in g.itertuples()
+            for (a, b) in spans_of(r.piece_mask_spans)
+        )
+        want = "".join(text[a:b] for (a, b) in spans_of(ms))
+        assert got == want
+
+    # (d) repartition-invariant
+    out2 = pack_with_spans(ce.repartition(7), "conv_id", "example_text",
+                           "mask_spans", char_budget=64, n_shards=3).toPandas()
+    key = ["conv_id", "chunk"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = out2.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pack_with_spans_edges(spark):
+    """Hand-checked clipping: a span exactly on a boundary splits into
+    two adjacent pieces; a span outside a piece vanishes; empty
+    mask_spans and empty text stay well-formed."""
+    from crfsuite_spark.operators.sampling import pack_with_spans
+
+    # one doc, 10 chars, budget 4 → pieces [0,4) [4,8) [8,10);
+    # spans: 2:6 straddles the first boundary, 8:10 sits in the tail
+    df = spark.createDataFrame(
+        [("a", "0123456789", "2:6,8:10"), ("b", "", ""), ("c", None, None)],
+        "conv_id string, example_text string, mask_spans string",
+    )
+    out = pack_with_spans(df, char_budget=4, n_shards=1).toPandas()
+    a = out[out["conv_id"] == "a"].sort_values("chunk")
+    assert len(a) == 3
+    # each piece is alone in its pack here (single shard, docs b/c are
+    # empty) — but offsets are pack-local regardless
+    by_piece = list(zip(a["char_start"], a["char_end"],
+                        a["pack_offset"], a["piece_mask_spans"]))
+    for cs, ce_, po, ms in by_piece:
+        spans = [tuple(map(int, p.split(":"))) for p in ms.split(",") if p]
+        # re-derive expected: clip {2:6, 8:10} to [cs, ce), re-base
+        want = []
+        for (x, y) in [(2, 6), (8, 10)]:
+            lo, hi = max(x, cs), min(y, ce_)
+            if hi > lo:
+                want.append((po + lo - cs, po + hi - cs))
+        assert spans == want
+    # empty docs emit one empty piece with empty spans
+    for cid in ("b", "c"):
+        e = out[out["conv_id"] == cid]
+        assert len(e) == 1
+        assert e["char_start"].iloc[0] == e["char_end"].iloc[0] == 0
+        assert e["piece_text"].iloc[0] == "" and e["piece_mask_spans"].iloc[0] == ""
+
+
 def test_gopher_repetition_signals(spark):
     """Hand-computed duplicate-sentence and top-2-gram fractions,
     including the zero-shuffle sorted-run mode computation."""

@@ -110,6 +110,21 @@ def test_pack_documents_single_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
 
 
+def test_pack_with_spans_single_exchange(spark):
+    """pack_with_spans shares pack_documents' ONE-hash-exchange shape:
+    the text rides the shard window shuffle once (a materialized packed
+    corpus must move each byte once); span parse/clip/re-base and the
+    slot window add no further exchange."""
+    from crfsuite_spark.operators.sampling import pack_with_spans
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text",
+        F.lit("0:5,10:20").alias("mask_spans"),
+    )
+    plan = _plan(pack_with_spans(d, "doc_id", "text", "mask_spans", 256, 8))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
 def test_exact_dedup_partial_agg_no_window(spark):
     """exact_dedup is a partial-aggregated groupBy (map-side min_by
     combine — only one candidate row per (partition, digest) crosses
