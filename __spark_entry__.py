@@ -492,6 +492,30 @@ def q_ds_intra_doc_dedup(spark, sf):
     return intra_doc_span_dedup(d, "doc_id", "text", block_tokens=5)
 
 
+def q_ds_dsir_select(spark, sf):
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    importance weights of every document against the English-document
+    target distribution, then deterministic Gumbel-top-k resampling
+    (k=100, T=0.5). Fit is two bounded bucket-count jobs; scoring is
+    scan-local (zero Exchange, plan-asserted in tests); selection is a
+    TakeOrdered. Portable md5 hashing end-to-end, so the DuckDB oracle
+    replays fit, scoring, AND the Gumbel draw bit-for-bit."""
+    from crfsuite_spark.operators.selection import dsir_select
+
+    d = _t(spark, sf, "documents")
+    target = d.where(F.col("lang") == "en").select("doc_id", "text")
+    out = dsir_select(
+        d.select("doc_id", "text"), target,
+        k=100, n_buckets=512, seed=7, temperature=0.5,
+    )
+    return out.select(
+        "doc_id",
+        F.round("logweight", 6).alias("logweight"),
+        "n_grams",
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )
+
+
 def q_ds_curate(spark, sf):
     """END-TO-END corpus curation (operators/curate.py): C4 quality
     filter → exact dedup (map-side min_by) → MinHash-LSH near-dedup
@@ -2192,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
+        "ds_dsir_select": q_ds_dsir_select,
         "ds_curate": q_ds_curate,
         "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -4059,6 +4084,73 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    CAST(b.nb AS BIGINT) AS n_blocks,
                    CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
             FROM b LEFT JOIN reb USING (doc_id)
+        """,
+        # DSIR importance resampling: replay fit (bucket histograms of
+        # hashed unigrams+bigrams over target=lang 'en' vs raw=all,
+        # Laplace alpha=1), scoring (per-doc sum of log ratios), and
+        # the deterministic Gumbel-top-k draw — all on the portable
+        # first-8-hex-of-md5 hash, identical to operators/selection.py.
+        "ds_dsir_select": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(
+                       regexp_split_to_array(
+                         trim(lower(coalesce(text, ''))), '\s+'),
+                       t -> t <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     list_concat(
+                       toks,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(
+                                   range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE []::VARCHAR[] END) AS grams
+              FROM tok),
+            tcnt AS (
+              SELECT ('0x' || substr(md5(u.gr || ':7'), 1, 8))::BIGINT % 512 AS bucket,
+                     count(*) AS cnt
+              FROM (SELECT unnest(grams) AS gr FROM g WHERE lang = 'en') u
+              GROUP BY 1),
+            rcnt AS (
+              SELECT ('0x' || substr(md5(u.gr || ':7'), 1, 8))::BIGINT % 512 AS bucket,
+                     count(*) AS cnt
+              FROM (SELECT unnest(grams) AS gr FROM g) u
+              GROUP BY 1),
+            dom AS (SELECT unnest(range(0, 512)) AS bucket),
+            lr AS (
+              SELECT dom.bucket,
+                     (ln(coalesce(t.cnt, 0) + 1.0)
+                        - ln((SELECT coalesce(sum(cnt), 0) FROM tcnt) + 512.0))
+                   - (ln(coalesce(r.cnt, 0) + 1.0)
+                        - ln((SELECT coalesce(sum(cnt), 0) FROM rcnt) + 512.0)) AS v
+              FROM dom LEFT JOIN tcnt t ON t.bucket = dom.bucket
+                       LEFT JOIN rcnt r ON r.bucket = dom.bucket),
+            lrv AS (SELECT list(v ORDER BY bucket) AS arr FROM lr),
+            scored AS (
+              SELECT doc_id,
+                     CAST(len(grams) AS BIGINT) AS n_grams,
+                     coalesce(list_sum(list_transform(grams,
+                       x -> arr[
+                              CAST(('0x' || substr(md5(x || ':7'), 1, 8))::BIGINT % 512
+                                   AS INTEGER) + 1])),
+                       0.0) AS logweight
+              FROM g CROSS JOIN lrv),
+            keyed AS (
+              SELECT doc_id, logweight, n_grams,
+                     logweight / 0.5
+                       - ln(-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':8'), 1, 8))::BIGINT
+                                   % 1000000) + 0.5) / 1000000.0)) AS gumbel_key
+              FROM scored
+              WHERE n_grams >= 1)
+            SELECT doc_id,
+                   round(logweight, 6) AS logweight,
+                   n_grams,
+                   round(gumbel_key, 6) AS gumbel_key
+            FROM keyed
+            ORDER BY gumbel_key DESC, doc_id ASC
+            LIMIT 100
         """,
         "ds_intra_doc_dedup": """
             WITH w AS (

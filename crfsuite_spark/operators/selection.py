@@ -1,0 +1,241 @@
+"""Data selection via importance resampling (DSIR).
+
+Implements the hashed-n-gram importance-resampling recipe of Xie et
+al. 2023 ("Data Selection for Language Models via Importance
+Resampling"): fit bag-of-hashed-n-gram (unigram + bigram) multinomial
+distributions over a small TARGET corpus (the domain you want more of)
+and over the RAW pool, score every raw document with its log importance
+weight
+
+    log w(x) = sum_{g in grams(x)} [ log p_target(h(g)) - log p_raw(h(g)) ]
+
+(Laplace-smoothed over the fixed bucket domain), then resample without
+replacement via the Gumbel-top-k trick — the standard pretraining-data
+curation step between heuristic filtering and dedup.
+
+Scale shape (the whole point at 100 TB):
+
+- **Fit is two bucket-count jobs**, one per corpus: explode grams →
+  ``groupBy(bucket)`` over a FIXED domain of ``n_buckets`` keys —
+  partial aggregation collapses each task to ≤ n_buckets rows, so the
+  shuffle is O(tasks × n_buckets) regardless of corpus size, and the
+  driver collects exactly n_buckets longs per corpus (32 KB at the
+  default 4096).
+- **Scoring is scan-local — ZERO Exchange** (plan-asserted in
+  tests/test_plans.py): the smoothed log-ratio vector is embedded as a
+  literal double array (n_buckets ≤ 65536 guard) and each document
+  folds ``aggregate(grams, 0.0, acc + lr[h(g)])`` inside whole-stage
+  codegen. The corpus text never shuffles and never leaves the scan;
+  re-scoring 100 TB is one map-only pass.
+- **Selection is a TakeOrdered top-k** on (logweight + Gumbel) — no
+  global sort; k rows to the driver.
+
+All hashing is the portable first-8-hex-of-md5 idiom
+(operators/sampling.py), so weights, Gumbel keys, and the selected set
+are bit-reproducible across engines (the DuckDB oracle replays the
+whole chain) and across retries/AQE re-plans.
+
+Relation to the reference: the reference (bnosac/crfsuite) curates its
+training corpora by hand; this is the operator family a 10^12-turn
+transcript pipeline needs to choose WHICH conversations feed the CRF
+trainer (SURVEY.md §2 LLM-pipeline extensions).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crfsuite_spark.functions.analysis import _tokens
+
+_U_SCALE = 1_000_000
+
+
+def _gram_bucket(gram: Column, n_buckets: int, seed: int) -> Column:
+    """Portable md5 bucket of a gram STRING (column form of
+    sampling.py's _portable_hash_expr, usable inside HOF lambdas)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(gram, F.lit(f":{seed}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
+def _grams(text_col: str) -> Column:
+    """Unigrams ++ space-joined bigrams, scan-local (no positional
+    explode/self-join): bigram i pairs token i with token i+1 via the
+    same slice/element_at form functions/analysis.py:bigram_nll uses.
+    NULL text coalesces to the empty gram list (weight 0, not NULL)."""
+    toks = F.filter(
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda x, i: F.concat(
+                x, F.lit(" "), F.element_at(toks, i + F.lit(2))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def hashed_gram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-level hashed-gram bucket histogram: (bucket, cnt), one
+    row per OCCUPIED bucket (≤ n_buckets rows total — the fixed-domain
+    key is what keeps the fit shuffle O(tasks × n_buckets) at any
+    corpus size)."""
+    return (
+        df.select(F.explode(_grams(text_col)).alias("__g"))
+        .select(_gram_bucket(F.col("__g"), n_buckets, seed).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _fit_log_ratio(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    alpha: float,
+    seed: int,
+) -> list[float]:
+    """Collect both bucket histograms (n_buckets longs each) and return
+    the Laplace-smoothed per-bucket log ratio
+    log p_target[b] − log p_raw[b] as a plain list for literal
+    embedding."""
+    if n_buckets > 65536:
+        raise ValueError(
+            "n_buckets > 65536 would bloat the embedded literal plan; "
+            "hash collisions are part of the DSIR design — use fewer"
+        )
+    ct = [0] * n_buckets
+    cr = [0] * n_buckets
+    for counts, frame in ((ct, target), (cr, raw)):
+        for row in hashed_gram_counts(
+            frame, text_col, n_buckets, seed
+        ).collect():
+            counts[row["bucket"]] = row["cnt"]
+    nt, nr = sum(ct), sum(cr)
+    zt = math.log(nt + alpha * n_buckets)
+    zr = math.log(nr + alpha * n_buckets)
+    return [
+        (math.log(ct[b] + alpha) - zt) - (math.log(cr[b] + alpha) - zr)
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document DSIR log importance weight of every ``raw`` row
+    against the ``target`` distribution.
+
+    Returns ``raw`` + (logweight, n_grams): ``logweight`` is the sum of
+    per-gram smoothed log ratios (0.0 for gram-less documents, which
+    the Gumbel stage then treats as distribution-neutral), ``n_grams``
+    the gram count (callers wanting a length-invariant score divide —
+    the paper's chunked protocol sidesteps length bias by scoring
+    fixed-size chunks, which :func:`~crfsuite_spark.operators.sampling.
+    chunk_documents` provides).
+
+    The returned frame's plan is scan-local — fit runs two bounded
+    count jobs eagerly, scoring embeds the log-ratio literal (module
+    docstring)."""
+    lr = _fit_log_ratio(target, raw, text_col, n_buckets, alpha, seed)
+    lr_col = F.lit(lr)
+    grams = _grams(text_col)
+    logw = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(lr_col, (_gram_bucket(g, n_buckets, seed) + 1).cast("int")),
+    )
+    return raw.withColumn("logweight", logw).withColumn(
+        "n_grams", F.size(grams).cast("bigint")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: int = 42,
+    min_grams: int = 1,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: keep the ``k`` raw documents
+    maximizing ``logweight / temperature + Gumbel(id)`` — equivalent to
+    sampling k WITHOUT replacement with probability ∝ w(x)^(1/T) (the
+    Gumbel-top-k identity), but deterministic: the Gumbel noise comes
+    from the portable md5 hash of (id ‖ seed), so the selected set is
+    stable under retries, partition changes, and engine swaps.
+    ``temperature`` sharpens (T<1) or flattens (T>1) the resampling
+    distribution; T→0 degenerates to deterministic top-k by weight —
+    useful when per-document weight gaps are small relative to the
+    Gumbel noise scale (σ≈1.28), e.g. short documents.
+
+    ``min_grams`` (default 1) drops documents with fewer grams before
+    resampling: an empty document's importance weight is the empty
+    product — exactly 1, log 0 — which is mathematically consistent but
+    BEATS every real document whenever typical log-weights are negative
+    (the common regime: most raw grams are off-target), so unguarded
+    Gumbel-top-k fills the selection with empty docs first. The paper
+    sidesteps this by scoring fixed-length chunks; a document-level
+    selector needs the explicit floor.
+
+    Returns the selected rows + (logweight, n_grams, gumbel_key),
+    via TakeOrdered (no global sort)."""
+    scored = dsir_weights(
+        raw, target, id_col, text_col, n_buckets, alpha, seed
+    ).where(F.col("n_grams") >= int(min_grams))
+    # u in (0,1): (h + 0.5) / 1e6 over the portable md5 hash domain
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f":{seed + 1}")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(_U_SCALE),
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_U_SCALE))
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0 (use a small value "
+                         "like 1e-3 for near-deterministic top-k)")
+    gumbel = -F.log(-F.log(u))
+    out = scored.withColumn(
+        "gumbel_key", F.col("logweight") / F.lit(float(temperature)) + gumbel
+    )
+    return out.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(int(k))
