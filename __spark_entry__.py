@@ -516,6 +516,35 @@ def q_ds_dsir_select(spark, sf):
     )
 
 
+def q_ds_bpe_histogram(spark, sf):
+    """BPE training input: the word histogram (min_freq=2) — the ONE
+    corpus-wide job BPE vocabulary induction needs (operators/bpe.py);
+    map-side combined, output bounded by the distinct vocabulary."""
+    from crfsuite_spark.operators.bpe import word_histogram
+
+    d = _t(spark, sf, "documents")
+    return word_histogram(d, "text", min_freq=2)
+
+
+def q_ds_bpe_pieces(spark, sf):
+    """BPE train (60 merges over the documents corpus, driver-side loop
+    on the bounded histogram) + scan-local Arrow tokenization. The
+    merge loop is iterative and not SQL-expressible — deliberately NO
+    oracle_sql entry (the driver's weaker rows-only gate); exact-parity
+    vs an independent reference is pinned in tests/test_bpe.py."""
+    from crfsuite_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    d = _t(spark, sf, "documents")
+    model = bpe_train(d, "text", num_merges=60, min_freq=2)
+    out = bpe_tokenize(d, model, "text", "pieces")
+    return out.select(
+        "doc_id",
+        F.size("pieces").cast("bigint").alias("n_pieces"),
+        F.size(F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"))
+        .cast("bigint").alias("n_words"),
+    )
+
+
 def q_ds_curate(spark, sf):
     """END-TO-END corpus curation (operators/curate.py): C4 quality
     filter → exact dedup (map-side min_by) → MinHash-LSH near-dedup
@@ -2217,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
         "ds_dsir_select": q_ds_dsir_select,
+        "ds_bpe_histogram": q_ds_bpe_histogram,
+        "ds_bpe_pieces": q_ds_bpe_pieces,
         "ds_curate": q_ds_curate,
         "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -4084,6 +4115,18 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    CAST(b.nb AS BIGINT) AS n_blocks,
                    CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
             FROM b LEFT JOIN reb USING (doc_id)
+        """,
+        "ds_bpe_histogram": r"""
+            WITH tok AS (
+              SELECT list_filter(
+                       regexp_split_to_array(
+                         trim(lower(coalesce(text, ''))), '\s+'),
+                       t -> t <> '') AS toks
+              FROM documents)
+            SELECT u.w AS word, count(*) AS freq
+            FROM (SELECT unnest(toks) AS w FROM tok) u
+            GROUP BY 1
+            HAVING count(*) >= 2
         """,
         # DSIR importance resampling: replay fit (bucket histograms of
         # hashed unigrams+bigrams over target=lang 'en' vs raw=all,

@@ -315,6 +315,11 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
 
         em.q_ds_intra_doc_dedup(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def dsir_select():
+        import __spark_entry__ as em
+
+        em.q_ds_dsir_select(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # round-5-new paths: unigram LM scoring + codegen cluster assignment
     def unigram():
         import __spark_entry__ as em
@@ -380,6 +385,7 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     timed("ds_decontaminate", decontaminate)
     timed("ds_span_dedup", span_dedup)
     timed("ds_intra_doc_dedup", intra_doc)
+    timed("ds_dsir_select", dsir_select)
     timed("ta_unigram_nll", unigram)
     timed("sim_cluster_assign", cluster_assign)
     if only in (None, "kg_bgp_query", "kg_transe_train"):
