@@ -516,6 +516,23 @@ def q_ds_dsir_select(spark, sf):
     )
 
 
+def q_ds_token_budget_mix(spark, sf):
+    """Token-weighted domain mixing (Pile/Dolma-style mixture specs are
+    TOKEN budgets, not doc counts): per-lang keep-rate
+    min(1, budget/tokens) over one map-side token-mass groupBy, then a
+    portable-hash threshold filter — corpus never shuffles. Budgets
+    sized so 'en' downsamples, 'de' downsamples harder, and the long
+    tail keeps a trickle (default 300 tokens)."""
+    from crfsuite_spark.operators.sampling import token_budget_mix
+
+    d = _t(spark, sf, "documents")
+    out = token_budget_mix(
+        d, "doc_id", "lang", "text",
+        {"en": 4000, "de": 1500}, default_budget=300,
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_ds_bpe_histogram(spark, sf):
     """BPE training input: the word histogram (min_freq=2) — the ONE
     corpus-wide job BPE vocabulary induction needs (operators/bpe.py);
@@ -2246,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
         "ds_dsir_select": q_ds_dsir_select,
+        "ds_token_budget_mix": q_ds_token_budget_mix,
         "ds_bpe_histogram": q_ds_bpe_histogram,
         "ds_bpe_pieces": q_ds_bpe_pieces,
         "ds_curate": q_ds_curate,
@@ -4115,6 +4133,30 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    CAST(b.nb AS BIGINT) AS n_blocks,
                    CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
             FROM b LEFT JOIN reb USING (doc_id)
+        """,
+        # token-budget mixing: one IEEE division per domain, floor(r*1e6)
+        # threshold on the portable md5 hash — bit-identical replay
+        "ds_token_budget_mix": r"""
+            WITH tc AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS ntok
+              FROM documents),
+            dom AS (SELECT lang, sum(ntok) AS toks FROM tc GROUP BY 1),
+            rates AS (
+              SELECT lang,
+                     CAST(floor(least(1.0,
+                       (CASE WHEN lang = 'en' THEN 4000
+                             WHEN lang = 'de' THEN 1500
+                             ELSE 300 END)::DOUBLE
+                       / greatest(toks, 1)::DOUBLE) * 1000000) AS BIGINT)
+                       AS thresh
+              FROM dom)
+            SELECT t.doc_id, t.lang
+            FROM tc t JOIN rates r ON t.lang = r.lang
+            WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+                    % 1000000 < r.thresh
         """,
         "ds_bpe_histogram": r"""
             WITH tok AS (

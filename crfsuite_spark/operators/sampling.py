@@ -145,6 +145,66 @@ def temperature_mix(
     return out.drop("__dom", "__thresh")
 
 
+def token_budget_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    text_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Token-weighted domain mixing: downsample each domain so its
+    EXPECTED kept token mass hits a per-domain TOKEN budget — mixture
+    specs for LLM corpora (Pile/Dolma-style) are token-weighted, not
+    document-weighted, and long-document domains would blow a
+    doc-count rule like :func:`temperature_mix`.
+
+    Keep-rate ``r_d = min(1, budget_d / tokens_d)`` where ``tokens_d``
+    is the domain's whitespace-token total; a document is kept iff
+    ``md5(id ∥ seed) mod 10^6 < floor(r_d · 10^6)``. Domains absent
+    from ``budgets`` get ``default_budget`` (0 = dropped). Never
+    upsamples: a domain under budget is kept whole. Budgets are hit in
+    expectation (documents are atomic — exact-cut packing is
+    :func:`pack_documents`' job downstream).
+
+    Shape: ONE map-side-combined ``groupBy(domain).sum(token_count)``
+    (domain vocabulary is tiny), broadcast rate join, map-side hash
+    filter — the corpus never shuffles, same contract as
+    :func:`temperature_mix`.
+
+    Cross-engine determinism: ``budget_d / tokens_d`` is one IEEE
+    correctly-rounded double division and the threshold is
+    ``floor(r · 10^6)``, so the kept set is bit-identical in Spark and
+    DuckDB (the driver oracle replays it)."""
+    budgets = {k: int(v) for k, v in budgets.items()}
+    counts = df.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.sum(token_count(text_col)).alias("__toks")
+    )
+    budget = F.lit(int(default_budget))
+    for k, v in budgets.items():
+        budget = F.when(F.col("__dom") == k, F.lit(v)).otherwise(budget)
+    rates = counts.select(
+        "__dom",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                # greatest(1): an all-empty domain has 0 tokens — any
+                # positive budget keeps it whole, and 0/0 NaN semantics
+                # differ across engines
+                budget.cast("double")
+                / F.greatest(F.col("__toks"), F.lit(1)).cast("double"),
+            )
+            * F.lit(_SCALE)
+        ).alias("__thresh"),
+    )
+    out = df.join(
+        F.broadcast(rates),
+        df[domain_col] == rates["__dom"],
+    ).where(_portable_hash_expr(id_col, _SCALE, seed) < F.col("__thresh"))
+    return out.drop("__dom", "__thresh")
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -564,6 +564,70 @@ def test_temperature_mix_scale_factor(spark):
     assert abs(got["books"] - 100) < 35
 
 
+def _token_skewed_domains(spark):
+    # token-mass skew opposite the doc-count skew: 100 web docs × 10
+    # tokens, 20 books docs × 100 tokens, 10 code docs × 5 tokens
+    return spark.range(0, 130).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "web")
+        .when(F.col("id") < 120, "books")
+        .otherwise("code")
+        .alias("domain"),
+        F.when(F.col("id") < 100, F.array_repeat(F.lit("w"), 10))
+        .when(F.col("id") < 120, F.array_repeat(F.lit("b"), 100))
+        .otherwise(F.array_repeat(F.lit("c"), 5))
+        .alias("toks"),
+    ).select(
+        "doc_id", "domain", F.array_join("toks", " ").alias("text")
+    )
+
+
+def test_token_budget_mix_hits_budgets(spark):
+    """Kept token mass per domain ≈ its budget (hash noise), an
+    under-budget domain is kept WHOLE, and a domain absent from the
+    budget spec (default_budget=0) is dropped entirely."""
+    from crfsuite_spark.functions.analysis import token_count
+    from crfsuite_spark.operators.sampling import token_budget_mix
+
+    df = _token_skewed_domains(spark)
+    out = token_budget_mix(
+        df, "doc_id", "domain", "text",
+        {"web": 500, "books": 200, "code": 1000},
+    )
+    got = {
+        r["domain"]: r["toks"]
+        for r in out.groupBy("domain")
+        .agg(F.sum(token_count("text")).alias("toks"))
+        .collect()
+    }
+    assert got["code"] == 50            # 50 tokens total < 1000 budget
+    assert abs(got["web"] - 500) < 150  # rate 0.5 over 100 docs
+    assert abs(got["books"] - 200) < 200  # rate 0.1 over 20 × 100-token docs
+    dropped = token_budget_mix(df, "doc_id", "domain", "text", {"web": 500})
+    assert dropped.where(F.col("domain") != "web").count() == 0
+
+
+def test_token_budget_mix_deterministic_and_empty_domain(spark):
+    """Kept set identical across partitionings; an all-empty-text
+    domain with any positive budget is kept whole (0-token guard)."""
+    from crfsuite_spark.operators.sampling import token_budget_mix
+
+    df = _token_skewed_domains(spark)
+    budgets = {"web": 500, "books": 200, "code": 1000}
+    a = {r["doc_id"] for r in
+         token_budget_mix(df, "doc_id", "domain", "text", budgets).collect()}
+    b = {r["doc_id"] for r in
+         token_budget_mix(df.repartition(11), "doc_id", "domain", "text",
+                          budgets).collect()}
+    assert a == b
+    empty = spark.createDataFrame(
+        [(900, "blank", ""), (901, "blank", None)],
+        "doc_id int, domain string, text string",
+    )
+    kept = token_budget_mix(empty, "doc_id", "domain", "text", {"blank": 1})
+    assert kept.count() == 2
+
+
 def test_bigram_nll_matches_python_mirror(spark):
     """Interpolated conditional bigram NLL equals the literal Python
     computation; <2-token docs absent; lam validated."""
