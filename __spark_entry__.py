@@ -683,6 +683,30 @@ def q_sim_cosine_topk(spark, sf):
     )
 
 
+def q_ev_asof_join(spark, sf):
+    """As-of join (operators/asof.py): every 'click' event picks up the
+    latest at-or-before 'view' of the same user — union + running
+    window, ONE Exchange, no range fan-out. The oracle is DuckDB's
+    NATIVE ASOF JOIN (ties pre-collapsed to max event_id on both
+    sides the same way)."""
+    from crfsuite_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("snap_id"), "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, views, ["user_id"], "ts", ["value"], "snap_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "asof_snap_id",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
 def q_ev_sessionize(spark, sf):
     """Sessionization: 30-min-gap sessions per user (stream-window analogue).
 
@@ -2269,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_curate": q_ds_curate,
         "ta_winnow": q_ta_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "ev_asof_join": q_ev_asof_join,
         "ev_sessionize": q_ev_sessionize,
         "ev_run_groups": q_ev_run_groups,
         "tr_conv_stats": q_tr_conv_stats,
@@ -4310,6 +4335,26 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                           THEN 1 ELSE 0 END AS is_start
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             GROUP BY user_id
+        """,
+        # DuckDB's NATIVE ASOF JOIN checks our union+window form; right
+        # ties on (user, ts) pre-collapsed to max event_id so both
+        # engines pick the same snapshot deterministically
+        "ev_asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+            views AS (
+              SELECT user_id, ts,
+                     max_by(event_id, event_id) AS snap_id,
+                     max_by(value, event_id) AS value
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id, ts)
+            SELECT c.event_id, c.user_id,
+                   CAST(v.snap_id AS BIGINT) AS asof_snap_id,
+                   round(v.value, 6) AS asof_value
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "ev_run_groups": """
             SELECT user_id, run_id, event_type,
