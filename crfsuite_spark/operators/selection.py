@@ -68,14 +68,23 @@ def _gram_bucket(gram: Column, n_buckets: int, seed: int) -> Column:
     )
 
 
-def _grams(text_col: str) -> Column:
-    """Unigrams ++ space-joined bigrams, scan-local (no positional
-    explode/self-join): bigram i pairs token i with token i+1 via the
-    same slice/element_at form functions/analysis.py:bigram_nll uses.
-    NULL text coalesces to the empty gram list (weight 0, not NULL)."""
-    toks = F.filter(
+def _toks(text_col: str) -> Column:
+    """Non-empty lowercased whitespace tokens; NULL text → empty list."""
+    return F.filter(
         _tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
     )
+
+
+def _grams_of(toks: Column) -> Column:
+    """Unigrams ++ space-joined bigrams of an ALREADY-MATERIALIZED token
+    array column (bigram i pairs token i with token i+1 via the same
+    slice/element_at form functions/analysis.py:bigram_nll uses).
+
+    ``toks`` MUST be a bound column (projected by a child select), not
+    the tokenization expression itself: a lambda's ``element_at(toks,
+    i+2)`` re-evaluates its argument subtree per element, so passing
+    the raw split/filter expression makes tokenization O(n²) per row —
+    measured 8× slower on the sf0.1 documents table."""
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -99,7 +108,8 @@ def hashed_gram_counts(
     key is what keeps the fit shuffle O(tasks × n_buckets) at any
     corpus size)."""
     return (
-        df.select(F.explode(_grams(text_col)).alias("__g"))
+        df.select(_toks(text_col).alias("__toks"))
+        .select(F.explode(_grams_of(F.col("__toks"))).alias("__g"))
         .select(_gram_bucket(F.col("__g"), n_buckets, seed).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
@@ -164,15 +174,19 @@ def dsir_weights(
     docstring)."""
     lr = _fit_log_ratio(target, raw, text_col, n_buckets, alpha, seed)
     lr_col = F.lit(lr)
-    grams = _grams(text_col)
+    grams = F.col("__grams")
     logw = F.aggregate(
         grams,
         F.lit(0.0),
         lambda acc, g: acc
         + F.element_at(lr_col, (_gram_bucket(g, n_buckets, seed) + 1).cast("int")),
     )
-    return raw.withColumn("logweight", logw).withColumn(
-        "n_grams", F.size(grams).cast("bigint")
+    return (
+        raw.withColumn("__toks", _toks(text_col))
+        .withColumn("__grams", _grams_of(F.col("__toks")))
+        .withColumn("logweight", logw)
+        .withColumn("n_grams", F.size(grams).cast("bigint"))
+        .drop("__toks", "__grams")
     )
 
 
