@@ -134,3 +134,63 @@ def test_asof_single_exchange(spark, frames):
     out = asof_join(l, r, ["user_id"], "ts", ["value"], "snap_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_asof_fuzz_against_bruteforce(spark):
+    """Randomized parity: 60 keys × dense integer-second timestamps
+    with deliberate collisions (ts drawn from a small range so
+    left-right and right-right ties are common), both strict modes and
+    a tolerance, vs the brute-force reference."""
+    import random
+
+    rng = random.Random(20240819)
+    L = [
+        (i, rng.randrange(6), rng.randrange(30), f"n{i}")
+        for i in range(200)
+    ]
+    R = [
+        (1000 + i, rng.randrange(6), rng.randrange(30), float(i))
+        for i in range(150)
+    ]
+    l = spark.createDataFrame(
+        [(e, u, _ts(s), v) for e, u, s, v in L],
+        "event_id int, user_id int, ts timestamp, note string",
+    )
+    r = spark.createDataFrame(
+        [(e, u, _ts(s), v) for e, u, s, v in R],
+        "snap_id int, user_id int, ts timestamp, value double",
+    )
+
+    def ref(strict, tol):
+        out = {}
+        for eid, u, lt, _ in L:
+            cands = [
+                (rid, rt, v)
+                for rid, ru, rt, v in R
+                if ru == u
+                and (rt < lt if strict else rt <= lt)
+                and (tol is None or lt - rt <= tol)
+            ]
+            out[eid] = (
+                max(cands, key=lambda c: (c[1], c[0])) if cands else None
+            )
+        return out
+
+    for strict, tol in [(False, None), (True, None), (False, 5.0), (True, 3.0)]:
+        rows = asof_join(
+            l, r, ["user_id"], "ts", ["value"], "snap_id",
+            strict=strict, tolerance_s=tol,
+        ).collect()
+        got = {
+            row["event_id"]: (
+                None
+                if row["asof_snap_id"] is None
+                else (
+                    row["asof_snap_id"],
+                    (row["asof_ts"] - T0).total_seconds(),
+                    row["asof_value"],
+                )
+            )
+            for row in rows
+        }
+        assert got == ref(strict, tol), (strict, tol)
