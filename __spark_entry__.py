@@ -1994,6 +1994,34 @@ def q_dedup_minhash(spark, sf):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ds_dedup_clusters(spark, sf):
+    """COMPOSED near-dup clustering: the q_dedup_minhash pair stage
+    feeds min-label connected components (distributed path forced), so
+    transitive near-dup chains collapse to one cluster id = min doc_id
+    — the cluster table a keep-one-per-cluster dedup policy consumes
+    (SlimPajama keeps min; this emits the whole mapping so any policy
+    can pick). Oracle composes the bit-exact minhash CTE chain with
+    DuckDB recursive reachability."""
+    from crfsuite_spark.kg.canonicalize import connected_components
+    from crfsuite_spark.operators.minhash import minhash_self_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_self_pairs(
+        d, "doc_id", "text", n_hashes=32, bands=8,
+        shingle_size=5, jaccard_threshold=0.8,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        hash_fn="md5_32",
+    )
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        small_graph_threshold=0,
+    )
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash fingerprints (32-bit) per document, portable md5-based
     token hash so DuckDB reproduces the exact bit pattern."""
@@ -2319,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_synthetic": q_kg_triples_synthetic,
         "kg_triples_fused_e2e": q_kg_triples_fused_e2e,
         "dedup_minhash": q_dedup_minhash,
+        "ds_dedup_clusters": q_ds_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "sim_ann_topk": q_sim_ann_topk,
@@ -2350,6 +2379,30 @@ def _minhash_oracle_sql(n_hashes=32, bands=8, k=5, threshold=0.8, seed=42,
     return f"""
             WITH {ctes}
             SELECT id_a, id_b, round(j, 6) AS jaccard FROM v WHERE j >= {threshold}
+        """
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """q_ds_dedup_clusters: the bit-exact minhash pair chain feeding
+    recursive reachability with min-reachable doc as the cluster id
+    (same closure form as the kg_connected_components oracle)."""
+    ctes = _minhash_pair_ctes(
+        n_hashes=32, bands=8, k=5, threshold=0.8, seed=42,
+        estimate_margin=0.25, source="documents",
+    )
+    return f"""
+            WITH RECURSIVE {ctes},
+            e AS (SELECT id_a AS a, id_b AS b FROM v WHERE j >= 0.8),
+            und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            nodes AS (SELECT DISTINCT a AS node FROM und),
+            reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT reach.node, und.b
+              FROM reach JOIN und ON und.a = reach.r)
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
         """
 
 
@@ -3742,6 +3795,7 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
             FROM documents
         """,
         "dedup_minhash": _minhash_oracle_sql(),
+        "ds_dedup_clusters": _dedup_clusters_oracle_sql(),
         "ds_curate": _curate_oracle_sql(),
         "sim_ann_topk": _ann_oracle_sql(),
         "sim_ann_multitable": _ann_multitable_oracle_sql(),
