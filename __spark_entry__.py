@@ -553,12 +553,13 @@ def q_ds_bpe_pieces(spark, sf):
 
     d = _t(spark, sf, "documents")
     model = bpe_train(d, "text", num_merges=60, min_freq=2)
+    from crfsuite_spark.functions.analysis import token_count
+
     out = bpe_tokenize(d, model, "text", "pieces")
     return out.select(
         "doc_id",
         F.size("pieces").cast("bigint").alias("n_pieces"),
-        F.size(F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"))
-        .cast("bigint").alias("n_words"),
+        token_count("text").cast("bigint").alias("n_words"),
     )
 
 

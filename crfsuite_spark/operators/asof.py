@@ -75,7 +75,12 @@ def asof_join(
         F.lit(None).cast(tie_type).alias("__tie"),
         F.struct(*left.columns).alias("__l"),
     )
-    r = right.select(
+    # a NULL right timestamp compares false to everything in SQL (and
+    # in DuckDB's ASOF JOIN / pandas merge_asof) — without this filter
+    # it would sort nulls-first and spuriously match as "before
+    # everything". NULL-ts LEFT rows need no guard: they sort before
+    # every surviving right row, so they see no match.
+    r = right.where(F.col(ts_col).isNotNull()).select(
         *on,
         F.col(ts_col),
         F.struct(*pay).alias("__p"),

@@ -144,17 +144,17 @@ def bpe_train(
     ``max_words`` rows — raise ``min_freq`` (the scale-correct knob)
     rather than the cap."""
     hist = word_histogram(df, text_col, min_freq)
-    # bounded-collect guard: probe the count before moving rows
-    n_words = hist.count()
-    if n_words > max_words:
+    # bounded-collect guard folded into the ONE histogram job: pull at
+    # most max_words+1 rows — a separate count() probe would run the
+    # corpus-wide aggregation twice
+    rows = hist.limit(max_words + 1).collect()
+    if len(rows) > max_words:
         raise ValueError(
-            f"word histogram has {n_words} types > max_words={max_words}; "
+            f"word histogram exceeds max_words={max_words}; "
             "raise min_freq to prune the tail before collecting"
         )
     vocab: dict[tuple[str, ...], int] = {
-        _word_symbols(r["word"]): r["freq"]
-        for r in hist.collect()
-        if r["word"]
+        _word_symbols(r["word"]): r["freq"] for r in rows if r["word"]
     }
     merges: list[tuple[str, str]] = []
     for _ in range(int(num_merges)):
@@ -207,8 +207,17 @@ def bpe_tokenize(
     Spark's task serialization — the table is num_merges entries), and
     a per-batch word→pieces memo so each distinct word is segmented
     once per batch. Scan-local: zero Exchange (plan-asserted in
-    tests/test_bpe.py)."""
+    tests/test_bpe.py).
+
+    Pre-tokenization matches :func:`word_histogram` exactly: ASCII
+    ``\\s+`` split (``re.ASCII`` — Java's default ``\\s`` is
+    ASCII-only too), NOT ``str.split()``, whose Unicode whitespace
+    rule would fragment words the histogram trained as one type
+    (e.g. around NBSP) and leave learned merges unreachable."""
+    import re
+
     ranks = dict(model.ranks)
+    ws = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf(ArrayType(StringType()))
     def encode(texts: pd.Series) -> pd.Series:
@@ -218,7 +227,9 @@ def bpe_tokenize(
             if text is None:
                 return []
             out: list[str] = []
-            for w in text.lower().split():
+            for w in ws.split(text.lower().strip()):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = _encode_word(w, ranks)

@@ -140,7 +140,9 @@ def temperature_mix(
         )
     out = df.join(
         F.broadcast(rates),
-        df[domain_col] == rates["__dom"],
+        # eqNullSafe: keep NULL-domain rows (they form their own domain
+        # in the counts frame; == would silently drop them)
+        df[domain_col].eqNullSafe(rates["__dom"]),
     ).where(_portable_hash_expr(id_col, _SCALE, seed) < F.col("__thresh"))
     return out.drop("__dom", "__thresh")
 
@@ -198,9 +200,12 @@ def token_budget_mix(
             * F.lit(_SCALE)
         ).alias("__thresh"),
     )
+    # eqNullSafe: a NULL domain is a domain like any other — it grouped
+    # into its own rate row above, and a plain == join would silently
+    # drop every NULL-domain document regardless of default_budget
     out = df.join(
         F.broadcast(rates),
-        df[domain_col] == rates["__dom"],
+        df[domain_col].eqNullSafe(rates["__dom"]),
     ).where(_portable_hash_expr(id_col, _SCALE, seed) < F.col("__thresh"))
     return out.drop("__dom", "__thresh")
 

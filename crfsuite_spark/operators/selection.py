@@ -22,7 +22,7 @@ Scale shape (the whole point at 100 TB):
   driver collects exactly n_buckets longs per corpus (32 KB at the
   default 4096).
 - **Scoring is scan-local — ZERO Exchange** (plan-asserted in
-  tests/test_plans.py): the smoothed log-ratio vector is embedded as a
+  tests/test_selection.py): the smoothed log-ratio vector is embedded as a
   literal double array (n_buckets ≤ 65536 guard) and each document
   folds ``aggregate(grams, 0.0, acc + lr[h(g)])`` inside whole-stage
   codegen. The corpus text never shuffles and never leaves the scan;
@@ -224,30 +224,19 @@ def dsir_select(
 
     Returns the selected rows + (logweight, n_grams, gumbel_key),
     via TakeOrdered (no global sort)."""
+    if temperature <= 0:
+        # validate BEFORE dsir_weights eagerly runs the corpus-wide fit
+        raise ValueError("temperature must be > 0 (use a small value "
+                         "like 1e-3 for near-deterministic top-k)")
     scored = dsir_weights(
         raw, target, id_col, text_col, n_buckets, alpha, seed
     ).where(F.col("n_grams") >= int(min_grams))
-    # u in (0,1): (h + 0.5) / 1e6 over the portable md5 hash domain
-    h = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col(id_col).cast("string"), F.lit(f":{seed + 1}")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(_U_SCALE),
-    )
+    # u in (0,1): (h + 0.5) / 1e6 over the SAME portable md5 idiom the
+    # whole repo uses (one implementation, one oracle recipe)
+    from crfsuite_spark.operators.sampling import _portable_hash_expr
+
+    h = _portable_hash_expr(id_col, _U_SCALE, seed + 1)
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_U_SCALE))
-    if temperature <= 0:
-        raise ValueError("temperature must be > 0 (use a small value "
-                         "like 1e-3 for near-deterministic top-k)")
     gumbel = -F.log(-F.log(u))
     out = scored.withColumn(
         "gumbel_key", F.col("logweight") / F.lit(float(temperature)) + gumbel

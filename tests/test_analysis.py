@@ -678,3 +678,20 @@ def test_bigram_nll_matches_python_mirror(spark):
     assert out["d3"][0] < out["d1"][0]
     with pytest.raises(ValueError, match="lam"):
         an.bigram_nll(df, lam=1.0)
+
+
+def test_token_budget_mix_null_domain_gets_default(spark):
+    """NULL domain is a domain: with a positive default budget its rows
+    survive (an == join would silently drop them all)."""
+    from crfsuite_spark.operators.sampling import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(0, None, "a b c"), (1, None, "d e"), (2, "web", "x y")],
+        "doc_id int, domain string, text string",
+    )
+    out = token_budget_mix(df, "doc_id", "domain", "text",
+                           {"web": 100}, default_budget=100)
+    assert out.count() == 3
+    dropped = token_budget_mix(df, "doc_id", "domain", "text",
+                               {"web": 100}, default_budget=0)
+    assert {r["doc_id"] for r in dropped.collect()} == {2}

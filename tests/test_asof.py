@@ -194,3 +194,20 @@ def test_asof_fuzz_against_bruteforce(spark):
             for row in rows
         }
         assert got == ref(strict, tol), (strict, tol)
+
+
+def test_asof_null_right_timestamp_never_matches(spark):
+    """A NULL right timestamp compares false to everything (SQL / DuckDB
+    ASOF semantics) — it must NOT sort nulls-first into a spurious
+    'before everything' match. NULL left timestamps match nothing."""
+    l = spark.createDataFrame(
+        [(0, 1, _ts(10), "a"), (1, 1, None, "b")],
+        "event_id int, user_id int, ts timestamp, note string",
+    )
+    r = spark.createDataFrame(
+        [(100, 1, None, 9.9), (101, 1, _ts(5), 1.0)],
+        "snap_id int, user_id int, ts timestamp, value double",
+    )
+    got = _run(l, r)
+    assert got[0] == (101, 5.0, 1.0)  # real row matches, NULL row ignored
+    assert got[1] is None             # NULL left ts: no match

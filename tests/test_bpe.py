@@ -133,3 +133,24 @@ def test_bpe_tokenize_scan_local(spark, corpus_df):
     out = bpe_tokenize(corpus_df, model)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_bpe_tokenize_matches_histogram_tokenization(spark):
+    """Train/inference pre-tokenization parity: a word containing
+    non-ASCII whitespace (NBSP) is ONE type in the histogram and must
+    be ONE word at tokenize time too (ASCII-\\s split on both sides;
+    str.split() would fragment it and strand the learned merges)."""
+    w = "foo\u00a0bar"  # NBSP inside the word — explicit escape
+    df = spark.createDataFrame(
+        [(0, f"{w} {w}"), (1, w)],
+        "doc_id int, text string",
+    )
+    hist = {r["word"]: r["freq"] for r in word_histogram(df).collect()}
+    assert hist == {w: 3}
+    model = bpe_train(df, num_merges=20, min_pair_freq=1)
+    out = {
+        r["doc_id"]: r["pieces"] for r in bpe_tokenize(df, model).collect()
+    }
+    # the frequent (seen) word merges all the way to a single piece
+    assert out[1] == [w + "</w>"]
+    assert out[0] == [w + "</w>", w + "</w>"]
