@@ -310,3 +310,59 @@ def test_streaming_coref_matches_batch(spark, tmp_path):
         pd.testing.assert_series_equal(
             got[c].reset_index(drop=True), want[c].reset_index(drop=True),
             check_dtype=False, check_names=False, obj=c)
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Streaming as-of join == batch asof_join when arrival order
+    respects event time per key: randomized tagged stream (5 keys,
+    globally unique timestamps) split MID-STREAM into two arrival
+    files, so the latest-right state must survive a micro-batch
+    boundary; strict and tolerance variants too."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from crfsuite_spark.operators.asof import asof_join
+    from crfsuite_spark.streaming.asof_state import streaming_asof
+
+    rng = random.Random(7)
+    t0 = datetime(2024, 1, 1)
+    secs = rng.sample(range(10_000), 300)  # unique event times
+    rows = []
+    for i, s in enumerate(secs):
+        side = 0 if i % 3 == 0 else 1  # every third row is a snapshot
+        rows.append((i, rng.randrange(5), t0 + timedelta(seconds=s),
+                     side, float(i) if side == 0 else None))
+    schema = "id long, key long, ts timestamp, side int, value double"
+    tagged = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "asof_in")
+    cut = t0 + timedelta(seconds=5000)
+    # arrival order respects event time: earlier-ts file lands first
+    tagged.where(F.col("ts") <= cut).coalesce(1).write.parquet(src)
+    tagged.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    for strict, tol, qname in [(False, None, "asof_s0"), (True, 120.0, "asof_s1")]:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (streaming_asof(stream, tolerance_s=tol, strict=strict)
+             .writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+             .start())
+        q.awaitTermination(180)
+        got = (spark.sql(f"select * from {qname}")
+               .orderBy("id").toPandas())
+
+        left = tagged.where(F.col("side") == 1).select("id", "key", "ts")
+        right = tagged.where(F.col("side") == 0).select("id", "key", "ts", "value")
+        want = (asof_join(left, right, ["key"], "ts", ["value"], "id",
+                          strict=strict, tolerance_s=tol)
+                .orderBy("id").toPandas())
+        assert len(got) == len(want) > 50
+        for c in ["id", "key", "ts", "asof_id", "asof_value", "asof_ts"]:
+            pd.testing.assert_series_equal(
+                got[c].reset_index(drop=True),
+                want[c].reset_index(drop=True),
+                check_dtype=False, check_names=False, obj=(c, strict))
