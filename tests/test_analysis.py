@@ -695,3 +695,18 @@ def test_token_budget_mix_null_domain_gets_default(spark):
     dropped = token_budget_mix(df, "doc_id", "domain", "text",
                                {"web": 100}, default_budget=0)
     assert {r["doc_id"] for r in dropped.collect()} == {2}
+
+
+def test_token_budget_mix_plan_shape(spark):
+    """Scale contract: the corpus side of token_budget_mix never
+    shuffles — the ONLY hash Exchange is the domain-counts aggregation
+    (token-mass groupBy), and the rate table joins back broadcast."""
+    import re
+
+    from crfsuite_spark.operators.sampling import token_budget_mix
+
+    df = _token_skewed_domains(spark)
+    out = token_budget_mix(df, "doc_id", "domain", "text", {"web": 500})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
