@@ -760,6 +760,32 @@ def q_tr_conv_stats(spark, sf):
     return conv_stats(spark.createDataFrame(data.transcripts))
 
 
+def q_tr_asof_tool(spark, sf):
+    """Conversation-domain as-of join: each assistant turn picks up the
+    latest at-or-before tool-bearing turn of the SAME conversation
+    (operators/asof.py over the transcript shape — 'what tool output
+    was on the table when the assistant spoke'). Oracle = DuckDB
+    native ASOF JOIN over the checked-in full-turn fixture."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.asof import asof_join
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    t = spark.createDataFrame(data.transcripts)
+    left = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts"
+    )
+    right = t.where(F.col("tool").isNotNull()).select(
+        "conv_id", F.col("turn_idx").alias("tool_turn"), "ts", "tool"
+    )
+    out = asof_join(left, right, ["conv_id"], "ts", ["tool"], "tool_turn")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("asof_tool_turn").alias("tool_turn"),
+        F.col("asof_tool").alias("tool"),
+    )
+
+
 def q_tr_chat_examples(spark, sf):
     """SFT training-example rendering: each conversation becomes one
     newline-joined '<|role|>text' string with character-offset
@@ -2326,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": q_ev_sessionize,
         "ev_run_groups": q_ev_run_groups,
         "tr_conv_stats": q_tr_conv_stats,
+        "tr_asof_tool": q_tr_asof_tool,
         "tr_chat_examples": q_tr_chat_examples,
         "tr_turn_transitions": q_tr_turn_transitions,
         "kg_coref_resolve": q_kg_coref_resolve,
@@ -4424,6 +4451,19 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                             THEN 1 ELSE 0 END AS changed
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
             GROUP BY 1, 2, 3
+        """,
+        "tr_asof_tool": f"""
+            WITH l AS (
+              SELECT conv_id, turn_idx, ts
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+              WHERE role = 'assistant'),
+            r AS (
+              SELECT conv_id, turn_idx AS tool_turn, ts, tool
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')
+              WHERE tool IS NOT NULL)
+            SELECT l.conv_id, l.turn_idx, r.tool_turn, r.tool
+            FROM l ASOF LEFT JOIN r
+              ON l.conv_id = r.conv_id AND l.ts >= r.ts
         """,
         "tr_conv_stats": f"""
             WITH t AS (
