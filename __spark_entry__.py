@@ -533,6 +533,45 @@ def q_ds_token_budget_mix(spark, sf):
     return out.select("doc_id", "lang")
 
 
+def q_ds_dsir_chunks(spark, sf):
+    """DSIR at the paper's actual granularity (Xie et al. 2023 score
+    fixed-length chunks, not whole documents — length bias vanishes
+    because every unit has ≈ the same gram count): context-window
+    chunking (40/8, same params as ds_chunk_documents) → DSIR
+    importance weights against the English-chunk target → Gumbel-top-k.
+    Pure composition of two oracled operators; the composed DuckDB
+    oracle replays chunking, fit, scoring, and the draw."""
+    from crfsuite_spark.operators.sampling import chunk_documents
+    from crfsuite_spark.operators.selection import dsir_select
+
+    d = _t(spark, sf, "documents")
+    chunks = (
+        chunk_documents(d, "doc_id", "text", window=40, overlap=8)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.concat_ws(
+                "#",
+                F.col("doc_id").cast("string"),
+                F.col("chunk_idx").cast("string"),
+            ).alias("chunk_id"),
+            "lang",
+            F.col("chunk_text").alias("text"),
+        )
+    )
+    target = chunks.where(F.col("lang") == "en").select("chunk_id", "text")
+    out = dsir_select(
+        chunks.select("chunk_id", "text"), target,
+        k=150, id_col="chunk_id", text_col="text",
+        n_buckets=512, seed=11, temperature=0.5,
+    )
+    return out.select(
+        "chunk_id",
+        F.round("logweight", 6).alias("logweight"),
+        "n_grams",
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )
+
+
 def q_ds_bpe_histogram(spark, sf):
     """BPE training input: the word histogram (min_freq=2) — the ONE
     corpus-wide job BPE vocabulary induction needs (operators/bpe.py);
@@ -2342,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_span_dedup": q_ds_span_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
         "ds_dsir_select": q_ds_dsir_select,
+        "ds_dsir_chunks": q_ds_dsir_chunks,
         "ds_token_budget_mix": q_ds_token_budget_mix,
         "ds_bpe_histogram": q_ds_bpe_histogram,
         "ds_bpe_pieces": q_ds_bpe_pieces,
@@ -2390,6 +2430,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_holdout_fold": q_sp_holdout_fold,
         "w2_ngram_trigram": q_w2_ngram_trigram,
     }
+
+
+
+def _dsir_oracle_sql(prelude, uid_alias, n_buckets, seed, temperature, k,
+                     min_grams=1, alpha=1.0):
+    """DuckDB replay of operators/selection.py over any source: the
+    caller's ``prelude`` is a WITH-clause fragment that must end in a
+    CTE ``dsrc(uid, is_target, text)`` (uid in its native type —
+    hashing casts to VARCHAR exactly like Spark's CAST(id AS STRING)).
+    Replays fit (bucket histograms, Laplace alpha), scan-local scoring,
+    and the deterministic Gumbel-top-k draw bit-for-bit."""
+    assert alpha == 1.0  # the Spark queries use the default
+    nb = int(n_buckets)
+    return f"""
+            WITH {prelude},
+            tok AS (
+              SELECT uid, is_target,
+                     list_filter(
+                       regexp_split_to_array(
+                         trim(lower(coalesce(text, ''))), '\\s+'),
+                       t -> t <> '') AS toks
+              FROM dsrc),
+            g AS (
+              SELECT uid, is_target,
+                     list_concat(
+                       toks,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(
+                                   range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE []::VARCHAR[] END) AS grams
+              FROM tok),
+            tcnt AS (
+              SELECT ('0x' || substr(md5(u.gr || ':{seed}'), 1, 8))::BIGINT % {nb} AS bucket,
+                     count(*) AS cnt
+              FROM (SELECT unnest(grams) AS gr FROM g WHERE is_target) u
+              GROUP BY 1),
+            rcnt AS (
+              SELECT ('0x' || substr(md5(u.gr || ':{seed}'), 1, 8))::BIGINT % {nb} AS bucket,
+                     count(*) AS cnt
+              FROM (SELECT unnest(grams) AS gr FROM g) u
+              GROUP BY 1),
+            dom AS (SELECT unnest(range(0, {nb})) AS bucket),
+            lr AS (
+              SELECT dom.bucket,
+                     (ln(coalesce(t.cnt, 0) + 1.0)
+                        - ln((SELECT coalesce(sum(cnt), 0) FROM tcnt) + {nb}.0))
+                   - (ln(coalesce(r.cnt, 0) + 1.0)
+                        - ln((SELECT coalesce(sum(cnt), 0) FROM rcnt) + {nb}.0)) AS v
+              FROM dom LEFT JOIN tcnt t ON t.bucket = dom.bucket
+                       LEFT JOIN rcnt r ON r.bucket = dom.bucket),
+            lrv AS (SELECT list(v ORDER BY bucket) AS arr FROM lr),
+            scored AS (
+              SELECT uid,
+                     CAST(len(grams) AS BIGINT) AS n_grams,
+                     coalesce(list_sum(list_transform(grams,
+                       x -> arr[
+                              CAST(('0x' || substr(md5(x || ':{seed}'), 1, 8))::BIGINT % {nb}
+                                   AS INTEGER) + 1])),
+                       0.0) AS logweight
+              FROM g CROSS JOIN lrv),
+            keyed AS (
+              SELECT uid, logweight, n_grams,
+                     logweight / {temperature}
+                       - ln(-ln(((('0x' || substr(md5(CAST(uid AS VARCHAR) || ':{seed + 1}'), 1, 8))::BIGINT
+                                   % 1000000) + 0.5) / 1000000.0)) AS gumbel_key
+              FROM scored
+              WHERE n_grams >= {int(min_grams)})
+            SELECT uid AS {uid_alias},
+                   round(logweight, 6) AS logweight,
+                   n_grams,
+                   round(gumbel_key, 6) AS gumbel_key
+            FROM keyed
+            ORDER BY gumbel_key DESC, uid ASC
+            LIMIT {int(k)}
+        """
 
 
 def _minhash_oracle_sql(n_hashes=32, bands=8, k=5, threshold=0.8, seed=42,
@@ -4282,68 +4398,32 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
         # Laplace alpha=1), scoring (per-doc sum of log ratios), and
         # the deterministic Gumbel-top-k draw — all on the portable
         # first-8-hex-of-md5 hash, identical to operators/selection.py.
-        "ds_dsir_select": r"""
-            WITH tok AS (
+        "ds_dsir_chunks": _dsir_oracle_sql(
+            prelude=r"""w AS (
               SELECT doc_id, lang,
-                     list_filter(
-                       regexp_split_to_array(
-                         trim(lower(coalesce(text, ''))), '\s+'),
-                       t -> t <> '') AS toks
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+                     END AS words
               FROM documents),
-            g AS (
-              SELECT doc_id, lang,
-                     list_concat(
-                       toks,
-                       CASE WHEN len(toks) >= 2
-                            THEN list_transform(
-                                   range(1, len(toks)),
-                                   i -> toks[i] || ' ' || toks[i + 1])
-                            ELSE []::VARCHAR[] END) AS grams
-              FROM tok),
-            tcnt AS (
-              SELECT ('0x' || substr(md5(u.gr || ':7'), 1, 8))::BIGINT % 512 AS bucket,
-                     count(*) AS cnt
-              FROM (SELECT unnest(grams) AS gr FROM g WHERE lang = 'en') u
-              GROUP BY 1),
-            rcnt AS (
-              SELECT ('0x' || substr(md5(u.gr || ':7'), 1, 8))::BIGINT % 512 AS bucket,
-                     count(*) AS cnt
-              FROM (SELECT unnest(grams) AS gr FROM g) u
-              GROUP BY 1),
-            dom AS (SELECT unnest(range(0, 512)) AS bucket),
-            lr AS (
-              SELECT dom.bucket,
-                     (ln(coalesce(t.cnt, 0) + 1.0)
-                        - ln((SELECT coalesce(sum(cnt), 0) FROM tcnt) + 512.0))
-                   - (ln(coalesce(r.cnt, 0) + 1.0)
-                        - ln((SELECT coalesce(sum(cnt), 0) FROM rcnt) + 512.0)) AS v
-              FROM dom LEFT JOIN tcnt t ON t.bucket = dom.bucket
-                       LEFT JOIN rcnt r ON r.bucket = dom.bucket),
-            lrv AS (SELECT list(v ORDER BY bucket) AS arr FROM lr),
-            scored AS (
-              SELECT doc_id,
-                     CAST(len(grams) AS BIGINT) AS n_grams,
-                     coalesce(list_sum(list_transform(grams,
-                       x -> arr[
-                              CAST(('0x' || substr(md5(x || ':7'), 1, 8))::BIGINT % 512
-                                   AS INTEGER) + 1])),
-                       0.0) AS logweight
-              FROM g CROSS JOIN lrv),
-            keyed AS (
-              SELECT doc_id, logweight, n_grams,
-                     logweight / 0.5
-                       - ln(-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':8'), 1, 8))::BIGINT
-                                   % 1000000) + 0.5) / 1000000.0)) AS gumbel_key
-              FROM scored
-              WHERE n_grams >= 1)
-            SELECT doc_id,
-                   round(logweight, 6) AS logweight,
-                   n_grams,
-                   round(gumbel_key, 6) AS gumbel_key
-            FROM keyed
-            ORDER BY gumbel_key DESC, doc_id ASC
-            LIMIT 100
-        """,
+            c AS (
+              SELECT doc_id, lang, words,
+                     CASE WHEN len(words) <= 0 THEN 0
+                          WHEN len(words) <= 40 THEN 1
+                          ELSE CAST(ceil((len(words) - 8) / 32.0) AS INTEGER)
+                     END AS n_chunks
+              FROM w),
+            e AS (SELECT doc_id, lang, words, unnest(range(0, n_chunks)) AS ci FROM c),
+            dsrc AS (
+              SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(ci AS VARCHAR) AS uid,
+                     lang = 'en' AS is_target,
+                     array_to_string(list_slice(words, ci * 32 + 1, ci * 32 + 40), ' ') AS text
+              FROM e)""",
+            uid_alias="chunk_id", n_buckets=512, seed=11, temperature=0.5, k=150,
+        ),
+        "ds_dsir_select": _dsir_oracle_sql(
+            prelude="dsrc AS (SELECT doc_id AS uid, lang = 'en' AS is_target, text FROM documents)",
+            uid_alias="doc_id", n_buckets=512, seed=7, temperature=0.5, k=100,
+        ),
         "ds_intra_doc_dedup": """
             WITH w AS (
               SELECT doc_id,
