@@ -503,9 +503,9 @@ def q_ds_dsir_select(spark, sf):
     from crfsuite_spark.operators.selection import dsir_select
 
     d = _t(spark, sf, "documents")
-    target = d.where(F.col("lang") == "en").select("doc_id", "text")
     out = dsir_select(
-        d.select("doc_id", "text"), target,
+        d.select("doc_id", "text", "lang"),
+        F.col("lang") == "en",  # predicate target: ONE-scan fit
         k=100, n_buckets=512, seed=7, temperature=0.5,
     )
     return out.select(
@@ -558,9 +558,8 @@ def q_ds_dsir_chunks(spark, sf):
             F.col("chunk_text").alias("text"),
         )
     )
-    target = chunks.where(F.col("lang") == "en").select("chunk_id", "text")
     out = dsir_select(
-        chunks.select("chunk_id", "text"), target,
+        chunks, F.col("lang") == "en",  # predicate target: ONE-scan fit
         k=150, id_col="chunk_id", text_col="text",
         n_buckets=512, seed=11, temperature=0.5,
     )

@@ -15,12 +15,13 @@ curation step between heuristic filtering and dedup.
 
 Scale shape (the whole point at 100 TB):
 
-- **Fit is two bucket-count jobs**, one per corpus: explode grams →
-  ``groupBy(bucket)`` over a FIXED domain of ``n_buckets`` keys —
-  partial aggregation collapses each task to ≤ n_buckets rows, so the
-  shuffle is O(tasks × n_buckets) regardless of corpus size, and the
-  driver collects exactly n_buckets longs per corpus (32 KB at the
-  default 4096).
+- **Fit is bucket-count jobs** — explode grams → ``groupBy(bucket)``
+  over a FIXED domain of ``n_buckets`` keys — partial aggregation
+  collapses each task to ≤ n_buckets rows, so the shuffle is
+  O(tasks × n_buckets) regardless of corpus size, and the driver
+  collects exactly n_buckets longs per corpus (32 KB at the default
+  4096). Two jobs when target is a separate frame; ONE when target is
+  a predicate over the pool (count vs count_if in the same scan).
 - **Scoring is scan-local — ZERO Exchange** (plan-asserted in
   tests/test_selection.py): the smoothed log-ratio vector is embedded as a
   literal double array (n_buckets ≤ 65536 guard) and each document
@@ -117,7 +118,7 @@ def hashed_gram_counts(
 
 
 def _fit_log_ratio(
-    target: DataFrame,
+    target: "DataFrame | Column",
     raw: DataFrame,
     text_col: str,
     n_buckets: int,
@@ -127,7 +128,12 @@ def _fit_log_ratio(
     """Collect both bucket histograms (n_buckets longs each) and return
     the Laplace-smoothed per-bucket log ratio
     log p_target[b] − log p_raw[b] as a plain list for literal
-    embedding."""
+    embedding.
+
+    ``target`` as a separate DataFrame costs two bucket-count jobs;
+    ``target`` as a boolean Column PREDICATE over ``raw`` (the common
+    'target is a labeled subset of the pool' case) fits BOTH
+    histograms in ONE scan — count(*) vs count_if(pred) per bucket."""
     if n_buckets > 65536:
         raise ValueError(
             "n_buckets > 65536 would bloat the embedded literal plan; "
@@ -135,11 +141,26 @@ def _fit_log_ratio(
         )
     ct = [0] * n_buckets
     cr = [0] * n_buckets
-    for counts, frame in ((ct, target), (cr, raw)):
-        for row in hashed_gram_counts(
-            frame, text_col, n_buckets, seed
-        ).collect():
-            counts[row["bucket"]] = row["cnt"]
+    if isinstance(target, Column):
+        flag = F.when(target, F.lit(1)).otherwise(F.lit(0))
+        hist = (
+            raw.select(flag.alias("__t"), _toks(text_col).alias("__toks"))
+            .select("__t", F.explode(_grams_of(F.col("__toks"))).alias("__g"))
+            .select(
+                "__t", _gram_bucket(F.col("__g"), n_buckets, seed).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cr"), F.sum("__t").alias("ct"))
+        )
+        for row in hist.collect():
+            cr[row["bucket"]] = row["cr"]
+            ct[row["bucket"]] = int(row["ct"])
+    else:
+        for counts, frame in ((ct, target), (cr, raw)):
+            for row in hashed_gram_counts(
+                frame, text_col, n_buckets, seed
+            ).collect():
+                counts[row["bucket"]] = row["cnt"]
     nt, nr = sum(ct), sum(cr)
     zt = math.log(nt + alpha * n_buckets)
     zr = math.log(nr + alpha * n_buckets)
@@ -151,7 +172,7 @@ def _fit_log_ratio(
 
 def dsir_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: "DataFrame | Column",
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 4096,
@@ -159,7 +180,10 @@ def dsir_weights(
     seed: int = 42,
 ) -> DataFrame:
     """Per-document DSIR log importance weight of every ``raw`` row
-    against the ``target`` distribution.
+    against the ``target`` distribution. ``target`` is either its own
+    DataFrame or a boolean Column predicate over ``raw`` (a labeled
+    subset of the pool) — the predicate form fits both histograms in
+    ONE corpus scan instead of two (see :func:`_fit_log_ratio`).
 
     Returns ``raw`` + (logweight, n_grams): ``logweight`` is the sum of
     per-gram smoothed log ratios (0.0 for gram-less documents, which
@@ -192,7 +216,7 @@ def dsir_weights(
 
 def dsir_select(
     raw: DataFrame,
-    target: DataFrame,
+    target: "DataFrame | Column",
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",

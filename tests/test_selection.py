@@ -141,3 +141,25 @@ def test_dsir_scoring_scan_local(spark, frames):
     out = dsir_weights(raw, tgt, n_buckets=64, seed=7)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_dsir_predicate_target_matches_frame_target(spark, frames):
+    """The one-scan predicate-target fit produces bit-identical weights
+    and selection to the two-frame fit when the predicate selects the
+    same rows (here: the animal-style docs double as the target)."""
+    from pyspark.sql import functions as F
+
+    raw, _ = frames
+    animal_ids = [0, 2, 4, 8]
+    tgt_frame = raw.where(F.col("doc_id").isin(animal_ids))
+    pred = F.col("doc_id").isin(animal_ids)
+    wa = {r["doc_id"]: r["logweight"]
+          for r in dsir_weights(raw, tgt_frame, n_buckets=256, seed=7).collect()}
+    wb = {r["doc_id"]: r["logweight"]
+          for r in dsir_weights(raw, pred, n_buckets=256, seed=7).collect()}
+    assert wa == wb
+    sa = {(r["doc_id"], r["gumbel_key"]) for r in
+          dsir_select(raw, tgt_frame, k=4, n_buckets=256, seed=7).collect()}
+    sb = {(r["doc_id"], r["gumbel_key"]) for r in
+          dsir_select(raw, pred, k=4, n_buckets=256, seed=7).collect()}
+    assert sa == sb
