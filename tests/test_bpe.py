@@ -154,3 +154,22 @@ def test_bpe_tokenize_matches_histogram_tokenization(spark):
     # the frequent (seen) word merges all the way to a single piece
     assert out[1] == [w + "</w>"]
     assert out[0] == [w + "</w>", w + "</w>"]
+
+
+def test_bpe_fuzz_against_reference(spark):
+    """Randomized parity: 3 seeded corpora of random short words (skewed
+    frequencies, so merge tie-breaks get exercised) — merge tables and
+    all segmentations must equal the independent reference."""
+    import random
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        words = ["".join(rng.choices("abcde", k=rng.randint(1, 7)))
+                 for _ in range(40)]
+        corpus = [
+            (i, " ".join(rng.choices(words, k=rng.randint(0, 12))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(corpus, "doc_id int, text string")
+        model = bpe_train(df, num_merges=25)
+        assert model.merges == _ref_train(corpus, 25), seed
