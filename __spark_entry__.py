@@ -571,6 +571,24 @@ def q_ds_dsir_chunks(spark, sf):
     )
 
 
+def q_ds_mixture_order(spark, sf):
+    """Deterministic proportional domain interleaving (WFQ virtual
+    finish times, operators/sampling.py:mixture_order): sorted by
+    mix_key, every stream prefix carries en/de/rest at 0.6/0.3/0.1 —
+    the read-order key a trainer consumes after mixing/packing. One
+    window Exchange; IEEE-exact keys, oracle replays bit-for-bit."""
+    from crfsuite_spark.operators.sampling import mixture_order
+
+    d = _t(spark, sf, "documents")
+    out = mixture_order(
+        d, "doc_id", "lang", {"en": 0.6, "de": 0.3}, default_weight=0.1
+    )
+    return out.select(
+        "doc_id", "lang", "mix_rank",
+        F.round("mix_key", 6).alias("mix_key"),
+    )
+
+
 def q_ds_bpe_histogram(spark, sf):
     """BPE training input: the word histogram (min_freq=2) — the ONE
     corpus-wide job BPE vocabulary induction needs (operators/bpe.py);
@@ -2382,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_dsir_select": q_ds_dsir_select,
         "ds_dsir_chunks": q_ds_dsir_chunks,
         "ds_token_budget_mix": q_ds_token_budget_mix,
+        "ds_mixture_order": q_ds_mixture_order,
         "ds_bpe_histogram": q_ds_bpe_histogram,
         "ds_bpe_pieces": q_ds_bpe_pieces,
         "ds_curate": q_ds_curate,
@@ -4355,6 +4374,22 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    CAST(b.nb AS BIGINT) AS n_blocks,
                    CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
             FROM b LEFT JOIN reb USING (doc_id)
+        """,
+        "ds_mixture_order": r"""
+            WITH ranked AS (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+                                  % 1000000 ASC,
+                                doc_id ASC) AS BIGINT) - 1 AS mix_rank,
+                     CASE WHEN lang = 'en' THEN 0.6
+                          WHEN lang = 'de' THEN 0.3
+                          ELSE 0.1 END AS w
+              FROM documents)
+            SELECT doc_id, lang, mix_rank,
+                   round((mix_rank + 1) / w, 6) AS mix_key
+            FROM ranked
         """,
         # token-budget mixing: one IEEE division per domain, floor(r*1e6)
         # threshold on the portable md5 hash — bit-identical replay

@@ -210,6 +210,58 @@ def token_budget_mix(
     return out.drop("__dom", "__thresh")
 
 
+def mixture_order(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic proportional interleaving of domains — the
+    "read the mixed corpus in THIS order" key a training loader needs
+    so every prefix of the stream carries the target domain mixture
+    (reading domain-by-domain would train on one domain for hours).
+
+    Weighted-fair-queuing virtual finish times: within each domain,
+    rows get rank 0,1,2,… in portable-hash order (a deterministic
+    per-domain shuffle), and row i of domain d gets
+    ``mix_key = (i + 1) / w_d`` — sorting by ``mix_key`` emits domains
+    at rates ∝ w_d from the very first rows (the classic WFQ
+    interleave). Domains absent from ``weights`` get
+    ``default_weight``; non-positive weight drops the domain.
+
+    Shape: ONE hash Exchange (the per-domain row_number window — same
+    key the downstream consumer would partition on); the key itself is
+    one IEEE division, so the order replays bit-identically in the
+    DuckDB oracle. Emits ``mix_rank`` and ``mix_key`` — the caller
+    sorts or range-partitions by ``mix_key`` (a global sort is the
+    consumer's choice, not imposed here).
+
+    Skew note: the window sorts WITHIN each domain partition; at 100 TB
+    a single giant domain makes that one partition's sort big but
+    spillable (ORDER BY inside a window spills to disk); if the rank
+    only needs to be approximate, shard the domain by hash prefix and
+    rescale ranks — not done here because exact replay is the
+    contract."""
+    w_expr = F.lit(float(default_weight))
+    for k, v in weights.items():
+        w_expr = F.when(F.col(domain_col) == k, F.lit(float(v))).otherwise(w_expr)
+    win = Window.partitionBy(domain_col).orderBy(
+        _portable_hash_expr(id_col, _SCALE, seed).asc(), F.col(id_col).asc()
+    )
+    out = (
+        df.withColumn("__w", w_expr)
+        .where(F.col("__w") > 0)
+        .withColumn("mix_rank", F.row_number().over(win).cast("bigint") - 1)
+        .withColumn(
+            "mix_key",
+            (F.col("mix_rank") + F.lit(1)).cast("double") / F.col("__w"),
+        )
+    )
+    return out.drop("__w")
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str = "doc_id",

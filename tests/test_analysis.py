@@ -710,3 +710,36 @@ def test_token_budget_mix_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_mixture_order_interleaves_proportionally(spark):
+    """WFQ virtual-finish-time ordering: every prefix of the mix_key
+    order carries ≈ the target domain rates; ranks are a deterministic
+    per-domain permutation; zero/absent weights drop domains; stable
+    under repartitioning."""
+    from crfsuite_spark.operators.sampling import mixture_order
+
+    df = _skewed_domains(spark)  # 1600 web / 400 books / 100 code
+    out = mixture_order(df, "doc_id", "domain",
+                        {"web": 0.6, "books": 0.3, "code": 0.1})
+    rows = out.orderBy("mix_key", "doc_id").collect()
+    # the first 200 emitted rows ≈ 120 web / 60 books / 20 code
+    head = [r["domain"] for r in rows[:200]]
+    assert abs(head.count("web") - 120) <= 2
+    assert abs(head.count("books") - 60) <= 2
+    assert abs(head.count("code") - 20) <= 2
+    # per-domain ranks are 0..n-1 exactly once
+    web_ranks = sorted(r["mix_rank"] for r in rows if r["domain"] == "web")
+    assert web_ranks == list(range(1600))
+    # code exhausts early (100 rows at rate .1 → all emitted by key 1000)
+    assert max(r["mix_key"] for r in rows if r["domain"] == "code") == 1000.0
+    # dropped domain
+    only = mixture_order(df, "doc_id", "domain", {"web": 1.0})
+    assert only.where(F.col("domain") != "web").count() == 0
+    # determinism across partitionings
+    a = [(r["doc_id"], r["mix_key"]) for r in rows]
+    b = [(r["doc_id"], r["mix_key"]) for r in
+         mixture_order(df.repartition(13), "doc_id", "domain",
+                       {"web": 0.6, "books": 0.3, "code": 0.1})
+         .orderBy("mix_key", "doc_id").collect()]
+    assert a == b
