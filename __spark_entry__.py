@@ -571,6 +571,19 @@ def q_ds_dsir_chunks(spark, sf):
     )
 
 
+def q_ds_doc_split(spark, sf):
+    """Deterministic 80/10/10 document split (operators/sampling.py:
+    assign_splits): scan-local portable-hash bucketing, zero Exchange —
+    the doc-level sibling of the FB15k-protocol kg_train_split."""
+    from crfsuite_spark.operators.sampling import assign_splits
+
+    d = _t(spark, sf, "documents")
+    out = assign_splits(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+    return out.select("doc_id", "split")
+
+
 def q_ds_mixture_order(spark, sf):
     """Deterministic proportional domain interleaving (WFQ virtual
     finish times, operators/sampling.py:mixture_order): sorted by
@@ -2401,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_dsir_chunks": q_ds_dsir_chunks,
         "ds_token_budget_mix": q_ds_token_budget_mix,
         "ds_mixture_order": q_ds_mixture_order,
+        "ds_doc_split": q_ds_doc_split,
         "ds_bpe_histogram": q_ds_bpe_histogram,
         "ds_bpe_pieces": q_ds_bpe_pieces,
         "ds_curate": q_ds_curate,
@@ -4374,6 +4388,16 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    CAST(b.nb AS BIGINT) AS n_blocks,
                    CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
             FROM b LEFT JOIN reb USING (doc_id)
+        """,
+        "ds_doc_split": """
+            SELECT doc_id,
+                   CASE WHEN h < 800000 THEN 'train'
+                        WHEN h < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+                           % 1000000 AS h
+                  FROM documents)
         """,
         "ds_mixture_order": r"""
             WITH ranked AS (

@@ -210,6 +210,37 @@ def token_budget_mix(
     return out.drop("__dom", "__thresh")
 
 
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test (or arbitrary) split assignment:
+    ``split`` = the first bucket whose cumulative threshold exceeds the
+    row's portable hash — scan-local (zero Exchange), retry/AQE-stable,
+    engine-replayable, and CONSISTENT with :func:`hash_sample` (a 10%
+    hash sample of the corpus intersects each split at the split's own
+    rate, because both key on the same hash idiom but different seeds
+    keep them independent). Doc-level sibling of the triple-level
+    FB15k-protocol `kg/splits.py:split_triples`. ``fractions`` must sum
+    to 1 (±1e-9); insertion order defines bucket boundaries."""
+    tot = sum(fractions.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {tot}")
+    h = _portable_hash_expr(id_col, _SCALE, seed)
+    cum = 0.0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < int(round(cum * _SCALE))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
 def mixture_order(
     df: DataFrame,
     id_col: str,

@@ -743,3 +743,29 @@ def test_mixture_order_interleaves_proportionally(spark):
                        {"web": 0.6, "books": 0.3, "code": 0.1})
          .orderBy("mix_key", "doc_id").collect()]
     assert a == b
+
+
+def test_assign_splits(spark):
+    """Split assignment: full partition (every row exactly one split),
+    realized sizes within hash noise, deterministic under
+    repartitioning, disjointness by construction, bad fractions raise."""
+    from crfsuite_spark.operators.sampling import assign_splits
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    out = assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r["split"]: r["count"]
+           for r in out.groupBy("split").count().collect()}
+    assert sum(got.values()) == 3000
+    assert abs(got["train"] - 2400) < 90
+    assert abs(got["val"] - 300) < 60
+    assert abs(got["test"] - 300) < 60
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["split"]) for r in
+               assign_splits(df.repartition(11), "doc_id",
+                             {"train": 0.8, "val": 0.1, "test": 0.1}).collect())
+    assert a == b
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1})
