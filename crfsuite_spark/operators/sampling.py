@@ -228,6 +228,11 @@ def assign_splits(
     tot = sum(fractions.values())
     if abs(tot - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {tot}")
+    bad = {k: v for k, v in fractions.items() if not 0.0 < v <= 1.0}
+    if bad:
+        # negative fractions can still sum to 1 and would silently
+        # corrupt the cumulative bucket boundaries
+        raise ValueError(f"every fraction must be in (0, 1], got {bad}")
     h = _portable_hash_expr(id_col, _SCALE, seed)
     cum = 0.0
     expr = None

@@ -103,17 +103,29 @@ def hashed_gram_counts(
     text_col: str = "text",
     n_buckets: int = 4096,
     seed: int = 42,
+    flag: Column | None = None,
 ) -> DataFrame:
     """Corpus-level hashed-gram bucket histogram: (bucket, cnt), one
     row per OCCUPIED bucket (≤ n_buckets rows total — the fixed-domain
     key is what keeps the fit shuffle O(tasks × n_buckets) at any
-    corpus size)."""
+    corpus size). With ``flag`` (a boolean Column over ``df``), each
+    bucket also carries ``cnt_flagged`` = grams from flagged rows —
+    two histograms from ONE scan (the predicate-target fit)."""
+    pre = [_toks(text_col).alias("__toks")]
+    aggs = [F.count("*").alias("cnt")]
+    keep = []
+    if flag is not None:
+        pre.append(F.when(flag, F.lit(1)).otherwise(F.lit(0)).alias("__t"))
+        aggs.append(F.sum("__t").alias("cnt_flagged"))
+        keep = ["__t"]
     return (
-        df.select(_toks(text_col).alias("__toks"))
-        .select(F.explode(_grams_of(F.col("__toks"))).alias("__g"))
-        .select(_gram_bucket(F.col("__g"), n_buckets, seed).alias("bucket"))
+        df.select(*pre)
+        .select(*keep, F.explode(_grams_of(F.col("__toks"))).alias("__g"))
+        .select(
+            *keep, _gram_bucket(F.col("__g"), n_buckets, seed).alias("bucket")
+        )
         .groupBy("bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(*aggs)
     )
 
 
@@ -142,19 +154,10 @@ def _fit_log_ratio(
     ct = [0] * n_buckets
     cr = [0] * n_buckets
     if isinstance(target, Column):
-        flag = F.when(target, F.lit(1)).otherwise(F.lit(0))
-        hist = (
-            raw.select(flag.alias("__t"), _toks(text_col).alias("__toks"))
-            .select("__t", F.explode(_grams_of(F.col("__toks"))).alias("__g"))
-            .select(
-                "__t", _gram_bucket(F.col("__g"), n_buckets, seed).alias("bucket")
-            )
-            .groupBy("bucket")
-            .agg(F.count("*").alias("cr"), F.sum("__t").alias("ct"))
-        )
+        hist = hashed_gram_counts(raw, text_col, n_buckets, seed, flag=target)
         for row in hist.collect():
-            cr[row["bucket"]] = row["cr"]
-            ct[row["bucket"]] = int(row["ct"])
+            cr[row["bucket"]] = row["cnt"]
+            ct[row["bucket"]] = int(row["cnt_flagged"])
     else:
         for counts, frame in ((ct, target), (cr, raw)):
             for row in hashed_gram_counts(

@@ -769,3 +769,15 @@ def test_assign_splits(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1})
+
+
+def test_assign_splits_rejects_out_of_range_fractions(spark):
+    """Fractions summing to 1 but individually out of (0,1] must raise
+    (negative values silently corrupt cumulative bucket boundaries)."""
+    import pytest as _pytest
+
+    from crfsuite_spark.operators.sampling import assign_splits
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match=r"\(0, 1\]"):
+        assign_splits(df, "doc_id", {"a": 1.1, "b": -0.1})

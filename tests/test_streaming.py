@@ -328,22 +328,26 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
 
     rng = random.Random(7)
     t0 = datetime(2024, 1, 1)
-    secs = rng.sample(range(10_000), 300)  # unique event times
+    # small ts range → plenty of equal-ts collisions (left==right ts and
+    # right-right ties), the cases that distinguish strict/non-strict
+    # and exercise the two-deep right state
     rows = []
-    for i, s in enumerate(secs):
+    for i in range(300):
         side = 0 if i % 3 == 0 else 1  # every third row is a snapshot
-        rows.append((i, rng.randrange(5), t0 + timedelta(seconds=s),
+        rows.append((i, rng.randrange(5),
+                     t0 + timedelta(seconds=rng.randrange(600)),
                      side, float(i) if side == 0 else None))
     schema = "id long, key long, ts timestamp, side int, value double"
     tagged = spark.createDataFrame(rows, schema)
 
     src = str(tmp_path / "asof_in")
-    cut = t0 + timedelta(seconds=5000)
+    cut = t0 + timedelta(seconds=300)
     # arrival order respects event time: earlier-ts file lands first
     tagged.where(F.col("ts") <= cut).coalesce(1).write.parquet(src)
     tagged.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
 
-    for strict, tol, qname in [(False, None, "asof_s0"), (True, 120.0, "asof_s1")]:
+    for strict, tol, qname in [(False, None, "asof_s0"), (True, None, "asof_s2"),
+                               (True, 120.0, "asof_s1")]:
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
         q = (streaming_asof(stream, tolerance_s=tol, strict=strict)
