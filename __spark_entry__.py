@@ -481,6 +481,19 @@ def q_ds_span_dedup(spark, sf):
     return span_dedup(d, "doc_id", "text", block_tokens=10)
 
 
+def q_ds_substr_dedup(spark, sf):
+    """Corpus-wide exact SUBSTRING dedup at arbitrary alignment
+    (ExactSubstr family, Lee et al. 2022; stride-1 8-token windows):
+    a token is cut iff covered by a window whose exact text occurs at
+    an earlier corpus (doc, pos); each duplicated region survives only
+    at its canonical occurrence. Narrow (id, pos, md5) triples are the
+    only shuffled bytes — document text never leaves the map side."""
+    from crfsuite_spark.operators.dedup import substr_dedup
+
+    d = _t(spark, sf, "documents")
+    return substr_dedup(d, "doc_id", "text", window_tokens=8)
+
+
 def q_ds_intra_doc_dedup(spark, sf):
     """WITHIN-document repeated-span removal (RefinedWeb-style, fixed
     5-token blocks): later repeats of a block inside the same document
@@ -2409,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_bigram_nll": q_ta_bigram_nll,
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
+        "ds_substr_dedup": q_ds_substr_dedup,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
         "ds_dsir_select": q_ds_dsir_select,
         "ds_dsir_chunks": q_ds_dsir_chunks,
@@ -4388,6 +4402,51 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    CAST(b.nb AS BIGINT) AS n_blocks,
                    CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
             FROM b LEFT JOIN reb USING (doc_id)
+        """,
+        # ExactSubstr-style stride-1 window dedup: same canonical-
+        # occurrence contract as the Spark operator; the correlated
+        # NOT EXISTS is the oracle-side mirror of the per-token
+        # covered-by-removed-window HOF
+        "ds_substr_dedup": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS words,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+                     END AS nw
+              FROM documents),
+            win AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                     array_to_string(list_slice(words, i + 1, i + 8), ' ') AS wtext
+              FROM (SELECT doc_id, words,
+                           unnest(range(0, greatest(nw - 8 + 1, 0))) AS i
+                    FROM w)),
+            marked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY wtext ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY wtext) AS cnt
+              FROM win),
+            rem AS (SELECT doc_id, pos FROM marked WHERE cnt > 1 AND rn > 1),
+            tok AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS idx, words[CAST(i + 1 AS INTEGER)] AS word
+              FROM (SELECT doc_id, words, unnest(range(0, nw)) AS i FROM w)),
+            kept AS (
+              SELECT t.doc_id, t.idx, t.word
+              FROM tok t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM rem r
+                WHERE r.doc_id = t.doc_id
+                  AND r.pos <= t.idx AND t.idx < r.pos + 8)),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(word, ' ' ORDER BY idx) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT w.doc_id,
+                   coalesce(reb.text, '') AS text,
+                   CAST(w.nw AS BIGINT) AS n_tokens,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+            FROM w LEFT JOIN reb USING (doc_id)
         """,
         "ds_doc_split": """
             SELECT doc_id,

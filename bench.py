@@ -315,6 +315,11 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
 
         em.q_ds_intra_doc_dedup(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def substr_dedup():
+        import __spark_entry__ as em
+
+        em.q_ds_substr_dedup(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     def dsir_select():
         import __spark_entry__ as em
 
@@ -385,6 +390,7 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     timed("ds_decontaminate", decontaminate)
     timed("ds_span_dedup", span_dedup)
     timed("ds_intra_doc_dedup", intra_doc)
+    timed("ds_substr_dedup", substr_dedup)
     timed("ds_dsir_select", dsir_select)
     timed("ta_unigram_nll", unigram)
     timed("sim_cluster_assign", cluster_assign)

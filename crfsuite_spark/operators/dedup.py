@@ -323,6 +323,106 @@ def span_dedup(
     )
 
 
+def substr_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact SUBSTRING dedup at ARBITRARY alignment (the
+    ExactSubstr family — Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every ``window_tokens``-word window
+    of every document (stride 1) is hashed; a token is cut iff some
+    window covering it has the exact text of a window at an earlier
+    corpus position — so each duplicated region ≥ ``window_tokens``
+    words survives only at its canonical (minimal (id, pos))
+    occurrence, even when the copy sits mid-document at an alignment
+    the fixed-block :func:`span_dedup` cannot see. Duplicates shorter
+    than ``window_tokens`` words are kept by definition (the paper's
+    length threshold). Returns one row per input document:
+    (``*id``, text, n_tokens, n_kept).
+
+    Scale shape: Lee et al. build a single-node suffix array; the
+    distributed analogue is this rolling-window hash join. The
+    stride-1 explode is |corpus tokens| rows of narrow (id, pos,
+    32-char md5) triples — window TEXT never leaves the map side, and
+    document text never shuffles at all. Canonical selection is one
+    map-side-combined groupBy on the uniform hash key (count +
+    ``min_by``, no window sort); the winner join re-shuffles the same
+    narrow triples on the same key and keeps only duplicated,
+    non-canonical windows (near-dup-scale, not corpus-scale, from
+    there on); the removal sets group on the id. Per-doc token
+    filtering is a Column HOF over the scan, O(n_tokens ×
+    removed_windows) compares bounded by document length. The md5 key
+    is 128-bit because at 10^12 windows a 64-bit key is past its
+    birthday bound; the hex string also replays bit-identically in the
+    DuckDB oracle."""
+    k = int(window_tokens)
+    if k < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(c), r"\s+")
+    nw = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(words))
+    base = df.select(
+        id_col, words.alias("__words"), nw.cast("int").alias("__nw")
+    )
+    n_win = F.col("__nw") - F.lit(k) + 1
+    win_arr = F.when(n_win <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.array_join(F.slice(F.col("__words"), i + 1, k), " "),
+        )
+    )
+    windows = base.select(
+        id_col, F.posexplode(win_arr).alias("__pos", "__wtext")
+    ).select(id_col, "__pos", F.md5(F.col("__wtext")).alias("__key"))
+    winners = windows.groupBy("__key").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min_by(
+            F.struct(F.col(id_col).alias("id"), F.col("__pos").alias("pos")),
+            F.struct(F.col(id_col).alias("id"), F.col("__pos").alias("pos")),
+        ).alias("__w"),
+    )
+    removed = (
+        windows.join(winners.where(F.col("__cnt") > 1), "__key")
+        .where(
+            (F.col("__w.id") != F.col(id_col))
+            | (F.col("__w.pos") != F.col("__pos"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__rem"))
+    )
+    # stage __kept ONCE as a named column before fanning out to
+    # array_join/size (same Spark 4.1 duplicated-lambda-tree hazard as
+    # intra_doc_span_dedup above)
+    staged = (
+        base.join(removed, id_col, "left")
+        .withColumn(
+            "__rem", F.coalesce(F.col("__rem"), F.array().cast("array<int>"))
+        )
+        .withColumn(
+            "__kept",
+            F.when(
+                F.col("__nw") <= 0, F.array().cast("array<string>")
+            ).otherwise(
+                F.filter(
+                    F.col("__words"),
+                    lambda w, i: ~F.exists(
+                        F.col("__rem"),
+                        lambda p: (p <= i) & (i < p + F.lit(k)),
+                    ),
+                )
+            ),
+        )
+    )
+    return staged.select(
+        id_col,
+        F.array_join(F.col("__kept"), " ").alias(text_col),
+        F.col("__nw").cast("bigint").alias("n_tokens"),
+        F.size("__kept").cast("bigint").alias("n_kept"),
+    )
+
+
 def intra_doc_span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -406,6 +406,64 @@ def test_span_dedup_canonical_occurrence(spark):
     assert out[5] == ("", 0, 0)
 
 
+def test_substr_dedup_arbitrary_alignment(spark):
+    """ExactSubstr-style stride-1 dedup: a duplicated region is cut at
+    every non-canonical occurrence regardless of its alignment inside
+    the document (the case fixed-block span_dedup misses), including
+    in-document repeats when the canonical copy lives elsewhere; spans
+    shorter than the window survive; empty/NULL docs pass through. The
+    canonical-selection agg is map-side combined (partial aggregation,
+    no Window sort anywhere in the plan)."""
+    from crfsuite_spark.operators.dedup import substr_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c q w e r t y d e"),        # canonical: untouched
+            (2, "x q w e r t y z"),              # copy at offset 1
+            (3, "q w e r t y m n q w e r t y"),  # both copies cut
+            (4, "q w e r t"),                    # below window: kept
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = substr_dedup(docs, window_tokens=6)
+    out = {r.doc_id: (r.text, r.n_tokens, r.n_kept) for r in got.collect()}
+    assert out[1] == ("a b c q w e r t y d e", 11, 11)
+    assert out[2] == ("x z", 8, 2)
+    assert out[3] == ("m n", 14, 2)
+    assert out[4] == ("q w e r t", 5, 5)
+    assert out[5] == ("", 0, 0) and out[6] == ("", 0, 0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan or "partial" in plan.lower(), plan
+
+
+def test_substr_dedup_overlapping_regions(spark):
+    """Two duplicated windows overlapping in one doc: the union of
+    their covers is removed, not double-removed; window_tokens < 1
+    rejected."""
+    import pytest as _pytest
+
+    from crfsuite_spark.operators.dedup import substr_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u v w"),   # canonical for both windows
+            (2, "p q r s t u v w z"), # windows at 0 and 1 both dup
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_tokens, r.n_kept)
+        for r in substr_dedup(docs, window_tokens=7).collect()
+    }
+    assert out[1] == ("p q r s t u v w", 8, 8)
+    assert out[2] == ("z", 9, 1)
+    with _pytest.raises(ValueError):
+        substr_dedup(docs, window_tokens=0)
+
+
 def test_intra_doc_span_dedup(spark):
     """Within-document span dedup: later repeats of a block are cut,
     first occurrence wins; documents are independent (a block repeated
