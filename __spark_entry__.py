@@ -481,6 +481,37 @@ def q_ds_span_dedup(spark, sf):
     return span_dedup(d, "doc_id", "text", block_tokens=10)
 
 
+def q_ds_dedup_against(spark, sf):
+    """Cross-corpus EXACT dedup (incremental re-crawl: ref = every 7th
+    document as 'yesterday's corpus', new = the full crawl): new rows
+    whose text already exists in ref are dropped. Both sides reduce to
+    md5 digests before the anti-join shuffle; text never moves."""
+    from crfsuite_spark.operators.dedup import dedup_against
+
+    d = _t(spark, sf, "documents")
+    ref = d.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    return dedup_against(d, ref, "doc_id", "text")
+
+
+def q_ds_neardup_against(spark, sf):
+    """Cross-corpus NEAR dedup (disjoint crawl increments: ref = every
+    7th document, new = the rest): a new document with char-5-shingle
+    Jaccard ≥ 0.8 against ANY ref document is dropped. Portable md5
+    shingle hash so the DuckDB oracle replays signatures, banding,
+    estimate screen and verify bit-for-bit; neither side broadcast."""
+    from crfsuite_spark.operators.dedup import dedup_against
+
+    d = _t(spark, sf, "documents")
+    ref = d.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    new = d.where(F.pmod(F.col("doc_id"), F.lit(7)) != 0)
+    return dedup_against(
+        new, ref, "doc_id", "text", near=True, n_hashes=32, bands=8,
+        shingle_size=5, jaccard_threshold=0.8,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        hash_fn="md5_32",
+    )
+
+
 def q_ds_substr_dedup(spark, sf):
     """Corpus-wide exact SUBSTRING dedup at arbitrary alignment
     (ExactSubstr family, Lee et al. 2022; stride-1 8-token windows):
@@ -2423,6 +2454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
         "ds_substr_dedup": q_ds_substr_dedup,
+        "ds_dedup_against": q_ds_dedup_against,
+        "ds_neardup_against": q_ds_neardup_against,
         "ds_intra_doc_dedup": q_ds_intra_doc_dedup,
         "ds_dsir_select": q_ds_dsir_select,
         "ds_dsir_chunks": q_ds_dsir_chunks,
@@ -4402,6 +4435,29 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    CAST(b.nb AS BIGINT) AS n_blocks,
                    CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
             FROM b LEFT JOIN reb USING (doc_id)
+        """,
+        # cross-corpus exact dedup: md5-equality anti-join semantics
+        "ds_dedup_against": """
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents r
+              WHERE r.doc_id % 7 = 0 AND md5(r.text) = md5(d.text))
+        """,
+        # cross-corpus near dedup: the bit-exact self-pairs minhash
+        # chain over the union, restricted to cross-side (new, ref)
+        # pairs — identical per-row signatures make this equal to the
+        # two-table chain the Spark operator runs
+        "ds_neardup_against": f"""
+            WITH {_minhash_pair_ctes()},
+            matched AS (
+              SELECT CASE WHEN id_a % 7 = 0 THEN id_b ELSE id_a END AS doc_id
+              FROM v
+              WHERE j >= 0.8 AND ((id_a % 7 = 0) <> (id_b % 7 = 0)))
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id % 7 <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM matched)
         """,
         # ExactSubstr-style stride-1 window dedup: same canonical-
         # occurrence contract as the Spark operator; the correlated

@@ -323,6 +323,63 @@ def span_dedup(
     )
 
 
+def dedup_against(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near: bool = False,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    hash_fn: str = "xxhash64",
+    estimate_margin: float | None = 0.25,
+) -> DataFrame:
+    """Cross-corpus dedup — the incremental-crawl primitive: drop rows
+    of ``new`` whose text already exists in ``ref`` (yesterday's
+    corpus / an upstream shard), returning the surviving ``new`` rows
+    with all their columns.
+
+    ``near=False`` (exact): anti-join on md5(text) — both sides reduce
+    to narrow digests before the shuffle, ref digests are
+    map-side-combined distinct, text never crosses the wire. A
+    NULL-text new row is always kept (SQL equality semantics).
+    ``near=True``: a new row is dropped when ANY ref row's char-shingle
+    Jaccard ≥ threshold (via :func:`minhash_pairs_against` — LSH
+    blocking + signature screen + exact verify; subsumes exact matches
+    of ≥ shingle-length texts since identical text has Jaccard 1).
+    Neither side is broadcast — both corpora may be large."""
+    if near:
+        from crfsuite_spark.operators.minhash import minhash_pairs_against
+
+        pairs = minhash_pairs_against(
+            new, ref, id_col, text_col, n_hashes, bands, shingle_size,
+            jaccard_threshold, seed, num_partitions, hash_fn,
+            estimate_margin=estimate_margin,
+        )
+        matched = pairs.select(F.col("id_new").alias(id_col)).distinct()
+        out = new.join(matched, id_col, "left_anti")
+        out.pinned_caches = pairs.pinned_caches
+        return out
+    ref_keys = (
+        ref.select(F.md5(F.col(text_col)).alias("__ref_digest"))
+        .where(F.col("__ref_digest").isNotNull())
+        .distinct()
+    )
+    return (
+        new.withColumn("__digest", F.md5(F.col(text_col)))
+        .join(
+            ref_keys,
+            F.col("__digest") == F.col("__ref_digest"),
+            "left_anti",
+        )
+        .drop("__digest")
+    )
+
+
 def substr_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -304,6 +304,90 @@ def minhash_join(
     return out
 
 
+def minhash_pairs_against(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    hash_fn: str = "xxhash64",
+    impl: str = "auto",
+    estimate_margin: float | None = 0.25,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs: (id_new, id_ref, jaccard)
+    with Jaccard ≥ threshold, LSH-blocked between TWO tables — the
+    incremental-crawl primitive (``ref`` = yesterday's corpus, ``new``
+    = today's crawl). Same two-stage verify as
+    :func:`minhash_self_pairs` (band-bucket candidates → signature-
+    estimate screen → exact shingle Jaccard), same sort-merge pinning
+    for the array-carrying joins, and the same per-row determinism: a
+    document's signature does not depend on which table it sits in, so
+    results equal the self-pairs chain over the union restricted to
+    cross-side pairs. Neither corpus is assumed small — nothing is
+    broadcast (for a dictionary-sized right side use
+    :func:`minhash_join` instead)."""
+    import math
+
+    sig_n = minhash_signature(
+        new, id_col, text_col, n_hashes, shingle_size, seed,
+        num_partitions=num_partitions, hash_fn=hash_fn, impl=impl,
+    ).persist()
+    sig_r = minhash_signature(
+        ref, id_col, text_col, n_hashes, shingle_size, seed,
+        num_partitions=num_partitions, hash_fn=hash_fn, impl=impl,
+    ).persist()
+    bn = lsh_band_buckets(sig_n, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("id_new"), "band", "bucket"
+    )
+    br = lsh_band_buckets(sig_r, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("id_ref"), "band", "bucket"
+    )
+    cand = (
+        bn.hint("merge").join(br, ["band", "bucket"])
+        .select("id_new", "id_ref")
+        .distinct()
+    )
+    if estimate_margin is not None:
+        min_eq = max(
+            0, math.ceil((jaccard_threshold - estimate_margin) * n_hashes - 1e-9)
+        )
+        if min_eq > 0:
+            mv_n = sig_n.select(
+                F.col(id_col).alias("id_new"),
+                F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("__mv_a"),
+            )
+            mv_r = sig_r.select(
+                F.col(id_col).alias("id_ref"),
+                F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("__mv_b"),
+            )
+            n_eq = F.expr(
+                "size(filter(zip_with(__mv_a, __mv_b, (x, y) -> x = y), v -> v))"
+            )
+            cand = (
+                cand.hint("merge").join(mv_n, "id_new")
+                .hint("merge").join(mv_r, "id_ref")
+                .where(n_eq >= F.lit(min_eq))
+                .select("id_new", "id_ref")
+            )
+    out = (
+        cand.hint("merge")
+        .join(sig_n.select(F.col(id_col).alias("id_new"), F.col("__hs").alias("__sh_a")), "id_new")
+        .hint("merge")
+        .join(sig_r.select(F.col(id_col).alias("id_ref"), F.col("__hs").alias("__sh_b")), "id_ref")
+        .withColumn("jaccard", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_new", "id_ref", "jaccard")
+    )
+    # cache-lifetime contract: see minhash_self_pairs
+    out.pinned_caches = [sig_n, sig_r]
+    return out
+
+
 def minhash_self_pairs(
     df: DataFrame,
     id_col: str,

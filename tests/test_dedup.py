@@ -406,6 +406,91 @@ def test_span_dedup_canonical_occurrence(spark):
     assert out[5] == ("", 0, 0)
 
 
+def test_dedup_against_exact(spark):
+    """Cross-corpus exact dedup: new rows whose text exists in ref are
+    dropped; NULL-text new rows always survive (SQL equality); ref
+    duplicates don't multiply output rows."""
+    from crfsuite_spark.operators.dedup import dedup_against
+
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "unique text here"),
+         (3, None), (4, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "the quick brown fox"),
+         (102, "other ref text")],
+        "doc_id long, text string",
+    )
+    out = dedup_against(new, ref)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [2, 3]
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_dedup_against_near(spark):
+    """Cross-corpus near dedup: a new doc with Jaccard >= threshold
+    against ANY ref doc is dropped (incl. exact copies); sub-threshold
+    and unique docs survive with all columns."""
+    from crfsuite_spark.operators.dedup import dedup_against
+
+    base = ("spark is a unified analytics engine for large scale data "
+            "processing with high level apis in several languages")
+    near = base.replace("unified", "popular")  # small edit: J >= 0.8
+    new = spark.createDataFrame(
+        [(1, base, "en"), (2, near, "en"),
+         (3, "completely different short text", "en")],
+        "doc_id long, text string, lang string",
+    )
+    ref = spark.createDataFrame(
+        [(100, base, "en"), (101, "an unrelated reference document", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = dedup_against(new, ref, near=True, n_hashes=32, bands=8,
+                        shingle_size=5, jaccard_threshold=0.8)
+    rows = out.collect()
+    assert sorted(r.doc_id for r in rows) == [3]
+    assert out.columns == ["doc_id", "text", "lang"]
+    for c in out.pinned_caches:
+        c.unpersist()
+
+
+def test_minhash_pairs_against_matches_self_pairs(spark):
+    """Contract the DuckDB oracle relies on: the cross-table pair chain
+    equals the self-pairs chain over the union restricted to cross-side
+    pairs (per-row signatures don't depend on table membership)."""
+    from crfsuite_spark.operators.minhash import (
+        minhash_pairs_against, minhash_self_pairs)
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappah",
+        "one two three four five six seven eight nine ten",
+        "one two three four five six seven eight nine tenn",
+        "totally unrelated content lives here",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.where("doc_id % 2 = 0")
+    ref = df.where("doc_id % 2 = 1")
+    cross = {
+        (r.id_new, r.id_ref, round(r.jaccard, 6))
+        for r in minhash_pairs_against(
+            new, ref, "doc_id", "text", n_hashes=32, bands=8,
+            shingle_size=5, jaccard_threshold=0.5).collect()
+    }
+    self_pairs = minhash_self_pairs(
+        df, "doc_id", "text", n_hashes=32, bands=8, shingle_size=5,
+        jaccard_threshold=0.5).collect()
+    expected = set()
+    for r in self_pairs:
+        sides = {r.id_a % 2, r.id_b % 2}
+        if sides == {0, 1}:
+            n, f = (r.id_a, r.id_b) if r.id_a % 2 == 0 else (r.id_b, r.id_a)
+            expected.add((n, f, round(r.jaccard, 6)))
+    assert cross == expected and len(cross) >= 1, (cross, expected)
+
+
 def test_substr_dedup_arbitrary_alignment(spark):
     """ExactSubstr-style stride-1 dedup: a duplicated region is cut at
     every non-canonical occurrence regardless of its alignment inside
