@@ -79,8 +79,16 @@ def asof_join(
     # in DuckDB's ASOF JOIN / pandas merge_asof) — without this filter
     # it would sort nulls-first and spuriously match as "before
     # everything". NULL-ts LEFT rows need no guard: they sort before
-    # every surviving right row, so they see no match.
-    r = right.where(F.col(ts_col).isNotNull()).select(
+    # every surviving right row, so they see no match. NULL equality
+    # KEYS need the same guard: Window.partitionBy groups NULL keys
+    # into one partition, but a SQL equality join never matches NULL =
+    # NULL — dropping NULL-key right rows leaves NULL-key left rows
+    # alone in their partition, i.e. unmatched, exactly the join
+    # semantics the DuckDB ASOF oracle implements.
+    key_ok = F.lit(True)
+    for c in on:
+        key_ok = key_ok & F.col(c).isNotNull()
+    r = right.where(F.col(ts_col).isNotNull() & key_ok).select(
         *on,
         F.col(ts_col),
         F.struct(*pay).alias("__p"),

@@ -178,6 +178,16 @@ def streaming_asof(
     Emits one row per left input row, enriched with the latest
     qualifying right row seen so far for its key. ``key_type`` must
     name the key column's Spark SQL type (default ``long``)."""
+    from pyspark.sql import functions as F
+
+    # groupBy groups NULL keys into one group, but a SQL equality join
+    # never matches NULL = NULL: drop NULL-key RIGHT rows (they can
+    # match nothing) and keep NULL-key LEFT rows (emitted unmatched by
+    # the state fn, since their group then holds no right state) —
+    # same guard as the batch operator (operators/asof.py)
+    tagged = tagged.where(
+        F.col("key").isNotNull() | (F.col("side") == 1)
+    )
     return tagged.groupBy("key").applyInPandasWithState(
         asof_state_fn(tolerance_s, strict, state_ttl_ms),
         outputStructType=output_schema(key_type),

@@ -211,3 +211,21 @@ def test_asof_null_right_timestamp_never_matches(spark):
     got = _run(l, r)
     assert got[0] == (101, 5.0, 1.0)  # real row matches, NULL row ignored
     assert got[1] is None             # NULL left ts: no match
+
+
+def test_asof_null_key_never_matches(spark):
+    """NULL equality keys never match (SQL join semantics, matching
+    DuckDB ASOF JOIN): a NULL-key left row stays unmatched even when a
+    NULL-key right row precedes it — Window.partitionBy would otherwise
+    group the NULLs together and spuriously join them."""
+    l = spark.createDataFrame(
+        [(0, None, _ts(10), "a"), (1, 1, _ts(10), "b")],
+        "event_id int, user_id int, ts timestamp, note string",
+    )
+    r = spark.createDataFrame(
+        [(100, None, _ts(5), 9.9), (101, 1, _ts(5), 1.0)],
+        "snap_id int, user_id int, ts timestamp, value double",
+    )
+    got = _run(l, r)
+    assert got[0] is None             # NULL key: no match, row preserved
+    assert got[1] == (101, 5.0, 1.0)  # real key joins normally

@@ -370,3 +370,36 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
                 got[c].reset_index(drop=True),
                 want[c].reset_index(drop=True),
                 check_dtype=False, check_names=False, obj=(c, strict))
+
+
+def test_streaming_asof_null_key_never_matches(spark, tmp_path):
+    """NULL equality keys never match in the streaming as-of either
+    (same SQL-join guard as the batch operator): NULL-key right rows
+    are dropped before the stateful group, NULL-key left rows are
+    emitted unmatched."""
+    from datetime import datetime
+
+    from crfsuite_spark.streaming.asof_state import streaming_asof
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 0, 10)
+    rows = [
+        (0, None, t0, 0, 9.9),   # NULL-key right: must match nothing
+        (1, None, t1, 1, None),  # NULL-key left: emitted unmatched
+        (2, 1, t0, 0, 1.0),
+        (3, 1, t1, 1, None),
+    ]
+    schema = "id long, key long, ts timestamp, side int, value double"
+    src = str(tmp_path / "asof_nullkey")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (streaming_asof(stream)
+         .writeStream.format("memory").queryName("asof_nullkey")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_nullkey"))
+         .start())
+    q.awaitTermination(120)
+    got = {r.id: (r.asof_id, r.asof_value)
+           for r in spark.sql("select * from asof_nullkey").collect()}
+    assert got[1] == (None, None)
+    assert got[3] == (2, 1.0)
