@@ -1183,6 +1183,52 @@ def q_kg_disambiguate(spark, sf):
     )
 
 
+def _mining_fixtures(spark):
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
+    return (
+        spark.read.parquet(
+            os.path.join(fixtures, "gold_mentions_synthetic.parquet")
+        ),
+        spark.read.parquet(
+            os.path.join(fixtures, "alias_dict_synthetic.parquet")
+        ),
+    )
+
+
+def q_kg_mine_aliases(spark, sf):
+    """Dictionary growth by co-occurrence mining (kg/mining.py): the
+    dictionary is pruned to canonical names only, then every secondary
+    alias is re-mined from the supervised mention stream — two
+    partial-aggregated groupBys (the 10^12-row stream shuffles once,
+    as pre-aggregated pair counts) + broadcast known-pair anti-join."""
+    from pyspark.sql import functions as F
+
+    from crfsuite_spark.kg.mining import mine_aliases
+
+    mentions, alias_dict = _mining_fixtures(spark)
+    pruned = alias_dict.where(F.col("alias") == F.lower("canonical_name"))
+    return mine_aliases(mentions, pruned, min_support=2, min_confidence=0.6)
+
+
+def q_kg_mine_acronyms(spark, sf):
+    """Initialism recovery (kg/mining.py): short single-word aliases
+    (SF, NYC, ...) are held out of the dictionary, then recovered as
+    unknown surfaces matching the initials of a known multi-word alias
+    — accepted only with conv-local co-occurrence evidence of the same
+    entity under a known alias. Dictionary/initials broadcast; the one
+    shuffle carries slim (conv_id, canonical_id) evidence pairs."""
+    from pyspark.sql import functions as F
+
+    from crfsuite_spark.kg.mining import mine_acronyms
+
+    mentions, alias_dict = _mining_fixtures(spark)
+    pruned = alias_dict.where(
+        ~((F.length("alias") <= 3) & (~F.col("alias").contains(" ")))
+    )
+    return mine_acronyms(mentions, pruned, min_convs=2)
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: CRF decode, LSH, KG pipeline)
 # --------------------------------------------------------------------------
@@ -2476,6 +2522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_turn_transitions": q_tr_turn_transitions,
         "kg_coref_resolve": q_kg_coref_resolve,
         "kg_disambiguate": q_kg_disambiguate,
+        "kg_mine_aliases": q_kg_mine_aliases,
+        "kg_mine_acronyms": q_kg_mine_acronyms,
         "tr_pack_chats": q_tr_pack_chats,
         "tr_pack_masked": q_tr_pack_masked,
         "tr_conv_dedup": q_tr_conv_dedup,
@@ -4875,6 +4923,81 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    CAST(score AS BIGINT) AS score,
                    CAST(n_candidates AS BIGINT) AS n_candidates
             FROM r WHERE rn = 1
+        """,
+        "kg_mine_aliases": f"""
+            WITH m AS (
+              SELECT trim(regexp_replace(lower(surface), '[^a-z0-9 ]+', ''))
+                       AS alias,
+                     canonical_id
+              FROM read_parquet('{fixtures}/gold_mentions_synthetic.parquet')
+              WHERE length(trim(regexp_replace(lower(surface),
+                                               '[^a-z0-9 ]+', ''))) > 0),
+            pairs AS (
+              SELECT alias, canonical_id, count(*) AS support
+              FROM m GROUP BY alias, canonical_id),
+            tot AS (SELECT alias, sum(support) AS total
+                    FROM pairs GROUP BY alias),
+            known AS (
+              SELECT DISTINCT
+                     trim(regexp_replace(lower(alias), '[^a-z0-9 ]+', ''))
+                       AS alias,
+                     canonical_id
+              FROM read_parquet('{fixtures}/alias_dict_synthetic.parquet')
+              WHERE alias = lower(canonical_name))
+            SELECT p.alias, p.canonical_id, p.support,
+                   CAST(p.support AS DOUBLE) / CAST(t.total AS DOUBLE)
+                     AS confidence
+            FROM pairs p JOIN tot t USING (alias)
+            WHERE p.support >= 2
+              AND CAST(p.support AS DOUBLE) / CAST(t.total AS DOUBLE) >= 0.6
+              AND NOT EXISTS (SELECT 1 FROM known k
+                              WHERE k.alias = p.alias
+                                AND k.canonical_id = p.canonical_id)
+        """,
+        "kg_mine_acronyms": f"""
+            WITH d AS (
+              SELECT DISTINCT
+                     trim(regexp_replace(lower(alias), '[^a-z0-9 ]+', ''))
+                       AS norm,
+                     canonical_id
+              FROM read_parquet('{fixtures}/alias_dict_synthetic.parquet')
+              WHERE NOT (length(alias) <= 3 AND NOT contains(alias, ' '))),
+            ini AS (
+              SELECT DISTINCT
+                     array_to_string(list_transform(
+                       string_split(norm, ' '), w -> substring(w, 1, 1)), '')
+                       AS alias,
+                     canonical_id
+              FROM d
+              WHERE len(string_split(norm, ' ')) >= 2
+                AND length(array_to_string(list_transform(
+                      string_split(norm, ' '), w -> substring(w, 1, 1)), ''))
+                    >= 2),
+            m AS (
+              SELECT conv_id,
+                     trim(regexp_replace(lower(surface), '[^a-z0-9 ]+', ''))
+                       AS norm
+              FROM read_parquet('{fixtures}/gold_mentions_synthetic.parquet')
+              WHERE length(trim(regexp_replace(lower(surface),
+                                               '[^a-z0-9 ]+', ''))) > 0),
+            ev AS (SELECT DISTINCT m.conv_id, d.canonical_id
+                   FROM m JOIN d USING (norm)),
+            cand AS (
+              SELECT u.conv_id, i.alias, i.canonical_id
+              FROM (SELECT * FROM m
+                    WHERE norm NOT IN (SELECT norm FROM d)) u
+              JOIN ini i ON u.norm = i.alias
+              WHERE NOT contains(u.norm, ' ')
+                AND regexp_full_match(u.norm, '[a-z]+')
+                AND length(u.norm) <= 8)
+            SELECT alias, canonical_id, count(*) AS support,
+                   count(DISTINCT conv_id) AS n_convs
+            FROM cand c
+            WHERE EXISTS (SELECT 1 FROM ev
+                          WHERE ev.conv_id = c.conv_id
+                            AND ev.canonical_id = c.canonical_id)
+            GROUP BY alias, canonical_id
+            HAVING count(DISTINCT conv_id) >= 2
         """,
         "tr_pack_chats": f"""
             WITH ce AS (

@@ -154,11 +154,20 @@ def generate(
     hot_factor: int = 0,
     seed: int = 42,
     entity_turn_prob: float = 0.7,
+    entity_pool: int = 0,
 ) -> SynthResult:
     """Generate the full fixture set.
 
     ``hot_factor`` > 0 adds one extra conversation with
     ``hot_factor * turns_per_conv`` turns (skew exercise).
+
+    ``entity_pool`` > 0 makes each conversation pre-draw that many
+    entities per kind and sample its mentions from the pool — the
+    topical stickiness real conversations have, and the within-conv
+    same-entity/different-alias co-occurrence that alias/acronym
+    mining (kg/mining.py) feeds on.  Default 0 keeps the historical
+    per-turn uniform draw AND the exact RNG call sequence, so the
+    seed-42 gold fixtures are byte-stable.
     """
     rng = np.random.default_rng(seed)
     catalogs = {"PER": list(PERSONS.items()), "ORG": list(ORGS.items()), "LOC": list(LOCS.items())}
@@ -169,6 +178,15 @@ def generate(
         conv_sizes.append(("conv_hot", turns_per_conv * hot_factor))
     roles = ["user", "assistant", "tool"]
     for conv_id, n_turns in conv_sizes:
+        if entity_pool > 0:
+            conv_catalogs = {
+                kind: [cat[i] for i in rng.choice(
+                    len(cat), size=min(entity_pool, len(cat)), replace=False
+                )]
+                for kind, cat in catalogs.items()
+            }
+        else:
+            conv_catalogs = catalogs
         for turn_idx in range(n_turns):
             role = roles[int(rng.integers(0, 3))]
             tool = "search" if role == "tool" and rng.random() < 0.5 else None
@@ -182,10 +200,10 @@ def generate(
 
             if rng.random() < entity_turn_prob:
                 phrase, pred, skind, okind = RELATIONS[int(rng.integers(0, len(RELATIONS)))]
-                s_id, s_aliases = catalogs[skind][int(rng.integers(0, len(catalogs[skind])))]
-                o_id, o_aliases = catalogs[okind][int(rng.integers(0, len(catalogs[okind])))]
+                s_id, s_aliases = conv_catalogs[skind][int(rng.integers(0, len(conv_catalogs[skind])))]
+                o_id, o_aliases = conv_catalogs[okind][int(rng.integers(0, len(conv_catalogs[okind])))]
                 if skind == okind and s_id == o_id:  # avoid self-relations
-                    o_id, o_aliases = catalogs[okind][(int(rng.integers(0, len(catalogs[okind]) - 1)) + 1 + catalogs[okind].index((s_id, s_aliases))) % len(catalogs[okind])]
+                    o_id, o_aliases = conv_catalogs[okind][(int(rng.integers(0, max(len(conv_catalogs[okind]) - 1, 1))) + 1 + conv_catalogs[okind].index((s_id, s_aliases))) % len(conv_catalogs[okind])]
                 s_surface = s_aliases[int(rng.integers(0, len(s_aliases)))]
                 o_surface = o_aliases[int(rng.integers(0, len(o_aliases)))]
                 prefix, suffix = FRAMES[int(rng.integers(0, len(FRAMES)))]

@@ -1,0 +1,161 @@
+"""Alias mining: grow the entity-linking dictionary from supervision.
+
+The reference ships a FIXED alias dictionary (the user hand-curates it;
+crfsuite itself only tags spans — see vignettes/crfsuite-nlp.Rmd, where
+entity linking is left to the caller).  At 10^12-turn scale the
+dictionary is never complete: new products, people, and shorthands
+appear in transcripts faster than curation.  This module closes the
+loop — given any mention stream that carries (surface, canonical_id)
+supervision (human labels, high-confidence exact links, or accepted
+coref chains), it mines NEW dictionary entries:
+
+- :func:`mine_aliases` — co-occurrence mining.  A normalized surface
+  that maps to one canonical id with high support and high confidence
+  (share of that surface's occurrences) is a new alias.  The whole
+  computation is two partial-aggregated ``groupBy``s: the first
+  collapses the 10^12-row mention stream to distinct (surface, id)
+  pairs map-side (vocabulary-scale output), the second runs on that
+  collapsed frame — the raw stream is shuffled once, as pre-aggregated
+  pair counts, never as rows.
+- :func:`mine_acronyms` — initialism recovery.  An UNKNOWN surface
+  ("sf") that equals the initials of a known multi-word alias of
+  entity E ("san francisco") is accepted only with conv-local
+  evidence: some turn in the same conversation mentions E by a known
+  alias.  The dictionary side (known aliases, their initials) stays
+  broadcast; the only shuffle touches the slim (conv_id, canonical_id)
+  evidence pairs, never mention text.
+
+Both emit (alias, canonical_id, support, ...) frames ready to union
+into the broadcast dictionary that ``kg/linking.py::link_mentions``
+consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crfsuite_spark.kg.linking import normalize_surface
+
+
+def mine_aliases(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    surface_col: str = "surface",
+    id_col: str = "canonical_id",
+    min_support: int = 2,
+    min_confidence: float = 0.6,
+) -> DataFrame:
+    """Mine (alias, canonical_id) pairs absent from ``alias_dict``.
+
+    ``mentions`` must carry a surface column and a resolved-entity
+    column (gold labels, exact-link output, accepted coref chains).
+    Confidence is P(canonical_id | alias) over the mention stream;
+    ``support`` is the raw pair count.  Returns
+    (alias, canonical_id, support, confidence) with alias normalized
+    exactly like the linker normalizes dictionary entries, so the
+    output unions straight into the dictionary.
+
+    Scale shape: the first ``groupBy`` partially aggregates map-side,
+    so the shuffle carries one (alias, id, count) row per DISTINCT
+    pair — vocabulary-scale, not corpus-scale.  The per-alias total is
+    a second aggregation over that collapsed frame, joined back on the
+    uniform alias key; the known-pair anti-join broadcasts the
+    dictionary.  No window functions, no full-row shuffle.
+    """
+    pairs = (
+        mentions.select(
+            normalize_surface(surface_col).alias("alias"),
+            F.col(id_col).alias("canonical_id"),
+        )
+        .where(F.length("alias") > 0)
+        .groupBy("alias", "canonical_id")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    totals = pairs.groupBy("alias").agg(F.sum("support").alias("__total"))
+    scored = (
+        pairs.join(totals, "alias")
+        .withColumn("confidence", F.col("support") / F.col("__total"))
+        .where(
+            (F.col("support") >= int(min_support))
+            & (F.col("confidence") >= float(min_confidence))
+        )
+        .select("alias", "canonical_id", "support", "confidence")
+    )
+    known = alias_dict.select(
+        normalize_surface("alias").alias("alias"), "canonical_id"
+    ).distinct()
+    return scored.join(F.broadcast(known), ["alias", "canonical_id"], "left_anti")
+
+
+def mine_acronyms(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    surface_col: str = "surface",
+    conv_col: str = "conv_id",
+    min_convs: int = 2,
+    max_len: int = 8,
+) -> DataFrame:
+    """Recover initialisms: unknown surfaces that spell the initials of
+    a known multi-word alias, with conversation-local evidence.
+
+    A candidate (surface s, entity E) needs BOTH: ``s`` equals the
+    first letters of some known multi-word alias of E, AND the same
+    conversation links to E through a known alias somewhere (so "sf"
+    in a conversation that also says "San Francisco" counts, a bare
+    "sf" elsewhere does not — initials collide too easily to accept
+    without local evidence).  Returns (alias, canonical_id, support,
+    n_convs) where support counts evidenced mentions and n_convs the
+    distinct conversations providing evidence.
+
+    Scale shape: dictionary, initials map, and the known-alias filter
+    all broadcast (dictionary-scale).  The evidence semi-join shuffles
+    only the slim (conv_id, canonical_id) pairs — candidate surfaces
+    are rare and evidence rows are two short columns; mention text
+    never moves.
+    """
+    known = alias_dict.select(
+        normalize_surface("alias").alias("__norm"), "canonical_id"
+    ).distinct()
+    initials = (
+        known.where(F.size(F.split("__norm", " ")) >= 2)
+        .select(
+            F.array_join(
+                F.transform(F.split("__norm", " "), lambda w: F.substring(w, 1, 1)),
+                "",
+            ).alias("alias"),
+            "canonical_id",
+        )
+        .where(F.length("alias") >= 2)
+        .distinct()
+    )
+    m = mentions.select(
+        F.col(conv_col).alias("conv_id"),
+        normalize_surface(surface_col).alias("__norm"),
+    ).where(F.length("__norm") > 0)
+    evidence = (
+        m.join(F.broadcast(known), "__norm")
+        .select("conv_id", "canonical_id")
+        .distinct()
+    )
+    unknown = m.join(
+        F.broadcast(known.select("__norm").distinct()), "__norm", "left_anti"
+    )
+    cand = (
+        unknown.where(
+            (~F.col("__norm").contains(" "))
+            & F.col("__norm").rlike("^[a-z]+$")
+            & (F.length("__norm") <= int(max_len))
+        )
+        .join(F.broadcast(initials), F.col("__norm") == F.col("alias"))
+        .select("conv_id", "alias", "canonical_id")
+    )
+    return (
+        cand.join(evidence, ["conv_id", "canonical_id"], "left_semi")
+        .groupBy("alias", "canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .where(F.col("n_convs") >= int(min_convs))
+    )

@@ -1,0 +1,108 @@
+"""Alias/acronym mining (kg/mining.py) — exact-value + plan shape.
+
+The reference ships a hand-curated alias dictionary (the linking stage
+of vignettes/crfsuite-nlp.Rmd is left to the caller); mining closes the
+dictionary-growth loop from supervision.  These tests prune the
+generator's own dictionary, mine it back from the gold mention stream,
+and check exact recovery.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crfsuite_spark.datagen.transcripts import build_alias_dict, generate
+from crfsuite_spark.kg.mining import mine_aliases, mine_acronyms
+
+
+@pytest.fixture(scope="module")
+def mining_data(spark):
+    data = generate(n_convs=120, turns_per_conv=8, seed=91, entity_pool=3)
+    mentions = spark.createDataFrame(data.gold_mentions)
+    alias_dict = spark.createDataFrame(build_alias_dict())
+    return mentions, alias_dict
+
+
+def test_mine_aliases_recovers_pruned_entries(mining_data):
+    mentions, alias_dict = mining_data
+    pruned = alias_dict.where(F.col("alias") == F.lower("canonical_name"))
+    out = mine_aliases(mentions, pruned, min_support=2, min_confidence=0.6)
+    rows = {(r["alias"], r["canonical_id"]): r for r in out.collect()}
+
+    # gold surfaces are unambiguous -> every mined pair has confidence 1
+    assert rows and all(r["confidence"] == 1.0 for r in rows.values())
+    # high-frequency held-out aliases come back with the right entity
+    for pair in [
+        ("nyc", "loc:new_york"),
+        ("sf", "loc:san_francisco"),
+        ("acme", "org:acme_corp"),
+        ("mr smith", "per:bob_smith"),
+    ]:
+        assert pair in rows, pair
+    # nothing already in the pruned dictionary is re-emitted
+    kept = {
+        (r["alias"], r["canonical_id"])
+        for r in pruned.select(F.col("alias"), "canonical_id").collect()
+    }
+    assert not (set(rows) & kept)
+    # support actually counts the stream
+    gold = mentions.where(F.lower("surface") == "nyc").count()
+    assert rows[("nyc", "loc:new_york")]["support"] == gold
+
+
+def test_mine_aliases_confidence_filters_ambiguity(spark):
+    # one surface split 3:1 across two entities: 0.75 passes at 0.6,
+    # the 0.25 minority is dropped; a support-1 singleton is dropped
+    mentions = spark.createDataFrame(
+        [("jo", "per:a")] * 3 + [("jo", "per:b")] + [("zed", "per:c")],
+        "surface string, canonical_id string",
+    )
+    empty_dict = spark.createDataFrame(
+        [], "alias string, canonical_id string"
+    )
+    out = mine_aliases(
+        mentions, empty_dict, min_support=2, min_confidence=0.6
+    ).collect()
+    assert {(r["alias"], r["canonical_id"]) for r in out} == {("jo", "per:a")}
+    assert out[0]["support"] == 3 and out[0]["confidence"] == 0.75
+
+
+def test_mine_acronyms_needs_conv_evidence(mining_data):
+    mentions, alias_dict = mining_data
+    pruned = alias_dict.where(
+        ~((F.length("alias") <= 3) & (~F.col("alias").contains(" ")))
+    )
+    out = mine_acronyms(mentions, pruned, min_convs=2)
+    got = {(r["alias"], r["canonical_id"]) for r in out.collect()}
+    assert got == {("sf", "loc:san_francisco"), ("nyc", "loc:new_york")}
+
+
+def test_mine_acronyms_rejects_unevidenced(spark):
+    # "gk" spells grace kim's initials but no conversation also uses a
+    # known alias of per:grace_kim -> rejected
+    mentions = spark.createDataFrame(
+        [("c1", "gk"), ("c2", "gk"), ("c3", "Bob Smith")],
+        "conv_id string, surface string",
+    )
+    d = spark.createDataFrame(
+        [("grace kim", "per:grace_kim"), ("bob smith", "per:bob_smith")],
+        "alias string, canonical_id string",
+    )
+    assert mine_acronyms(mentions, d, min_convs=1).count() == 0
+    # with evidence in the same convs it is accepted
+    mentions2 = spark.createDataFrame(
+        [("c1", "gk"), ("c1", "Grace Kim"), ("c2", "gk"),
+         ("c2", "grace kim")],
+        "conv_id string, surface string",
+    )
+    out = mine_acronyms(mentions2, d, min_convs=2).collect()
+    assert [(r["alias"], r["canonical_id"], r["support"], r["n_convs"])
+            for r in out] == [("gk", "per:grace_kim", 2, 2)]
+
+
+def test_mine_aliases_plan_partial_agg_no_window(mining_data):
+    mentions, alias_dict = mining_data
+    out = mine_aliases(mentions, alias_dict)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_count" in plan  # map-side combine on the raw stream
+    assert "BroadcastHashJoin" in plan  # known-pair anti-join broadcasts

@@ -81,6 +81,22 @@ def main() -> None:
     )
     print(f"gold_turn_ts_synthetic: {len(ts)} rows")
 
+    # the gold mention stream (surface + canonical_id supervision) so
+    # the alias-mining oracles (kg_mine_aliases, kg_mine_acronyms) can
+    # replicate co-occurrence mining in DuckDB SQL.  Generated from a
+    # LARGER corpus than the decode fixtures (120 convs, own seed):
+    # acronym mining needs conversation-local acronym + full-name
+    # co-occurrence, which is sparse at 20 conversations
+    gm = generate(
+        n_convs=120, turns_per_conv=8, seed=91, entity_pool=3
+    ).gold_mentions.copy()
+    for c in ("turn_idx", "start_tok", "end_tok"):
+        gm[c] = gm[c].astype(np.int32)
+    gm.to_parquet(
+        os.path.join(FIXTURES, "gold_mentions_synthetic.parquet"), index=False
+    )
+    print(f"gold_mentions_synthetic: {len(gm)} rows")
+
     # the generator's alias dictionary, checked in so the e2e oracle
     # (kg_triples_fused_e2e) can replicate exact linking in DuckDB SQL
     data.alias_dict.to_parquet(
