@@ -481,6 +481,26 @@ def q_ds_span_dedup(spark, sf):
     return span_dedup(d, "doc_id", "text", block_tokens=10)
 
 
+def q_ds_nb_lang_score(spark, sf):
+    """Distilled quality classifier (fastText/CCNet pattern, here the
+    closed-form NB member): fit a hashed bag-of-words binary NB on a
+    weak metadata label (lang == 'en'), then score every document with
+    the log-odds. Fit shuffles only pre-aggregated (bucket, label)
+    counts (≤ 2·n_buckets rows cross the wire regardless of corpus
+    size); scoring is ZERO-shuffle — the ≤256-double model embeds in
+    the plan as a literal and each row's score is a codegen
+    ``aggregate`` HOF over its own tokens (plan-asserted in
+    tests/test_classify.py)."""
+    from crfsuite_spark.operators.classify import fit_hashed_nb, score_hashed_nb
+
+    d = _t(spark, sf, "documents")
+    labeled = d.withColumn("label", (F.col("lang") == "en").cast("int"))
+    model = fit_hashed_nb(labeled, "text", "label", n_buckets=256)
+    return score_hashed_nb(d, model, "text").select(
+        "doc_id", "nb_score", "nb_pred"
+    )
+
+
 def q_ds_dedup_against(spark, sf):
     """Cross-corpus EXACT dedup (incremental re-crawl: ref = every 7th
     document as 'yesterday's corpus', new = the full crawl): new rows
@@ -2499,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_bigram_nll": q_ta_bigram_nll,
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
+        "ds_nb_lang_score": q_ds_nb_lang_score,
         "ds_substr_dedup": q_ds_substr_dedup,
         "ds_dedup_against": q_ds_dedup_against,
         "ds_neardup_against": q_ds_neardup_against,
@@ -4483,6 +4504,50 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    CAST(b.nb AS BIGINT) AS n_blocks,
                    CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
             FROM b LEFT JOIN reb USING (doc_id)
+        """,
+        # hashed-NB fit + score replayed end-to-end: same md5 bucket
+        # hash, same Laplace-smoothed llr, same fold-then-round-6
+        "ds_nb_lang_score": """
+            WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS words,
+                     trim(coalesce(text, '')) = '' AS empty
+              FROM documents),
+            toks AS (
+              SELECT doc_id, y,
+                     ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS b
+              FROM (SELECT doc_id, y, unnest(words) AS w
+                    FROM docs WHERE NOT empty)
+              WHERE w <> ''),
+            cnt AS (SELECT y, b, CAST(count(*) AS DOUBLE) AS c
+                    FROM toks GROUP BY y, b),
+            tot AS (SELECT
+                      max(CASE WHEN y = 1 THEN tc END) AS t1,
+                      max(CASE WHEN y = 0 THEN tc END) AS t0
+                    FROM (SELECT y, sum(c) AS tc FROM cnt GROUP BY y)),
+            llr AS (
+              SELECT bk.b,
+                     ln((coalesce(c1.c, 0) + 1.0) / (tot.t1 + 256.0))
+                     - ln((coalesce(c0.c, 0) + 1.0) / (tot.t0 + 256.0)) AS v
+              FROM (SELECT unnest(range(256)) AS b) bk
+              LEFT JOIN (SELECT b, c FROM cnt WHERE y = 1) c1 USING (b)
+              LEFT JOIN (SELECT b, c FROM cnt WHERE y = 0) c0 USING (b)
+              CROSS JOIN tot),
+            prior AS (
+              SELECT ln(CAST(sum(y) AS DOUBLE))
+                     - ln(CAST(count(*) - sum(y) AS DOUBLE)) AS p
+              FROM docs),
+            ds AS (
+              SELECT toks.doc_id, sum(llr.v) AS s
+              FROM toks JOIN llr USING (b)
+              GROUP BY toks.doc_id)
+            SELECT d.doc_id,
+                   round(prior.p + coalesce(ds.s, 0.0), 6) AS nb_score,
+                   CAST(round(prior.p + coalesce(ds.s, 0.0), 6) > 0 AS INT)
+                     AS nb_pred
+            FROM docs d CROSS JOIN prior
+            LEFT JOIN ds ON d.doc_id = ds.doc_id
         """,
         # cross-corpus exact dedup: md5-equality anti-join semantics
         "ds_dedup_against": """
