@@ -501,6 +501,25 @@ def q_ds_nb_lang_score(spark, sf):
     )
 
 
+def q_ds_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail quality split (Wenzek et al. 2020 §4.4):
+    per-language tercile bucketing of unigram-LM NLL. Thresholds come
+    from a bounded (lang, round(nll,2)) histogram — NO per-language
+    corpus sort — broadcast back, label is a scan-local CASE
+    (operators/filtering.py)."""
+    from crfsuite_spark.functions.analysis import unigram_nll
+    from crfsuite_spark.operators.filtering import ccnet_buckets
+
+    d = _t(spark, sf, "documents")
+    scored = unigram_nll(d, "doc_id", "text").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    out = ccnet_buckets(scored, "lang", "nll")
+    return out.select(
+        "doc_id", "lang", F.round(F.col("nll"), 2).alias("nll_r"), "bucket"
+    )
+
+
 def q_ds_dedup_against(spark, sf):
     """Cross-corpus EXACT dedup (incremental re-crawl: ref = every 7th
     document as 'yesterday's corpus', new = the full crawl): new rows
@@ -2520,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_decontaminate": q_ds_decontaminate,
         "ds_span_dedup": q_ds_span_dedup,
         "ds_nb_lang_score": q_ds_nb_lang_score,
+        "ds_ccnet_buckets": q_ds_ccnet_buckets,
         "ds_substr_dedup": q_ds_substr_dedup,
         "ds_dedup_against": q_ds_dedup_against,
         "ds_neardup_against": q_ds_neardup_against,
@@ -4548,6 +4568,40 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                      AS nb_pred
             FROM docs d CROSS JOIN prior
             LEFT JOIN ds ON d.doc_id = ds.doc_id
+        """,
+        # CCNet tercile split replayed: same NLL, same round-2
+        # quantization, same histogram-cumulative threshold rule
+        "ds_ccnet_buckets": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+              FROM documents),
+            t2 AS (SELECT * FROM toks WHERE tok <> ''),
+            freq AS (SELECT tok, count(*) AS c FROM t2 GROUP BY tok),
+            tot AS (SELECT sum(c) AS n FROM freq),
+            nll AS (
+              SELECT doc_id, avg(-ln(c / n)) AS nll
+              FROM t2 JOIN freq USING (tok) CROSS JOIN tot
+              GROUP BY doc_id),
+            sc AS (
+              SELECT d.doc_id, d.lang, round(nll.nll, 2) AS b
+              FROM documents d JOIN nll USING (doc_id)),
+            hist AS (SELECT lang, b, count(*) AS c FROM sc GROUP BY lang, b),
+            cum AS (
+              SELECT lang, b,
+                     sum(c) OVER (PARTITION BY lang ORDER BY b) AS cum,
+                     sum(c) OVER (PARTITION BY lang) AS tot
+              FROM hist),
+            th AS (
+              SELECT lang,
+                     min(CASE WHEN cum >= (1.0/3) * tot THEN b END) AS t_head,
+                     min(CASE WHEN cum >= (2.0/3) * tot THEN b END) AS t_tail
+              FROM cum GROUP BY lang)
+            SELECT sc.doc_id, sc.lang, sc.b AS nll_r,
+                   CASE WHEN sc.b <= th.t_head THEN 'head'
+                        WHEN sc.b <= th.t_tail THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc JOIN th USING (lang)
         """,
         # cross-corpus exact dedup: md5-equality anti-join semantics
         "ds_dedup_against": """
