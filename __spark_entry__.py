@@ -501,6 +501,30 @@ def q_ds_nb_lang_score(spark, sf):
     )
 
 
+def q_ta_domain_divergence(spark, sf):
+    """Per-domain distribution shift vs the corpus: KL and
+    Jensen-Shannon over Laplace-smoothed hashed-token distributions —
+    the mixture-construction diagnostic. ONE corpus pass (partial-
+    aggregated (key, bucket) counts ≤ keys×256 rows); all divergence
+    math on the tiny count frame (functions/analysis.py)."""
+    from crfsuite_spark.functions.analysis import domain_divergence
+
+    d = _t(spark, sf, "documents")
+    return domain_divergence(d, "source", "text", n_buckets=256)
+
+
+def q_ds_exact_k_sample(spark, sf):
+    """Exactly-k-per-domain deterministic sampling (balanced eval-set
+    construction on skewed domains, where hash_sample's fixed FRACTION
+    gives the wrong sizes): per-key top-k by (md5 hash, id) computed
+    via a map-side hash-threshold screen + bounded survivor sort — the
+    corpus is never sorted per key (operators/sampling.py)."""
+    from crfsuite_spark.operators.sampling import exact_k_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return exact_k_sample(d, "doc_id", "source", k=20)
+
+
 def q_ds_ccnet_buckets(spark, sf):
     """CCNet head/middle/tail quality split (Wenzek et al. 2020 §4.4):
     per-language tercile bucketing of unigram-LM NLL. Thresholds come
@@ -2540,6 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_span_dedup": q_ds_span_dedup,
         "ds_nb_lang_score": q_ds_nb_lang_score,
         "ds_ccnet_buckets": q_ds_ccnet_buckets,
+        "ds_exact_k_sample": q_ds_exact_k_sample,
+        "ta_domain_divergence": q_ta_domain_divergence,
         "ds_substr_dedup": q_ds_substr_dedup,
         "ds_dedup_against": q_ds_dedup_against,
         "ds_neardup_against": q_ds_neardup_against,
@@ -4568,6 +4594,62 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                      AS nb_pred
             FROM docs d CROSS JOIN prior
             LEFT JOIN ds ON d.doc_id = ds.doc_id
+        """,
+        # per-domain KL/JS vs corpus over smoothed hashed-token dists,
+        # full key x bucket grid (zero counts included) as the math needs
+        "ta_domain_divergence": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents),
+            t2 AS (
+              SELECT source,
+                     ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS b
+              FROM toks WHERE w <> ''),
+            cnt AS (SELECT source, b, count(*) AS c FROM t2 GROUP BY source, b),
+            grid AS (
+              SELECT k.source, g.b
+              FROM (SELECT DISTINCT source FROM cnt) k
+              CROSS JOIN (SELECT unnest(range(256)) AS b) g),
+            full_g AS (
+              SELECT grid.source, grid.b, coalesce(cnt.c, 0) AS c
+              FROM grid LEFT JOIN cnt USING (source, b)),
+            nk AS (SELECT source, sum(c) AS nk FROM full_g GROUP BY source),
+            cb AS (SELECT b, sum(c) AS cb FROM full_g GROUP BY b),
+            nt AS (SELECT sum(c) AS n FROM full_g),
+            terms AS (
+              SELECT f.source, nk.nk,
+                     ((f.c + 1.0) / (nk.nk + 256.0))
+                       * ln(((f.c + 1.0) / (nk.nk + 256.0))
+                            / ((cb.cb + 1.0) / (nt.n + 256.0))) AS kl_t,
+                     0.5 * ((f.c + 1.0) / (nk.nk + 256.0))
+                       * ln(((f.c + 1.0) / (nk.nk + 256.0))
+                            / ((((f.c + 1.0) / (nk.nk + 256.0))
+                                + ((cb.cb + 1.0) / (nt.n + 256.0))) / 2.0))
+                     + 0.5 * ((cb.cb + 1.0) / (nt.n + 256.0))
+                       * ln(((cb.cb + 1.0) / (nt.n + 256.0))
+                            / ((((f.c + 1.0) / (nk.nk + 256.0))
+                                + ((cb.cb + 1.0) / (nt.n + 256.0))) / 2.0)) AS js_t
+              FROM full_g f
+              JOIN nk USING (source) JOIN cb USING (b) CROSS JOIN nt)
+            SELECT source, CAST(min(nk) AS BIGINT) AS n_tokens,
+                   round(sum(kl_t), 6) AS kl, round(sum(js_t), 6) AS js
+            FROM terms GROUP BY source
+        """,
+        # exactly-k-per-key sampling: the screen is result-invariant,
+        # so the oracle is the plain full-table window form
+        "ds_exact_k_sample": """
+            WITH h AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+                       % 1000000 AS hh
+              FROM documents),
+            r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY hh, doc_id) AS rn
+              FROM h)
+            SELECT doc_id, source FROM r WHERE rn <= 20
         """,
         # CCNet tercile split replayed: same NLL, same round-2
         # quantization, same histogram-cumulative threshold rule

@@ -420,3 +420,67 @@ def redact_pii(col) -> Column:
     for pat, repl in _PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def domain_divergence(
+    df,
+    key_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+):
+    """Per-domain distribution shift vs the whole corpus: KL(P_key ‖
+    P_corpus) and Jensen-Shannon divergence over Laplace-smoothed
+    hashed-token distributions — the mixture-construction diagnostic
+    (which domains are outliers; how far a new crawl drifts from the
+    training mix).
+
+    Scale shape: ONE corpus pass — explode tokens → partial-aggregated
+    ``groupBy(key, md5-bucket)`` (≤ keys × n_buckets rows cross the
+    wire); everything after runs on that tiny count frame (the corpus
+    marginal is its bucket-sum, not a second scan).  Smoothing over the
+    fixed bucket domain keeps every log finite; the full key × bucket
+    grid (zero counts included) enters both sums, as the math requires.
+
+    Returns (key, n_tokens, kl, js) rounded to 6 — fully replayed in
+    the DuckDB driver oracle (``ta_domain_divergence``)."""
+    a = float(alpha)
+    toks = df.select(
+        F.col(key_col).alias("__k"), F.explode(_tokens(text_col)).alias("__w")
+    ).where(F.col("__w") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(int(n_buckets)),
+    )
+    cnt = toks.groupBy("__k", bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    spark = df.sparkSession
+    grid = cnt.select("__k").distinct().crossJoin(
+        spark.range(n_buckets).select(F.col("id").alias("__b"))
+    )
+    full = grid.join(cnt, ["__k", "__b"], "left").select(
+        "__k", "__b", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    nk = full.groupBy("__k").agg(F.sum("__c").alias("__nk"))
+    cb = full.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    ntot = full.agg(F.sum("__c").alias("__N"))
+    j = (
+        full.join(F.broadcast(nk), "__k")
+        .join(F.broadcast(cb), "__b")
+        .crossJoin(F.broadcast(ntot))
+    )
+    p = (F.col("__c") + a) / (F.col("__nk") + a * n_buckets)
+    q = (F.col("__cb") + a) / (F.col("__N") + a * n_buckets)
+    m = (p + q) / 2.0
+    terms = j.select(
+        "__k",
+        "__nk",
+        (p * F.log(p / q)).alias("__kl"),
+        (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("__js"),
+    )
+    return terms.groupBy(F.col("__k").alias(key_col)).agg(
+        F.min("__nk").alias("n_tokens"),
+        F.round(F.sum("__kl"), 6).alias("kl"),
+        F.round(F.sum("__js"), 6).alias("js"),
+    )

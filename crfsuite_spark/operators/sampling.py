@@ -52,6 +52,79 @@ def hash_sample(
     )
 
 
+def exact_k_sample(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    k: int,
+    seed: int = 42,
+    oversample: float = 2.0,
+) -> DataFrame:
+    """Exactly ``min(k, n_key)`` rows per key, deterministically: the
+    rows whose ``md5(id ∥ seed)`` hash ranks lowest within the key
+    (ties broken by id) — the fixed-size-per-domain sampler balanced
+    eval sets and per-domain ablations need, where ``hash_sample``'s
+    fixed FRACTION gives the wrong size on skewed domains.
+
+    Semantics are exactly "per-key top-k by (hash, id)" — but computed
+    WITHOUT a per-key sort of the corpus.  A window row_number alone
+    would shuffle and sort every row of a 10^12-row table by domain
+    (few keys = giant skewed sort partitions).  Instead:
+
+    1. per-key counts (tiny partial-aggregated groupBy);
+    2. map-side SCREEN: keep rows with ``hash < oversample·k/n·SCALE``
+       — expected ``oversample·k`` survivors per key, so the only
+       sorted data is ~2k rows per key regardless of corpus size;
+    3. exact top-k window over the bounded survivor set;
+    4. rescue guard: a key whose screen under-drew (possible at small
+       k: the threshold is a binomial draw) is re-ranked from the full
+       table — detected per-key by count, usually empty at
+       ``oversample ≥ 2`` and ``k ≥ 30``, and the rescue join touches
+       only that key's rows.
+
+    The screen never changes the RESULT (the true top-k all hash below
+    the kth survivor or the key is rescued), so the DuckDB oracle is
+    the plain window form over the full table (``ds_exact_k_sample``).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = _portable_hash_expr(id_col, _SCALE, seed)
+    n_per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    thr = F.least(
+        F.lit(_SCALE),
+        F.ceil(F.lit(float(oversample) * k * _SCALE) / F.col("__n")),
+    ).cast("long")
+    screened = df.withColumn("__h", h).join(
+        F.broadcast(n_per_key.select(key_col, thr.alias("__thr"))), key_col
+    ).where(F.col("__h") < F.col("__thr")).drop("__thr")
+    w = Window.partitionBy(key_col).orderBy("__h", id_col)
+    ranked = screened.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    # rescue: keys where the screen drew fewer than min(k, n) rows
+    have = ranked.groupBy(key_col).agg(F.count(F.lit(1)).alias("__have"))
+    deficient = (
+        n_per_key.join(have, key_col, "left")
+        .where(
+            F.coalesce(F.col("__have"), F.lit(0))
+            < F.least(F.lit(k), F.col("__n"))
+        )
+        .select(key_col)
+    )
+    deficient_keys = [r[0] for r in deficient.collect()]  # bounded: #keys
+    if deficient_keys:
+        full = df.withColumn("__h", h).where(
+            F.col(key_col).isin(deficient_keys)
+        )
+        rescued = full.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") <= k
+        )
+        ranked = ranked.where(
+            ~F.col(key_col).isin(deficient_keys)
+        ).unionByName(rescued)
+    return ranked.drop("__h", "__rn")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,
