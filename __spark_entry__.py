@@ -1184,6 +1184,40 @@ def q_tr_repeated_turns(spark, sf):
     )
 
 
+def q_tr_boilerplate_turns(spark, sf):
+    """Cross-corpus boilerplate-turn removal (RefinedWeb line-dedup
+    policy on transcripts): turns whose exact text occurs in >= 4
+    distinct conversations are flagged in EVERY conversation — canned
+    greetings/disclaimers carry no training signal anywhere, unlike
+    span dedup's canonical-survivor contract. One distinct + one
+    partial-aggregated groupBy on the md5 digest; text never shuffles.
+    The fixture has natural cross-conv repeats (greeting templates)."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.operators.transcripts import boilerplate_turns
+
+    data = generate(n_convs=20, turns_per_conv=8, seed=42)
+    t = spark.createDataFrame(data.transcripts)
+    return boilerplate_turns(t, min_convs=4).select(
+        "conv_id", "turn_idx", "n_convs", "is_boilerplate"
+    )
+
+
+def q_kg_predicate_signatures(spark, sf):
+    """Schema induction over the triple table (kg/graph.py): per
+    predicate, the (subject type, object type) signature distribution
+    with support and share — the emergent domain/range profile an
+    ontology layer reads before authoring SHACL shapes. ONE
+    partial-aggregated groupBy over the triples; totals re-aggregate
+    from the bounded signature frame."""
+    from crfsuite_spark.kg.graph import predicate_signatures
+
+    out = predicate_signatures(_gold_triples(spark))
+    return out.select(
+        "pred", "subj_type", "obj_type", "n_triples", "n_pred",
+        F.round("share", 6).alias("share"),
+    )
+
+
 def _doubled_chat_corpus(spark, mutate: bool):
     """Rendered conversations ∪ a copy under '<id>_b' — exact copies
     (mutate=False) for exact dedup, one-token-appended copies
@@ -2598,6 +2632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_sft_pairs": q_tr_sft_pairs,
         "tr_episodes": q_tr_episodes,
         "tr_repeated_turns": q_tr_repeated_turns,
+        "tr_boilerplate_turns": q_tr_boilerplate_turns,
+        "kg_predicate_signatures": q_kg_predicate_signatures,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
         "tr_curate_convs": q_tr_curate_convs,
         "tr_episode_stats": q_tr_episode_stats,
@@ -5543,6 +5579,40 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                           md5(text)), false)
                    END AS is_repeat
             FROM u
+        """,
+        "tr_boilerplate_turns": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, text
+              FROM read_parquet('{fixtures}/gold_turns_synthetic.parquet')),
+            c AS (
+              SELECT md5(text) AS d, COUNT(DISTINCT conv_id) AS n
+              FROM t WHERE text IS NOT NULL AND trim(text) <> ''
+              GROUP BY 1)
+            SELECT t.conv_id, t.turn_idx,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_convs,
+                   COALESCE(c.n, 0) >= 4 AS is_boilerplate
+            FROM t LEFT JOIN c
+              ON t.text IS NOT NULL AND trim(t.text) <> ''
+                 AND md5(t.text) = c.d
+        """,
+        "kg_predicate_signatures": f"""
+            WITH t AS (
+              SELECT pred,
+                     CASE WHEN instr(subj, ':') > 0
+                          THEN split_part(subj, ':', 1) ELSE '' END AS subj_type,
+                     CASE WHEN instr(obj, ':') > 0
+                          THEN split_part(obj, ':', 1) ELSE '' END AS obj_type
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            s AS (
+              SELECT pred, subj_type, obj_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_triples
+              FROM t GROUP BY 1, 2, 3),
+            tot AS (
+              SELECT pred, CAST(SUM(n_triples) AS BIGINT) AS n_pred
+              FROM s GROUP BY 1)
+            SELECT s.pred, s.subj_type, s.obj_type, s.n_triples, tot.n_pred,
+                   ROUND(s.n_triples / tot.n_pred, 6) AS share
+            FROM s JOIN tot ON s.pred = tot.pred
         """,
         "a2_feature_refs": """
             WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),

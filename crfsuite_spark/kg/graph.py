@@ -679,3 +679,54 @@ def label_propagation(
         )
     labels.pinned_caches = [sym]
     return labels
+
+
+def predicate_signatures(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    type_sep: str = ":",
+) -> DataFrame:
+    """Schema induction over the triple table: for every predicate,
+    the distribution of (subject type, object type) signatures — the
+    domain/range profile an ontology layer needs before rule mining or
+    SHACL shape authoring (the reference stops at tagging; at KG scale
+    the emergent schema is itself a query). Entity types are the
+    canonical-id prefix the linking stage emits (``per:alice_johnson``
+    → ``per``); ids without a prefix profile as type ``''``.
+
+    Output: (pred, subj_type, obj_type, n_triples, n_pred, share)
+    where ``share`` = n_triples / n_pred (all triples of the
+    predicate). A clean functional predicate shows one dominant
+    signature with share ≈ 1; drift in a crawl shows up as new
+    signatures gaining share between snapshots.
+
+    Scale shape: type extraction is scan-local; the signature count is
+    ONE partial-aggregated groupBy on (pred, subj_type, obj_type) —
+    bounded by |preds| × |types|², tiny vs the edge table — and the
+    per-predicate totals re-aggregate FROM that bounded frame (no
+    second pass over the triples), joining back on the predicate key.
+    """
+    def etype(c):
+        return F.when(
+            F.instr(F.col(c), type_sep) > 0,
+            F.substring_index(F.col(c), type_sep, 1),
+        ).otherwise(F.lit(""))
+
+    sigs = (
+        triples.select(
+            F.col(pred).alias("pred"),
+            etype(subj).alias("subj_type"),
+            etype(obj).alias("obj_type"),
+        )
+        .groupBy("pred", "subj_type", "obj_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triples"))
+    )
+    totals = sigs.groupBy("pred").agg(
+        F.sum("n_triples").cast("bigint").alias("n_pred")
+    )
+    return sigs.join(totals, "pred").select(
+        "pred", "subj_type", "obj_type", "n_triples", "n_pred",
+        (F.col("n_triples") / F.col("n_pred")).alias("share"),
+    )

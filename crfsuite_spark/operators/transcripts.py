@@ -413,3 +413,51 @@ def chat_examples(
             "mask_spans",
         )
     )
+
+
+def boilerplate_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    min_convs: int = 10,
+) -> DataFrame:
+    """Cross-corpus boilerplate-turn detection — the RefinedWeb /
+    CCNet line-dedup policy (Penedo et al. 2023 §3.4, "remove
+    duplicated lines") applied to transcripts: a turn whose exact text
+    occurs in >= ``min_convs`` DISTINCT conversations is boilerplate
+    (canned greetings, disclaimers, template confirmations). Unlike
+    :func:`crfsuite_spark.operators.dedup.span_dedup` there is no
+    canonical survivor — text repeated across that many independent
+    conversations carries no training signal anywhere, so the flag
+    marks EVERY occurrence (the caller filters or masks).
+
+    Returns the input rows + ``n_convs`` (distinct conversations the
+    exact text appears in) + ``is_boilerplate``. NULL/empty text is
+    never flagged (empty turns are a different curation signal).
+
+    Scale shape: digests are md5(text), a uniform key; the distinct
+    (digest, conv) count is two partial-aggregated groupBys (the
+    per-partition dedup collapses hot boilerplate before the shuffle,
+    exactly the skew that motivates the operator). The flag joins back
+    on the digest key — AQE converts it to a broadcast join when the
+    frequent set is small (the common case: boilerplate digests are
+    few), and the sort-merge fallback stays spillable when it is not.
+    The corpus text itself never moves: only digests shuffle.
+    """
+    digest = F.md5(F.col(text_col))
+    has_text = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    counts = (
+        df.where(has_text)
+        .select(digest.alias("__digest"), F.col(conv_col).alias("__conv"))
+        .distinct()
+        .groupBy("__digest")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_convs"))
+    )
+    flagged = (
+        df.withColumn("__digest", F.when(has_text, digest))
+        .join(counts, "__digest", "left")
+        .withColumn("n_convs", F.coalesce(F.col("__n_convs"), F.lit(0)))
+        .withColumn("is_boilerplate", F.col("n_convs") >= F.lit(min_convs))
+        .drop("__digest", "__n_convs")
+    )
+    return flagged

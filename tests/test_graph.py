@@ -528,3 +528,28 @@ def test_hits_matches_numpy_iteration(spark, tiny):
             assert got[v][1] == pytest.approx(a[idx[v]], abs=1e-12), v
     # d is a pure sink (hub 0); e a pure source (authority 0)
     assert got["d"][0] == 0.0 and got["e"][1] == 0.0
+
+
+def test_predicate_signatures_profile(spark):
+    from crfsuite_spark.kg.graph import predicate_signatures
+
+    rows = [
+        ("c1", 1, "per:a", "works_at", "org:x"),
+        ("c1", 2, "per:b", "works_at", "org:y"),
+        ("c2", 1, "per:c", "works_at", "loc:z"),
+        ("c2", 2, "org:x", "based_in", "loc:z"),
+        ("c2", 3, "noprefix", "based_in", "loc:z"),
+    ]
+    t = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    )
+    got = {
+        (r["pred"], r["subj_type"], r["obj_type"]): (r["n_triples"], r["n_pred"], r["share"])
+        for r in predicate_signatures(t).collect()
+    }
+    assert got[("works_at", "per", "org")] == (2, 3, pytest.approx(2 / 3))
+    assert got[("works_at", "per", "loc")] == (1, 3, pytest.approx(1 / 3))
+    assert got[("based_in", "org", "loc")] == (1, 2, pytest.approx(0.5))
+    # id without a type prefix profiles as the empty type, not a crash
+    assert got[("based_in", "", "loc")] == (1, 2, pytest.approx(0.5))
+    assert len(got) == 4

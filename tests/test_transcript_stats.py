@@ -302,3 +302,43 @@ def test_conv_stats_masked_role_parameter(spark):
     row = chat_examples(t, mask_role="agent").collect()[0]
     s, e = map(int, row.mask_spans.split(":"))
     assert row.example_text[s:e] == "<|agent|>yo"
+
+
+def test_boilerplate_turns_cross_corpus_flag(spark):
+    from crfsuite_spark.operators.transcripts import boilerplate_turns
+
+    rows = [
+        # greeting repeated across 3 conversations (incl. twice in c1)
+        ("c1", 0, "assistant", "Hello! How can I help?", None, None),
+        ("c1", 5, "assistant", "Hello! How can I help?", None, None),
+        ("c2", 0, "assistant", "Hello! How can I help?", None, None),
+        ("c3", 0, "assistant", "Hello! How can I help?", None, None),
+        # unique content
+        ("c1", 1, "user", "summarize the report", None, None),
+        ("c2", 1, "user", "book a flight", None, None),
+        # repeated in only 2 convs -> below min_convs=3
+        ("c2", 2, "assistant", "Done.", None, None),
+        ("c3", 1, "assistant", "Done.", None, None),
+        # NULL / empty text never flagged
+        ("c3", 2, "tool", None, "search", None),
+        ("c1", 2, "user", "   ", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    )
+    out = {(r["conv_id"], r["turn_idx"]): (r["n_convs"], r["is_boilerplate"])
+           for r in boilerplate_turns(t, min_convs=3).collect()}
+    # every occurrence of the 3-conv greeting is flagged, incl. both in c1
+    assert out[("c1", 0)] == (3, True)
+    assert out[("c1", 5)] == (3, True)
+    assert out[("c2", 0)] == (3, True)
+    assert out[("c3", 0)] == (3, True)
+    # 2-conv repeat is kept
+    assert out[("c2", 2)] == (2, False)
+    assert out[("c3", 1)] == (2, False)
+    # unique and NULL/blank rows survive with n_convs 0/1
+    assert out[("c1", 1)] == (1, False)
+    assert out[("c3", 2)] == (0, False)
+    assert out[("c1", 2)] == (0, False)
+    assert len(out) == len(rows)
