@@ -1218,6 +1218,43 @@ def q_kg_predicate_signatures(spark, sf):
     )
 
 
+def q_kg_snapshot_diff(spark, sf):
+    """Crawl-over-crawl edge diff (kg/lifecycle.py snapshot_diff):
+    two overlapping snapshot slices of the gold triple fixture diff to
+    added/removed/retained edges with support deltas. Two map-side
+    aggregated groupBys + one full outer join, all on the uniform
+    (subj, pred, obj) key."""
+    from crfsuite_spark.kg.lifecycle import snapshot_diff
+
+    t = _gold_triples(spark)
+    old = t.where(F.col("conv_id") <= "conv_00012")
+    new = t.where(F.col("conv_id") >= "conv_00007")
+    return snapshot_diff(old, new)
+
+
+def q_kg_bcubed(spark, sf):
+    """B-cubed canonicalization-quality gate (kg/canonicalize.py
+    bcubed): surface-match clustering (cluster = lowercased mention
+    surface) evaluated against the gold canonical ids of the mention
+    fixture — precision dips where one surface is ambiguous, recall
+    where one entity has many aliases. The O(N²) pairwise metric runs
+    as ONE partial-aggregated contingency groupBy; the oracle replays
+    the contingency algebra in SQL."""
+    from crfsuite_spark.kg.canonicalize import bcubed
+
+    mentions, _ = _mining_fixtures(spark)
+    assign = mentions.select(
+        F.lower("surface").alias("cluster"), "canonical_id"
+    )
+    out = bcubed(assign)
+    return out.select(
+        "n_items",
+        F.round("b3_precision", 6).alias("b3_precision"),
+        F.round("b3_recall", 6).alias("b3_recall"),
+        F.round("b3_f1", 6).alias("b3_f1"),
+    )
+
+
 def _doubled_chat_corpus(spark, mutate: bool):
     """Rendered conversations ∪ a copy under '<id>_b' — exact copies
     (mutate=False) for exact dedup, one-token-appended copies
@@ -2634,6 +2671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_repeated_turns": q_tr_repeated_turns,
         "tr_boilerplate_turns": q_tr_boilerplate_turns,
         "kg_predicate_signatures": q_kg_predicate_signatures,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_bcubed": q_kg_bcubed,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
         "tr_curate_convs": q_tr_curate_convs,
         "tr_episode_stats": q_tr_episode_stats,
@@ -5613,6 +5652,48 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
             SELECT s.pred, s.subj_type, s.obj_type, s.n_triples, tot.n_pred,
                    ROUND(s.n_triples / tot.n_pred, 6) AS share
             FROM s JOIN tot ON s.pred = tot.pred
+        """,
+        "kg_snapshot_diff": f"""
+            WITH t AS (
+              SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            o AS (
+              SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n_old
+              FROM t WHERE conv_id <= 'conv_00012' GROUP BY 1, 2, 3),
+            n AS (
+              SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM t WHERE conv_id >= 'conv_00007' GROUP BY 1, 2, 3)
+            SELECT COALESCE(o.subj, n.subj) AS subj,
+                   COALESCE(o.pred, n.pred) AS pred,
+                   COALESCE(o.obj, n.obj) AS obj,
+                   CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
+                   CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+                   CASE WHEN COALESCE(o.n_old, 0) = 0 THEN 'added'
+                        WHEN COALESCE(n.n_new, 0) = 0 THEN 'removed'
+                        ELSE 'retained' END AS status,
+                   CAST(COALESCE(n.n_new, 0) - COALESCE(o.n_old, 0) AS BIGINT) AS delta
+            FROM o FULL OUTER JOIN n
+              ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+        """,
+        "kg_bcubed": f"""
+            WITH a AS (
+              SELECT lower(surface) AS p, canonical_id AS g
+              FROM read_parquet('{fixtures}/gold_mentions_synthetic.parquet')
+              WHERE surface IS NOT NULL AND canonical_id IS NOT NULL),
+            cells AS (
+              SELECT p, g, CAST(COUNT(*) AS DOUBLE) AS n
+              FROM a GROUP BY 1, 2),
+            ps AS (SELECT p, SUM(n) AS np FROM cells GROUP BY 1),
+            gs AS (SELECT g, SUM(n) AS ng FROM cells GROUP BY 1),
+            agg AS (
+              SELECT CAST(SUM(c.n) AS BIGINT) AS n_items,
+                     SUM(c.n * c.n / ps.np) / SUM(c.n) AS prec,
+                     SUM(c.n * c.n / gs.ng) / SUM(c.n) AS rec
+              FROM cells c JOIN ps USING (p) JOIN gs USING (g))
+            SELECT n_items,
+                   ROUND(prec, 6) AS b3_precision,
+                   ROUND(rec, 6) AS b3_recall,
+                   ROUND(2 * prec * rec / (prec + rec), 6) AS b3_f1
+            FROM agg
         """,
         "a2_feature_refs": """
             WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),

@@ -262,3 +262,52 @@ def resolve_functional(
         .agg(F.max_by(row, key).alias("__w"))
     )
     return won.select("__w.*")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Edge-level diff between two graph snapshots — the
+    crawl-over-crawl monitoring query (what did this ingest add,
+    retract, or re-weight). Both inputs are mention-level triple
+    frames; each aggregates to per-edge support first, then a single
+    full outer join on the (subj, pred, obj) key classifies every
+    edge:
+
+        status = 'added'    (new only)
+               | 'removed'  (old only)
+               | 'retained' (both; delta = support change)
+
+    Scale shape: two partial-aggregated groupBys on the uniform edge
+    key collapse mention multiplicity map-side, so the join sees edge
+    cardinality, not mention cardinality; the outer join shuffles on
+    the SAME key the aggregations just partitioned by, so AQE reuses
+    the partitioning. Output: (subj, pred, obj, n_old, n_new, status,
+    delta).
+    """
+    def support(df, name):
+        return df.groupBy(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    o = support(old, "n_old")
+    n = support(new, "n_new")
+    j = o.join(n, ["subj", "pred", "obj"], "full_outer")
+    n_old = F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint")
+    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint")
+    return j.select(
+        "subj", "pred", "obj",
+        n_old.alias("n_old"),
+        n_new.alias("n_new"),
+        F.when(n_old == 0, F.lit("added"))
+        .when(n_new == 0, F.lit("removed"))
+        .otherwise(F.lit("retained"))
+        .alias("status"),
+        (n_new - n_old).alias("delta"),
+    )

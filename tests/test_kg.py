@@ -533,3 +533,45 @@ def test_canonicalize_by_embedding(spark):
     assert got["b0"] == got["b1"] == "b0"
     assert got["solo"] == "solo"
     assert got["a0"] != got["b0"]
+
+
+def test_bcubed_matches_per_item_definition(spark):
+    """Contingency-form B³ equals the textbook per-item average on a
+    hand-built clustering with both an over-merge and an over-split."""
+    from crfsuite_spark.kg.canonicalize import bcubed
+
+    # pred cluster -> gold id per item; includes NULLs to be excluded
+    rows = [
+        ("p1", "g1"), ("p1", "g1"), ("p1", "g2"),   # over-merge
+        ("p2", "g2"),
+        ("p3", "g3"), ("p4", "g3"),                 # over-split
+        (None, "g1"), ("p5", None),
+    ]
+    df = spark.createDataFrame(rows, ["cluster", "canonical_id"])
+    got = bcubed(df).collect()[0]
+
+    items = [(p, g) for p, g in rows if p is not None and g is not None]
+    def prec_i(p, g):
+        same_p = [x for x in items if x[0] == p]
+        return sum(1 for x in same_p if x[1] == g) / len(same_p)
+    def rec_i(p, g):
+        same_g = [x for x in items if x[1] == g]
+        return sum(1 for x in same_g if x[0] == p) / len(same_g)
+    prec = sum(prec_i(*it) for it in items) / len(items)
+    rec = sum(rec_i(*it) for it in items) / len(items)
+    assert got["n_items"] == len(items)
+    assert got["b3_precision"] == pytest.approx(prec)
+    assert got["b3_recall"] == pytest.approx(rec)
+    assert got["b3_f1"] == pytest.approx(2 * prec * rec / (prec + rec))
+
+
+def test_bcubed_perfect_clustering_is_one(spark):
+    from crfsuite_spark.kg.canonicalize import bcubed
+
+    rows = [("a", "g1"), ("a", "g1"), ("b", "g2")]
+    got = bcubed(
+        spark.createDataFrame(rows, ["cluster", "canonical_id"])
+    ).collect()[0]
+    assert got["b3_precision"] == pytest.approx(1.0)
+    assert got["b3_recall"] == pytest.approx(1.0)
+    assert got["b3_f1"] == pytest.approx(1.0)

@@ -194,3 +194,25 @@ def test_lifecycle_plans_partial_aggregate_no_window(spark, mentions):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "partial_" in plan or "partial" in plan.lower(), plan
         assert "Window" not in plan, plan
+
+
+def test_snapshot_diff_statuses_and_support(spark):
+    from crfsuite_spark.kg.lifecycle import snapshot_diff
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    old = spark.createDataFrame([
+        ("c1", 1, "a", "knows", "b"),
+        ("c1", 2, "a", "knows", "b"),   # support 2 in old
+        ("c2", 1, "b", "knows", "c"),   # removed in new
+    ], cols)
+    new = spark.createDataFrame([
+        ("c3", 1, "a", "knows", "b"),   # support drops 2 -> 1
+        ("c3", 2, "c", "knows", "d"),   # added
+    ], cols)
+    got = {(r["subj"], r["pred"], r["obj"]):
+           (r["n_old"], r["n_new"], r["status"], r["delta"])
+           for r in snapshot_diff(old, new).collect()}
+    assert got[("a", "knows", "b")] == (2, 1, "retained", -1)
+    assert got[("b", "knows", "c")] == (1, 0, "removed", -1)
+    assert got[("c", "knows", "d")] == (0, 1, "added", 1)
+    assert len(got) == 3
