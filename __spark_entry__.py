@@ -1255,6 +1255,67 @@ def q_kg_bcubed(spark, sf):
     )
 
 
+def _calibration_frame(spark):
+    """Deterministic (confidence, correct) pairs both engines can
+    derive from the decode fixture: u = md5-fraction of the token,
+    correct ~ Bernoulli(u) via an independent md5 fraction — a
+    near-calibrated tagger with finite-sample gaps, exercising every
+    bin."""
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
+    toks = spark.read.parquet(
+        os.path.join(fixtures, "gold_decode_synthetic.parquet")
+    )
+    frac = lambda c: (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    return toks.select(
+        frac(F.col("token")).alias("marginal"),
+        (
+            frac(F.concat_ws("#", "token", "conv_id", F.col("token_idx").cast("string")))
+            < frac(F.col("token"))
+        ).alias("correct"),
+    )
+
+
+def q_crf_calibration(spark, sf):
+    """Tagger-confidence reliability diagram (operators/evaluate.py
+    calibration_report, Guo et al. 2017): equal-width bins over the
+    per-token Viterbi-marginal confidence vs empirical accuracy — the
+    gate for routing low-margin spans to review at scale. ONE
+    map-side-combined groupBy on the bounded bin key; the oracle
+    replays the binning over the same deterministic md5-derived
+    confidences."""
+    from crfsuite_spark.operators.evaluate import calibration_report
+
+    out = calibration_report(_calibration_frame(spark), "marginal",
+                             "correct", n_bins=10)
+    return out.select(
+        "bin", "n",
+        F.round("avg_conf", 6).alias("avg_conf"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("abs_gap", 6).alias("abs_gap"),
+    )
+
+
+def q_crf_calibration_ece(spark, sf):
+    """Expected calibration error scalar over the same reliability
+    bins: (n_tokens, ece, max_gap) — arithmetic on the ≤10-row bin
+    frame."""
+    from crfsuite_spark.operators.evaluate import (
+        expected_calibration_error,
+    )
+
+    out = expected_calibration_error(_calibration_frame(spark),
+                                     "marginal", "correct", n_bins=10)
+    return out.select(
+        "n_tokens",
+        F.round("ece", 6).alias("ece"),
+        F.round("max_gap", 6).alias("max_gap"),
+    )
+
+
 def _doubled_chat_corpus(spark, mutate: bool):
     """Rendered conversations ∪ a copy under '<id>_b' — exact copies
     (mutate=False) for exact dedup, one-token-appended copies
@@ -2673,6 +2734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_signatures": q_kg_predicate_signatures,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_bcubed": q_kg_bcubed,
+        "crf_calibration": q_crf_calibration,
+        "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
         "tr_curate_convs": q_tr_curate_convs,
         "tr_episode_stats": q_tr_episode_stats,
@@ -5694,6 +5757,49 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    ROUND(rec, 6) AS b3_recall,
                    ROUND(2 * prec * rec / (prec + rec), 6) AS b3_f1
             FROM agg
+        """,
+        "crf_calibration": f"""
+            WITH t AS (
+              SELECT ((('0x' || substr(md5(token), 1, 8))::BIGINT % 1000000)
+                      / 1000000.0) AS conf,
+                     ((('0x' || substr(md5(token || '#' || conv_id || '#'
+                                       || CAST(token_idx AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000) / 1000000.0)
+                     < ((('0x' || substr(md5(token), 1, 8))::BIGINT % 1000000)
+                        / 1000000.0) AS correct
+              FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')),
+            b AS (
+              SELECT LEAST(CAST(FLOOR(conf * 10) AS INTEGER), 9) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     AVG(conf) AS avg_conf,
+                     AVG(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy
+              FROM t WHERE conf IS NOT NULL GROUP BY 1)
+            SELECT bin, n,
+                   ROUND(avg_conf, 6) AS avg_conf,
+                   ROUND(accuracy, 6) AS accuracy,
+                   ROUND(ABS(accuracy - avg_conf), 6) AS abs_gap
+            FROM b
+        """,
+        "crf_calibration_ece": f"""
+            WITH t AS (
+              SELECT ((('0x' || substr(md5(token), 1, 8))::BIGINT % 1000000)
+                      / 1000000.0) AS conf,
+                     ((('0x' || substr(md5(token || '#' || conv_id || '#'
+                                       || CAST(token_idx AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000) / 1000000.0)
+                     < ((('0x' || substr(md5(token), 1, 8))::BIGINT % 1000000)
+                        / 1000000.0) AS correct
+              FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')),
+            b AS (
+              SELECT LEAST(CAST(FLOOR(conf * 10) AS INTEGER), 9) AS bin,
+                     COUNT(*) AS n,
+                     AVG(conf) AS avg_conf,
+                     AVG(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS accuracy
+              FROM t WHERE conf IS NOT NULL GROUP BY 1)
+            SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(n * ABS(accuracy - avg_conf)) / SUM(n), 6) AS ece,
+                   ROUND(MAX(ABS(accuracy - avg_conf)), 6) AS max_gap
+            FROM b
         """,
         "a2_feature_refs": """
             WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),

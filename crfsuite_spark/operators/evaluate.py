@@ -127,3 +127,56 @@ def set_prf(pred: DataFrame, gold: DataFrame, keys: list[str]) -> dict:
         "precision": precision, "recall": recall, "f1": f1,
         "n_pred": n_pred, "n_gold": n_gold, "n_correct": n_both,
     }
+
+
+def calibration_report(
+    df: DataFrame,
+    conf_col: str = "marginal",
+    correct_col: str = "correct",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram binning of per-token confidence against
+    correctness — the ECE protocol of Guo et al. 2017 applied to the
+    tagger's Viterbi-label marginal (K11, the confidence the reference
+    itself exposes via `Tagger::marginal`, crfsuite.hpp:540-591). A
+    trusted confidence lets a 100 TB pipeline route low-margin spans
+    to re-review instead of re-decoding everything; this query is the
+    gate that says whether the marginals can be trusted as
+    probabilities.
+
+    Bins are equal-width on [0, 1] (confidence 1.0 lands in the last
+    bin). Output per bin: (bin, n, avg_conf, accuracy, abs_gap).
+    Scale shape: ONE partial-aggregated groupBy on the bounded bin key
+    — the token stream collapses map-side into ≤ n_bins rows.
+    """
+    conf = F.col(conf_col).cast("double")
+    bin_ = F.least(
+        F.floor(conf * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    return (
+        df.where(conf.isNotNull())
+        .groupBy(bin_)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg(conf).alias("avg_conf"),
+            F.avg(F.col(correct_col).cast("double")).alias("accuracy"),
+        )
+        .withColumn("abs_gap", F.abs(F.col("accuracy") - F.col("avg_conf")))
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    conf_col: str = "marginal",
+    correct_col: str = "correct",
+    n_bins: int = 10,
+) -> DataFrame:
+    """ECE = Σ (n_b / N) · |accuracy_b − avg_conf_b| over the
+    reliability bins of :func:`calibration_report` — one scalar row
+    (n_tokens, ece, max_gap). Pure arithmetic on the ≤ n_bins frame."""
+    bins = calibration_report(df, conf_col, correct_col, n_bins)
+    return bins.agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        (F.sum(F.col("n") * F.col("abs_gap")) / F.sum("n")).alias("ece"),
+        F.max("abs_gap").alias("max_gap"),
+    )

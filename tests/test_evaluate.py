@@ -3,6 +3,7 @@ including specificity (R/evaluation.R:2-22) and instance-level accuracy
 (crfsuite.c:369-396), checked against hand-computed tables."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from crfsuite_spark.operators.evaluate import crf_evaluation, instance_accuracy
 
@@ -54,3 +55,78 @@ def test_instance_accuracy(labelled):
 def test_item_accuracy(labelled):
     ev = crf_evaluation(labelled, gold_col="gold", pred_col="pred")
     assert abs(ev["overall"]["accuracy"] - 4 / 7) < 1e-12
+
+
+def test_calibration_report_bins_and_ece(spark):
+    """Hand-built confidences: bin edges, last-bin inclusion of 1.0,
+    NULL exclusion, and the ECE/max-gap arithmetic."""
+    from crfsuite_spark.operators.evaluate import (
+        calibration_report,
+        expected_calibration_error,
+    )
+
+    rows = [
+        (0.05, True), (0.05, False),          # bin 0: conf .05, acc .5
+        (0.95, True), (0.95, True),           # bin 9: conf .95, acc 1.
+        (1.0, True),                          # conf 1.0 -> last bin
+        (0.10, False),                        # bin 1 boundary
+        (None, True),                         # excluded
+    ]
+    df = spark.createDataFrame(rows, "marginal double, correct boolean")
+    bins = {r["bin"]: r for r in
+            calibration_report(df, n_bins=10).collect()}
+    assert set(bins) == {0, 1, 9}
+    assert bins[0]["n"] == 2
+    assert bins[0]["avg_conf"] == pytest.approx(0.05)
+    assert bins[0]["accuracy"] == pytest.approx(0.5)
+    assert bins[0]["abs_gap"] == pytest.approx(0.45)
+    assert bins[1]["n"] == 1 and bins[1]["accuracy"] == 0.0
+    b9_conf = (0.95 + 0.95 + 1.0) / 3
+    assert bins[9]["n"] == 3
+    assert bins[9]["avg_conf"] == pytest.approx(b9_conf)
+    assert bins[9]["accuracy"] == pytest.approx(1.0)
+
+    ece = expected_calibration_error(df, n_bins=10).collect()[0]
+    assert ece["n_tokens"] == 6
+    expected = (2 * 0.45 + 1 * 0.10 + 3 * (1.0 - b9_conf)) / 6
+    assert ece["ece"] == pytest.approx(expected)
+    assert ece["max_gap"] == pytest.approx(0.45)
+
+
+def test_calibration_on_real_decode_marginals(spark, synth):
+    """End-to-end: train briefly, decode with marginals, and check the
+    report is well-formed over genuine tagger confidences (bins within
+    [0,1], counts add up, gaps consistent)."""
+    from crfsuite_spark.datagen.transcripts import to_spark
+    from crfsuite_spark.functions.tokenize import tokenize
+    from crfsuite_spark.functions.templates import cbind_attributes
+    from crfsuite_spark.train.trainer import train_crf
+    from crfsuite_spark.decode.tagger import decode
+    from crfsuite_spark.operators.evaluate import calibration_report
+
+    dfs = to_spark(spark, synth)
+    toks = tokenize(dfs["transcripts"]).join(
+        dfs["tokens"].select("conv_id", "turn_idx", "token_idx", "label"),
+        ["conv_id", "turn_idx", "token_idx"],
+    )
+    feat = cbind_attributes(toks, ["token", "pos"],
+                            ["conv_id", "turn_idx"], "token_idx")
+    m = train_crf(feat, ["conv_id", "turn_idx"], "token_idx",
+                  max_iterations=10)
+    dec = decode(feat, m, ["conv_id", "turn_idx"], "token_idx",
+                 with_marginal=True)
+    scored = dec.join(
+        toks.select("conv_id", "turn_idx", "token_idx",
+                    F.col("label").alias("gold")),
+        ["conv_id", "turn_idx", "token_idx"],
+    ).select(
+        F.col("marginal"),
+        (F.col("label") == F.col("gold")).alias("correct"),
+    )
+    rep = calibration_report(scored, n_bins=10).collect()
+    assert sum(r["n"] for r in rep) == scored.count()
+    for r in rep:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["avg_conf"] <= 1.0
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["abs_gap"] == pytest.approx(abs(r["accuracy"] - r["avg_conf"]))
