@@ -2178,6 +2178,39 @@ def q_kg_asof_snapshot(spark, sf):
     return snapshot_asof(_gold_triples_ts(spark), "2025-06-29 00:00:00")
 
 
+def q_kg_temporal_conflicts(spark, sf):
+    """Temporal-validity conflict detection (kg/lifecycle.py
+    temporal_conflicts): functional-predicate object pairs whose
+    validity intervals overlap — contradictory facts for the same
+    wall-clock period that no resolution policy can fix. One map-side
+    aggregated groupBy to edge grain, then an interval-overlap
+    self-join on the (subj, pred) key at edge cardinality."""
+    from crfsuite_spark.kg.lifecycle import temporal_conflicts
+
+    return temporal_conflicts(
+        _gold_triples_ts(spark), ["located_in", "works_at"]
+    )
+
+
+def q_kg_entity_salience(spark, sf):
+    """Per-conversation entity salience (kg/graph.py entity_salience):
+    TF-ICF over the linked mention stream plus first-mention position
+    and turn spread. One partial-aggregated groupBy on (conv, entity);
+    conversation totals aggregate the AGGREGATE; the entity
+    conversation-frequency table and the 1-row N_convs aggregate are
+    broadcast back."""
+    from crfsuite_spark.kg.graph import entity_salience
+
+    mentions, _ = _mining_fixtures(spark)
+    out = entity_salience(mentions)
+    return out.select(
+        "conv_id", "entity", "n_mentions", "first_turn", "n_turns",
+        F.round("tf", 6).alias("tf"),
+        F.round("icf", 6).alias("icf"),
+        F.round("salience", 6).alias("salience"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -2734,6 +2767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_signatures": q_kg_predicate_signatures,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_bcubed": q_kg_bcubed,
+        "kg_temporal_conflicts": q_kg_temporal_conflicts,
+        "kg_entity_salience": q_kg_entity_salience,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4031,6 +4066,53 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    min(ts) AS first_seen, max(ts) AS last_seen
             FROM t WHERE ts <= TIMESTAMP '2025-06-29 00:00:00'
             GROUP BY subj, pred, obj
+        """,
+        "kg_temporal_conflicts": f"""
+            WITH t AS (
+              SELECT g.*, s.ts
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx)),
+            e AS (
+              SELECT subj, pred, obj,
+                     CAST(count(*) AS BIGINT) AS support,
+                     min(ts) AS first_seen, max(ts) AS last_seen
+              FROM t WHERE pred IN ('located_in', 'works_at')
+              GROUP BY subj, pred, obj)
+            SELECT a.subj, a.pred,
+                   a.obj AS obj_a, b.obj AS obj_b,
+                   a.support AS a_support, b.support AS b_support,
+                   a.first_seen AS a_first, a.last_seen AS a_last,
+                   b.first_seen AS b_first, b.last_seen AS b_last,
+                   greatest(a.first_seen, b.first_seen) AS overlap_from,
+                   least(a.last_seen, b.last_seen) AS overlap_to
+            FROM e a JOIN e b
+              ON a.subj = b.subj AND a.pred = b.pred AND a.obj < b.obj
+             AND a.first_seen <= b.last_seen AND b.first_seen <= a.last_seen
+        """,
+        "kg_entity_salience": f"""
+            WITH m AS (
+              SELECT conv_id, canonical_id AS entity, turn_idx
+              FROM read_parquet('{fixtures}/gold_mentions_synthetic.parquet')),
+            per AS (
+              SELECT conv_id, entity,
+                     CAST(count(*) AS BIGINT) AS n_mentions,
+                     min(turn_idx) AS first_turn,
+                     count(DISTINCT turn_idx) AS n_turns
+              FROM m GROUP BY conv_id, entity),
+            ct AS (SELECT conv_id, sum(n_mentions) AS cm FROM per GROUP BY conv_id),
+            ed AS (SELECT entity, CAST(count(*) AS BIGINT) AS df FROM per GROUP BY entity),
+            n AS (SELECT count(DISTINCT conv_id) AS nc FROM per)
+            SELECT per.conv_id, per.entity, per.n_mentions, per.first_turn,
+                   per.n_turns,
+                   round(per.n_mentions * 1.0 / ct.cm, 6) AS tf,
+                   round(ln(n.nc * 1.0 / ed.df), 6) AS icf,
+                   round((per.n_mentions * 1.0 / ct.cm)
+                         * ln(n.nc * 1.0 / ed.df), 6) AS salience
+            FROM per
+            JOIN ct USING (conv_id)
+            JOIN ed USING (entity)
+            CROSS JOIN n
         """,
         "kg_connected_components": f"""
             WITH RECURSIVE

@@ -730,3 +730,69 @@ def predicate_signatures(
         "pred", "subj_type", "obj_type", "n_triples", "n_pred",
         (F.col("n_triples") / F.col("n_pred")).alias("share"),
     )
+
+
+def entity_salience(
+    mentions: DataFrame,
+    conv: str = "conv_id",
+    entity: str = "canonical_id",
+    turn: str = "turn_idx",
+) -> DataFrame:
+    """Per-(conversation, entity) salience over the linked mention
+    stream: TF-ICF (term-frequency × inverse-CONVERSATION-frequency,
+    the entity-level analogue of tf-idf — Dunietz & Gillick 2014 use
+    the same frequency/position family for salient-entity detection):
+
+        tf(c, e)  = mentions of e in c / total mentions in c
+        icf(e)    = ln(N_convs / convs containing e)
+        salience  = tf · icf
+
+    plus the positional evidence a ranker wants alongside it:
+    ``first_turn`` (earlier first mention ⇒ more salient) and
+    ``n_turns`` (spread — how many distinct turns mention it).
+    Globally-ubiquitous entities (the assistant's own name, a hub org)
+    get icf ≈ 0 and rank below conversation-specific entities even
+    with high counts; :func:`pagerank` with ``seeds`` answers the
+    complementary GRAPH-side salience question.
+
+    Scale shape: one partial-aggregated groupBy on the uniform
+    (conv, entity) key does the heavy collapse; conversation totals
+    are a second groupBy OF THE AGGREGATE (edge cardinality, not
+    mention cardinality); the entity document-frequency table is
+    entity-cardinality (vocabulary-sized) and broadcast; N_convs is a
+    1-row aggregate crossJoin-broadcast back — no driver scalar, no
+    window, nothing non-deterministic under AQE retries.
+    """
+    per = mentions.groupBy(
+        F.col(conv).alias("conv_id"), F.col(entity).alias("entity")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mentions"),
+        F.min(turn).alias("first_turn"),
+        F.countDistinct(turn).alias("n_turns"),
+    )
+    conv_tot = per.groupBy("conv_id").agg(
+        F.sum("n_mentions").alias("__conv_mentions")
+    )
+    ent_df = per.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    n_convs = per.select("conv_id").agg(
+        F.countDistinct("conv_id").alias("__n")
+    )
+    tf = F.col("n_mentions") / F.col("__conv_mentions")
+    icf = F.log(F.col("__n") / F.col("__df"))
+    return (
+        per.join(conv_tot, "conv_id")
+        .join(F.broadcast(ent_df), "entity")
+        .crossJoin(F.broadcast(n_convs))
+        .select(
+            "conv_id",
+            "entity",
+            "n_mentions",
+            "first_turn",
+            "n_turns",
+            tf.alias("tf"),
+            icf.alias("icf"),
+            (tf * icf).alias("salience"),
+        )
+    )

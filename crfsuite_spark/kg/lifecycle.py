@@ -311,3 +311,78 @@ def snapshot_diff(
         .alias("status"),
         (n_new - n_old).alias("delta"),
     )
+
+
+def temporal_conflicts(
+    triples: DataFrame,
+    functional_preds: Sequence[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal-validity conflict detection for FUNCTIONAL predicates:
+    pairs of DIFFERENT objects for the same (subj, pred) whose
+    observed validity intervals [first_seen, last_seen] OVERLAP.
+
+    :func:`resolve_functional` picks a single current belief;
+    ``kg/validate.py`` reports that two objects exist at all. This
+    sits between them: two objects are fine if their support is
+    temporally disjoint (Alice worked at Acme, THEN at Globex — a
+    valid history), but overlapping intervals mean the transcripts
+    assert contradictory facts for the same wall-clock period, which
+    no resolution policy can paper over — that's an upstream
+    extraction or linking error to triage.
+
+    Output, one row per conflicting unordered object pair
+    (canonical order ``obj_a < obj_b``):
+    (subj, pred, obj_a, obj_b, a_support, b_support,
+    a_first, a_last, b_first, b_last, overlap_from, overlap_to)
+    where overlap_from/to = the intersection of the two intervals.
+
+    Scale shape: one partial-aggregated groupBy on the edge key
+    collapses mention multiplicity map-side FIRST, so the self-join
+    sees edge cardinality (distinct objects per subject — small by
+    the functional assumption), never mention cardinality; the join
+    key (subj, pred) is the key the aggregation just partitioned by,
+    so AQE reuses the exchange. The ``obj_a < obj_b`` predicate halves
+    the pair space and makes the report deterministic.
+    """
+    edges = (
+        triples.where(F.col("pred").isin(list(functional_preds)))
+        .groupBy(*EDGE_KEY)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("support"),
+            F.min(ts_col).alias("first_seen"),
+            F.max(ts_col).alias("last_seen"),
+        )
+    )
+    a = edges.alias("a")
+    b = edges.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.subj") == F.col("b.subj"),
+                F.col("a.pred") == F.col("b.pred"),
+                F.col("a.obj") < F.col("b.obj"),
+                F.col("a.first_seen") <= F.col("b.last_seen"),
+                F.col("b.first_seen") <= F.col("a.last_seen"),
+            ],
+        )
+        .select(
+            F.col("a.subj").alias("subj"),
+            F.col("a.pred").alias("pred"),
+            F.col("a.obj").alias("obj_a"),
+            F.col("b.obj").alias("obj_b"),
+            F.col("a.support").alias("a_support"),
+            F.col("b.support").alias("b_support"),
+            F.col("a.first_seen").alias("a_first"),
+            F.col("a.last_seen").alias("a_last"),
+            F.col("b.first_seen").alias("b_first"),
+            F.col("b.last_seen").alias("b_last"),
+            F.greatest(F.col("a.first_seen"), F.col("b.first_seen")).alias(
+                "overlap_from"
+            ),
+            F.least(F.col("a.last_seen"), F.col("b.last_seen")).alias(
+                "overlap_to"
+            ),
+        )
+    )

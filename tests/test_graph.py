@@ -553,3 +553,59 @@ def test_predicate_signatures_profile(spark):
     # id without a type prefix profiles as the empty type, not a crash
     assert got[("based_in", "", "loc")] == (1, 2, pytest.approx(0.5))
     assert len(got) == 4
+
+
+def test_entity_salience_matches_hand_computation(spark):
+    """Exact TF-ICF values against a hand-built mention stream, and
+    the contracts: ubiquitous entity gets icf == 0; salience ranks a
+    conversation-specific entity above the ubiquitous one even at
+    equal counts; first_turn / n_turns carry position evidence."""
+    import math
+
+    from crfsuite_spark.kg.graph import entity_salience
+
+    cols = ["conv_id", "canonical_id", "turn_idx"]
+    rows = [
+        # 'hub' appears in ALL 3 convs -> icf = ln(3/3) = 0
+        ("c1", "hub", 0), ("c1", "hub", 2),
+        ("c2", "hub", 1),
+        ("c3", "hub", 0),
+        # 'rare' only in c1, mentioned twice in the same turn
+        ("c1", "rare", 1), ("c1", "rare", 1),
+        # 'mid' in two convs
+        ("c2", "mid", 0), ("c3", "mid", 5),
+    ]
+    got = {
+        (r["conv_id"], r["entity"]): r
+        for r in entity_salience(spark.createDataFrame(rows, cols)).collect()
+    }
+    assert len(got) == 6
+    r = got[("c1", "rare")]
+    assert (r["n_mentions"], r["first_turn"], r["n_turns"]) == (2, 1, 1)
+    assert r["tf"] == pytest.approx(2 / 4)           # 4 mentions in c1
+    assert r["icf"] == pytest.approx(math.log(3 / 1))
+    assert r["salience"] == pytest.approx(0.5 * math.log(3.0))
+    h = got[("c1", "hub")]
+    assert (h["n_mentions"], h["first_turn"], h["n_turns"]) == (2, 0, 2)
+    assert h["icf"] == pytest.approx(0.0)
+    # equal counts (2 each in c1) but rare is conversation-specific
+    assert r["salience"] > h["salience"]
+    m = got[("c3", "mid")]
+    assert m["tf"] == pytest.approx(1 / 2)           # c3 has 2 mentions
+    assert m["icf"] == pytest.approx(math.log(3 / 2))
+
+
+def test_entity_salience_plan_broadcasts_small_sides(spark):
+    """The entity-frequency and N_convs sides broadcast; the mention
+    aggregation is partial (map-side combined); no Window sort."""
+    from crfsuite_spark.kg.graph import entity_salience
+
+    df = spark.createDataFrame(
+        [("c1", "e1", 0)], ["conv_id", "canonical_id", "turn_idx"]
+    )
+    plan = (
+        entity_salience(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial" in plan.lower(), plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan

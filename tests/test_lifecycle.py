@@ -216,3 +216,66 @@ def test_snapshot_diff_statuses_and_support(spark):
     assert got[("b", "knows", "c")] == (1, 0, "removed", -1)
     assert got[("c", "knows", "d")] == (0, 1, "added", 1)
     assert len(got) == 3
+
+
+def test_temporal_conflicts_overlap_semantics(spark):
+    """Conflicts fire ONLY for overlapping intervals of different
+    objects under a functional predicate; a disjoint succession
+    (valid history) and non-functional predicates never flag."""
+    from crfsuite_spark.kg.lifecycle import temporal_conflicts
+
+    d = datetime.datetime
+    cols = ["subj", "pred", "obj", "ts"]
+    rows = [
+        # overlapping contradiction: acme [Jan, Mar], globex [Feb, Apr]
+        ("per:a", "works_at", "org:acme", d(2025, 1, 1)),
+        ("per:a", "works_at", "org:acme", d(2025, 3, 1)),
+        ("per:a", "works_at", "org:globex", d(2025, 2, 1)),
+        ("per:a", "works_at", "org:globex", d(2025, 4, 1)),
+        # disjoint succession: hooli [Jan, Feb] then initech [Mar, Apr]
+        ("per:b", "works_at", "org:hooli", d(2025, 1, 1)),
+        ("per:b", "works_at", "org:hooli", d(2025, 2, 1)),
+        ("per:b", "works_at", "org:initech", d(2025, 3, 1)),
+        ("per:b", "works_at", "org:initech", d(2025, 4, 1)),
+        # non-functional predicate: overlap is fine, must not flag
+        ("per:a", "visited", "loc:paris", d(2025, 1, 1)),
+        ("per:a", "visited", "loc:rome", d(2025, 1, 15)),
+    ]
+    got = temporal_conflicts(
+        spark.createDataFrame(rows, cols), ["works_at"]
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["subj"], r["pred"]) == ("per:a", "works_at")
+    assert (r["obj_a"], r["obj_b"]) == ("org:acme", "org:globex")
+    assert (r["a_support"], r["b_support"]) == (2, 2)
+    # intersection of [Jan1,Mar1] and [Feb1,Apr1] is [Feb1,Mar1]
+    assert r["overlap_from"] == d(2025, 2, 1)
+    assert r["overlap_to"] == d(2025, 3, 1)
+    # touching endpoints count as overlap (closed intervals)
+    touch = [
+        ("per:c", "works_at", "org:x", d(2025, 1, 1)),
+        ("per:c", "works_at", "org:y", d(2025, 1, 1)),
+    ]
+    got2 = temporal_conflicts(
+        spark.createDataFrame(touch, cols), ["works_at"]
+    ).collect()
+    assert len(got2) == 1 and got2[0]["overlap_from"] == got2[0]["overlap_to"]
+
+
+def test_temporal_conflicts_plan_shape(spark):
+    """Edge aggregation is partial (map-side combined) and the overlap
+    report never plans a Window sort."""
+    from crfsuite_spark.kg.lifecycle import temporal_conflicts
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [("per:a", "works_at", "org:acme", d(2025, 1, 1))],
+        ["subj", "pred", "obj", "ts"],
+    )
+    plan = (
+        temporal_conflicts(df, ["works_at"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial" in plan.lower(), plan
+    assert "Window" not in plan, plan
