@@ -2211,6 +2211,52 @@ def q_kg_entity_salience(spark, sf):
     )
 
 
+def q_kg_comention_pmi(spark, sf):
+    """PMI/NPMI-weighted co-mention relatedness (kg/graph.py
+    comention_pmi): pair counts from the scope-local HOF expansion
+    (no quadratic shuffle), entity scope-counts broadcast back,
+    N_scopes a 1-row crossJoin — hub entities stop dominating the
+    relatedness ranking."""
+    from crfsuite_spark.kg.graph import comention_pmi
+
+    out = comention_pmi(_gold_triples(spark))
+    return out.select(
+        "entity_a", "entity_b", "n_scopes", "n_a", "n_b",
+        F.round("pmi", 6).alias("pmi"),
+        F.round("npmi", 6).alias("npmi"),
+    )
+
+
+def q_kg_clustering_coeff(spark, sf):
+    """Per-entity local clustering coefficient (kg/graph.py
+    local_clustering; Watts-Strogatz): canonical a<b<c triangle join
+    unpivoted to corners + one degree groupBy — node-level cliquishness
+    for canonicalization triage."""
+    from crfsuite_spark.kg.graph import local_clustering
+
+    out = local_clustering(_gold_triples(spark))
+    return out.select(
+        "entity", "degree", "n_triangles",
+        F.round("clustering", 6).alias("clustering"),
+    )
+
+
+def q_kg_decayed_support(spark, sf):
+    """Recency-decayed edge support (kg/lifecycle.py decayed_support):
+    half-life-weighted mention sum per edge at a fixed cutoff — the
+    continuous current-belief score; decay weight is a scan-side
+    Column expression, the sum one map-side-combined groupBy."""
+    from crfsuite_spark.kg.lifecycle import decayed_support
+
+    out = decayed_support(
+        _gold_triples_ts(spark), "2025-08-01 00:00:00", half_life_days=30.0
+    )
+    return out.select(
+        "subj", "pred", "obj", "n_mentions", "last_seen",
+        F.round("decayed_support", 6).alias("decayed_support"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -2769,6 +2815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bcubed": q_kg_bcubed,
         "kg_temporal_conflicts": q_kg_temporal_conflicts,
         "kg_entity_salience": q_kg_entity_salience,
+        "kg_comention_pmi": q_kg_comention_pmi,
+        "kg_clustering_coeff": q_kg_clustering_coeff,
+        "kg_decayed_support": q_kg_decayed_support,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4089,6 +4138,76 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
             FROM e a JOIN e b
               ON a.subj = b.subj AND a.pred = b.pred AND a.obj < b.obj
              AND a.first_seen <= b.last_seen AND b.first_seen <= a.last_seen
+        """,
+        "kg_comention_pmi": f"""
+            WITH t AS (
+              SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            m AS (
+              SELECT DISTINCT conv_id AS s, subj AS entity FROM t
+              UNION
+              SELECT DISTINCT conv_id AS s, obj AS entity FROM t),
+            p AS (
+              SELECT x.entity AS entity_a, y.entity AS entity_b,
+                     CAST(count(*) AS BIGINT) AS n_scopes
+              FROM m x JOIN m y ON x.s = y.s AND x.entity < y.entity
+              GROUP BY 1, 2),
+            ec AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_ent
+                   FROM m GROUP BY entity),
+            n AS (SELECT count(DISTINCT s) AS nn FROM m)
+            SELECT p.entity_a, p.entity_b, p.n_scopes,
+                   ea.n_ent AS n_a, eb.n_ent AS n_b,
+                   round(ln(n.nn * 1.0 * p.n_scopes / (ea.n_ent * eb.n_ent)), 6) AS pmi,
+                   round(CASE WHEN p.n_scopes = n.nn THEN 1.0
+                         ELSE ln(n.nn * 1.0 * p.n_scopes / (ea.n_ent * eb.n_ent))
+                              / ln(n.nn * 1.0 / p.n_scopes) END, 6) AS npmi
+            FROM p
+            JOIN ec ea ON ea.entity = p.entity_a
+            JOIN ec eb ON eb.entity = p.entity_b
+            CROSS JOIN n
+        """,
+        "kg_clustering_coeff": f"""
+            WITH t AS (
+              SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            e AS (
+              SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+              FROM t WHERE subj <> obj),
+            deg AS (
+              SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS entity FROM e UNION ALL SELECT b AS entity FROM e)
+              GROUP BY entity),
+            tri AS (
+              SELECT e1.a, e1.b, e2.b AS c
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (
+              SELECT entity, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                SELECT a AS entity FROM tri
+                UNION ALL SELECT b AS entity FROM tri
+                UNION ALL SELECT c AS entity FROM tri)
+              GROUP BY entity)
+            SELECT deg.entity, deg.degree,
+                   CAST(COALESCE(corners.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   round(CASE WHEN deg.degree < 2 THEN 0.0
+                         ELSE 2.0 * COALESCE(corners.n_triangles, 0)
+                              / (deg.degree * (deg.degree - 1)) END, 6) AS clustering
+            FROM deg LEFT JOIN corners USING (entity)
+        """,
+        "kg_decayed_support": f"""
+            WITH t AS (
+              SELECT g.*, s.ts
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx))
+            SELECT subj, pred, obj,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   max(ts) AS last_seen,
+                   round(sum(power(2.0,
+                     -((date_part('epoch', TIMESTAMP '2025-08-01 00:00:00')
+                        - date_part('epoch', ts)) / 86400.0) / 30.0)), 6)
+                     AS decayed_support
+            FROM t WHERE ts <= TIMESTAMP '2025-08-01 00:00:00'
+            GROUP BY subj, pred, obj
         """,
         "kg_entity_salience": f"""
             WITH m AS (

@@ -796,3 +796,135 @@ def entity_salience(
             (tf * icf).alias("salience"),
         )
     )
+
+
+def comention_pmi(
+    triples: DataFrame,
+    scope: str = "conv_id",
+    subj: str = "subj",
+    obj: str = "obj",
+    max_entities_per_scope: int | None = 1000,
+    min_pair_scopes: int = 1,
+) -> DataFrame:
+    """PMI/NPMI-weighted co-mention graph: (entity_a, entity_b,
+    n_scopes, n_a, n_b, pmi, npmi) — :func:`comention_edges` counts
+    re-weighted by pointwise mutual information (Church & Hanks 1990)
+    so hub entities that co-occur with everything by sheer frequency
+    stop dominating entity-relatedness ranking:
+
+        pmi  = ln( N · c_ab / (c_a · c_b) )
+        npmi = pmi / ln(N / c_ab)          (Bouma 2009; 1.0 when
+                                            c_ab == N — always-together
+                                            pairs, denominator 0)
+
+    with N = scopes containing ≥1 entity, c_x = scopes containing x,
+    c_ab = scopes containing both.
+
+    Scale shape: pair counts come from :func:`comention_edges`
+    (pairs expand INSIDE each scope row — the shuffle never carries
+    the quadratic stream); per-entity scope counts are one
+    partial-aggregated groupBy of the same distinct (scope, entity)
+    frame and join back BROADCAST (entity cardinality = vocabulary,
+    not mentions); N is a 1-row aggregate crossJoin-broadcast back.
+    ``min_pair_scopes`` prunes the noisy singleton-pair tail before
+    the joins (PMI on c_ab=1 is the classic rare-pair artifact)."""
+    m = (
+        triples.select(F.col(scope).alias("s"), F.col(subj).alias("entity"))
+        .unionByName(
+            triples.select(F.col(scope).alias("s"), F.col(obj).alias("entity"))
+        )
+        .distinct()
+    )
+    pairs = comention_edges(
+        triples, scope=scope, subj=subj, obj=obj,
+        max_entities_per_scope=max_entities_per_scope,
+    ).where(F.col("n_scopes") >= min_pair_scopes)
+    ent = m.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ent")
+    )
+    n = m.select(F.countDistinct("s").alias("__n"))
+    pmi = F.log(
+        F.col("__n") * F.col("n_scopes") / (F.col("n_a") * F.col("n_b"))
+    )
+    npmi = F.when(F.col("n_scopes") == F.col("__n"), F.lit(1.0)).otherwise(
+        pmi / F.log(F.col("__n") / F.col("n_scopes"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(ent.select(F.col("entity").alias("entity_a"),
+                                   F.col("n_ent").alias("n_a"))),
+            "entity_a",
+        )
+        .join(
+            F.broadcast(ent.select(F.col("entity").alias("entity_b"),
+                                   F.col("n_ent").alias("n_b"))),
+            "entity_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "entity_a", "entity_b", "n_scopes", "n_a", "n_b",
+            pmi.alias("pmi"), npmi.alias("npmi"),
+        )
+    )
+
+
+def local_clustering(
+    triples: DataFrame, subj: str = "subj", obj: str = "obj"
+) -> DataFrame:
+    """Per-entity local clustering coefficient over the undirected
+    distinct edge set: (entity, degree, n_triangles, clustering) with
+
+        clustering(v) = 2·T(v) / (deg(v)·(deg(v)−1)),  0 when deg < 2
+
+    (Watts & Strogatz 1998) — the node-level companion to
+    :func:`triangle_count`'s global scalar; low clustering at high
+    degree flags hub/bridge entities, high clustering flags cliquish
+    communities worth collapsing during canonicalization triage.
+
+    Scale shape: same canonically-oriented (a < b < c) 2-path +
+    closing-edge join as :func:`triangle_count` — each triangle
+    materializes ONCE, then unpivots to its three corners and
+    aggregates per entity (partial-aggregated, uniform entity key);
+    degrees are one groupBy over the symmetrized edge list. The
+    2-path join is the cost center, same AQE-skew-split / degree-cap
+    mitigation story as triangle_count. Isolated directions (deg < 2)
+    emit clustering 0.0, not NULL, so downstream ranking needs no
+    null guard."""
+    e = (
+        triples.select(F.col(subj).alias("x"), F.col(obj).alias("y"))
+        .where(F.col(subj) != F.col(obj))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("entity"))
+        .unionByName(e.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = (
+        e.join(e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+        .join(e.select("a", F.col("b").alias("c")), ["a", "c"])
+    )
+    corners = (
+        tri.select(F.col("a").alias("entity"))
+        .unionByName(tri.select(F.col("b").alias("entity")))
+        .unionByName(tri.select(F.col("c").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return deg.join(corners, "entity", "left").select(
+        "entity",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+            "n_triangles"
+        ),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1))
+        )
+        .alias("clustering"),
+    )

@@ -386,3 +386,50 @@ def temporal_conflicts(
             ),
         )
     )
+
+
+def decayed_support(
+    triples: DataFrame,
+    as_of,
+    half_life_days: float = 30.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Recency-decayed edge support: each mention contributes
+    ``2^(-age/half_life)`` (age measured back from ``as_of``), summed
+    per edge — the standard exponential-decay freshness score that
+    makes "current belief" ranking continuous instead of the hard
+    (support, recency) lexicographic order
+    :func:`resolve_functional` uses. A fact asserted 50× last year
+    can lose to one asserted 5× this week, with ``half_life_days``
+    the explicit trade dial.
+
+    Mentions AFTER the cutoff are excluded (same no-leakage contract
+    as :func:`snapshot_asof` — the comparison pushes down to the
+    mention scan and prunes time partitions). Output: (subj, pred,
+    obj, n_mentions, last_seen, decayed_support).
+
+    Scale shape: the decay weight is a pure Column expression on the
+    scan side, and the sum is the same ONE map-side-combined groupBy
+    on the edge key as every lifecycle aggregate — decay never forces
+    a second pass, because ``sum(2^(-(T-t)/h))`` is associative like
+    any sum. (The alternative event-sourcing trick — accumulate
+    ``2^(t/h)`` unanchored and normalize by ``2^(T/h)`` at read time —
+    lets a STANDING table be maintained incrementally and re-anchored
+    to any T without rescanning; at transcript time spans the
+    unanchored exponent stays well inside double range, but we keep
+    the anchored form here for readability since the cutoff rescan is
+    partition-pruned anyway.)"""
+    age_days = (
+        F.unix_timestamp(F.lit(as_of).cast("timestamp"))
+        - F.unix_timestamp(F.col(ts_col))
+    ) / F.lit(86400.0)
+    w = F.pow(F.lit(2.0), -age_days / F.lit(float(half_life_days)))
+    return (
+        triples.where(F.col(ts_col) <= F.lit(as_of).cast("timestamp"))
+        .groupBy(*EDGE_KEY)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_mentions"),
+            F.max(ts_col).alias("last_seen"),
+            F.sum(w).alias("decayed_support"),
+        )
+    )

@@ -609,3 +609,64 @@ def test_entity_salience_plan_broadcasts_small_sides(spark):
     assert "partial" in plan.lower(), plan
     assert "BroadcastExchange" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_comention_pmi_hand_values(spark):
+    """PMI/NPMI against hand arithmetic on a 3-scope fixture, incl.
+    the always-together npmi=1.0 branch and the hub-demotion contract
+    (frequent hub pair ranks below exclusive pair under npmi)."""
+    import math
+
+    from crfsuite_spark.kg.graph import comention_pmi
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    rows = [
+        # c1: hub-x, hub-y, rare-p, rare-q   c2: hub-x, hub-y
+        # c3: hub-x (alone with y)           -> N = 3 scopes
+        ("c1", 0, "x", "r", "y"), ("c1", 1, "p", "r", "q"),
+        ("c2", 0, "x", "r", "y"),
+        ("c3", 0, "x", "r", "y"),
+    ]
+    got = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in comention_pmi(spark.createDataFrame(rows, cols)).collect()
+    }
+    # x,y in all 3 scopes -> pmi = ln(3*3/(3*3)) = 0, npmi = 1.0 branch
+    xy = got[("x", "y")]
+    assert (xy["n_scopes"], xy["n_a"], xy["n_b"]) == (3, 3, 3)
+    assert xy["pmi"] == pytest.approx(0.0)
+    assert xy["npmi"] == pytest.approx(1.0)
+    # p,q exclusive pair: pmi = ln(3*1/(1*1)) = ln 3,
+    # npmi = ln3 / ln(3/1) = 1.0
+    pq = got[("p", "q")]
+    assert pq["pmi"] == pytest.approx(math.log(3.0))
+    assert pq["npmi"] == pytest.approx(1.0)
+    # p,x share only c1: pmi = ln(3*1/(1*3)) = 0; npmi = 0
+    px = got[("p", "x")]
+    assert px["pmi"] == pytest.approx(0.0)
+    assert px["npmi"] == pytest.approx(0.0)
+
+
+def test_local_clustering_triangle_plus_pendant(spark):
+    """Known graph: triangle a-b-c plus pendant c-d. Exact degrees,
+    per-node triangle counts, and Watts-Strogatz coefficients
+    (deg<2 -> 0.0, never NULL)."""
+    from crfsuite_spark.kg.graph import local_clustering
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    rows = [
+        ("c", 0, "a", "r", "b"),
+        ("c", 1, "b", "r", "c"),
+        ("c", 2, "c", "r", "a"),     # reversed orientation still one edge
+        ("c", 3, "c", "r", "d"),
+        ("c", 4, "a", "r", "b"),     # duplicate mention, edge set unchanged
+    ]
+    got = {
+        r["entity"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in local_clustering(spark.createDataFrame(rows, cols)).collect()
+    }
+    assert got["a"] == (2, 1, pytest.approx(1.0))
+    assert got["b"] == (2, 1, pytest.approx(1.0))
+    assert got["c"][:2] == (3, 1)
+    assert got["c"][2] == pytest.approx(1 / 3)
+    assert got["d"] == (1, 0, pytest.approx(0.0))

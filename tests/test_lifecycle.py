@@ -279,3 +279,36 @@ def test_temporal_conflicts_plan_shape(spark):
     )
     assert "partial" in plan.lower(), plan
     assert "Window" not in plan, plan
+
+
+def test_decayed_support_half_life_arithmetic(spark):
+    """Exact 2^(-age/half_life) sums, cutoff exclusion (no post-as_of
+    leakage into weight OR last_seen), and the recency contract: a
+    fresh minority fact out-scores a stale majority one."""
+    from crfsuite_spark.kg.lifecycle import decayed_support
+
+    d = datetime.datetime
+    cols = ["subj", "pred", "obj", "ts"]
+    as_of = d(2025, 8, 1)
+    rows = [
+        # stale: 3 mentions exactly 60 days old -> 3 * 2^-2 = 0.75
+        *[("per:a", "works_at", "org:old", d(2025, 6, 2))] * 3,
+        # fresh: 1 mention exactly 0 days old -> 2^0 = 1.0
+        ("per:a", "works_at", "org:new", d(2025, 8, 1)),
+        # post-cutoff mention must not count at all
+        ("per:a", "works_at", "org:new", d(2025, 9, 1)),
+    ]
+    got = {
+        r["obj"]: r
+        for r in decayed_support(
+            spark.createDataFrame(rows, cols), as_of, half_life_days=30.0
+        ).collect()
+    }
+    assert got["org:old"]["n_mentions"] == 3
+    assert got["org:old"]["decayed_support"] == pytest.approx(0.75)
+    assert got["org:new"]["n_mentions"] == 1
+    assert got["org:new"]["decayed_support"] == pytest.approx(1.0)
+    assert got["org:new"]["last_seen"] == as_of  # Sep 1 excluded
+    # continuous current-belief: fresh single beats stale triple
+    assert (got["org:new"]["decayed_support"]
+            > got["org:old"]["decayed_support"])
