@@ -2257,6 +2257,36 @@ def q_kg_decayed_support(spark, sf):
     )
 
 
+def q_kg_shortest_paths(spark, sf):
+    """Confidence-weighted bounded shortest paths (kg/graph.py
+    shortest_paths): Bellman-Ford min-plus over cost = -ln(confidence)
+    edges from triple_support, 3 relaxation rounds from the PPR seed
+    pair — path confidence = exp(-dist). The oracle unrolls the same
+    three rounds as CTEs."""
+    from crfsuite_spark.kg.graph import shortest_paths, triple_support
+
+    edges = triple_support(_gold_triples(spark)).select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        (-F.log("confidence")).alias("cost"),
+    )
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS], ["entity"])
+    out = shortest_paths(edges, seeds, k=3)
+    res = out.select("entity", F.round("dist", 6).alias("dist"))
+    res.pinned_caches = out.pinned_caches
+    return res
+
+
+def q_kg_entity_timeline(spark, sf):
+    """Per-entity monthly activity profile (kg/lifecycle.py
+    entity_timeline): scan-side role unpivot + ONE map-side-combined
+    groupBy on (entity, month) — the lifecycle summary that is
+    periods×entities small."""
+    from crfsuite_spark.kg.lifecycle import entity_timeline
+
+    return entity_timeline(_gold_triples_ts(spark))
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -2818,6 +2848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_comention_pmi": q_kg_comention_pmi,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_decayed_support": q_kg_decayed_support,
+        "kg_shortest_paths": q_kg_shortest_paths,
+        "kg_entity_timeline": q_kg_entity_timeline,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4208,6 +4240,60 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                      AS decayed_support
             FROM t WHERE ts <= TIMESTAMP '2025-08-01 00:00:00'
             GROUP BY subj, pred, obj
+        """,
+        "kg_shortest_paths": f"""
+            WITH t AS (
+              SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            g AS (
+              SELECT subj, pred, obj, count(*) AS n FROM t GROUP BY 1, 2, 3),
+            tot AS (SELECT subj, pred, sum(n) AS tt FROM g GROUP BY 1, 2),
+            e AS (
+              SELECT g.subj AS src, g.obj AS dst,
+                     -ln(g.n * 1.0 / tot.tt) AS cost
+              FROM g JOIN tot USING (subj, pred)),
+            d0 AS (
+              SELECT 'per:alice_johnson' AS entity, 0.0 AS dist
+              UNION ALL SELECT 'org:acme_corp', 0.0),
+            d1 AS (
+              SELECT entity, min(dist) AS dist FROM (
+                SELECT * FROM d0
+                UNION ALL
+                SELECT e.dst AS entity, d0.dist + e.cost AS dist
+                FROM d0 JOIN e ON d0.entity = e.src)
+              GROUP BY entity),
+            d2 AS (
+              SELECT entity, min(dist) AS dist FROM (
+                SELECT * FROM d1
+                UNION ALL
+                SELECT e.dst AS entity, d1.dist + e.cost AS dist
+                FROM d1 JOIN e ON d1.entity = e.src)
+              GROUP BY entity),
+            d3 AS (
+              SELECT entity, min(dist) AS dist FROM (
+                SELECT * FROM d2
+                UNION ALL
+                SELECT e.dst AS entity, d2.dist + e.cost AS dist
+                FROM d2 JOIN e ON d2.entity = e.src)
+              GROUP BY entity)
+            SELECT entity, round(dist, 6) AS dist FROM d3
+        """,
+        "kg_entity_timeline": f"""
+            WITH t AS (
+              SELECT g.*, s.ts
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx)),
+            u AS (
+              SELECT subj AS entity, date_trunc('month', ts) AS period,
+                     conv_id, 1 AS is_subj FROM t
+              UNION ALL
+              SELECT obj AS entity, date_trunc('month', ts) AS period,
+                     conv_id, 0 AS is_subj FROM t)
+            SELECT entity, period,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   count(DISTINCT conv_id) AS n_convs,
+                   CAST(sum(is_subj) AS BIGINT) AS n_as_subj
+            FROM u GROUP BY entity, period
         """,
         "kg_entity_salience": f"""
             WITH m AS (

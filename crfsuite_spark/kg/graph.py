@@ -928,3 +928,56 @@ def local_clustering(
         )
         .alias("clustering"),
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+) -> DataFrame:
+    """Bounded weighted shortest paths (Bellman-Ford over the min-plus
+    semiring, k relaxation rounds): (entity, dist) = cheapest ≤k-hop
+    path cost from any seed. With ``cost = -ln(confidence)`` from
+    :func:`triple_support` this answers "how strongly connected is X
+    to the seeds" — path confidence = exp(-dist), the product of edge
+    confidences along the best path; :func:`k_hop` is the unweighted
+    special case (all costs 1).
+
+    ``seeds`` is a one-column ``entity`` frame (dist 0); ``edges``
+    must carry non-negative costs (negative costs make bounded
+    relaxation order-dependent — caller's contract, as in every BF
+    formulation).
+
+    Scale shape: per round, ONE join of the node-cardinality dist
+    frame against the edge table on the uniform src key + one
+    partial-aggregated min groupBy — the dist frame is tiny relative
+    to edges, the k rounds are the textbook bounded-iteration
+    compromise (full convergence at 10^12 edges is a driver loop on
+    a distance-sum fixpoint probe away). Each round's dist persists
+    (consumed twice: relax + union); release via
+    ``out.pinned_caches``."""
+    e = edges.select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        F.col(cost).alias("__cost"),
+    )
+    pinned = []
+    dist = seeds.select("entity", F.lit(0.0).alias("dist")).persist()
+    pinned.append(dist)
+    for _ in range(k):
+        cand = dist.join(e, dist["entity"] == e["__src"]).select(
+            F.col("__dst").alias("entity"),
+            (F.col("dist") + F.col("__cost")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("entity")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        pinned.append(dist)
+    dist.pinned_caches = pinned
+    return dist

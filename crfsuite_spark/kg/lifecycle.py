@@ -433,3 +433,45 @@ def decayed_support(
             F.sum(w).alias("decayed_support"),
         )
     )
+
+
+def entity_timeline(
+    triples: DataFrame,
+    ts_col: str = "ts",
+    conv: str = "conv_id",
+    granularity: str = "month",
+) -> DataFrame:
+    """Per-entity activity timeline: (entity, period, n_mentions,
+    n_convs, n_as_subj) at calendar granularity (``month`` default,
+    any ``date_trunc`` unit) — the temporal profile behind entity
+    lifecycle triage: emergence (first period), dormancy (gaps),
+    burst detection (period-over-period ratios are one lag window on
+    THIS aggregate, period-cardinality, not mention-cardinality).
+
+    An entity is active in a period if it appears in either slot;
+    subject/object roles are tracked via ``n_as_subj``.
+
+    Scale shape: the unpivot is a scan-side union (no shuffle), the
+    aggregate ONE map-side-combined groupBy on the uniform (entity,
+    period) key; ``date_trunc`` on a time-partitioned table prunes at
+    the scan. Output cardinality is entities × active periods — the
+    downstream-joinable summary, 10^6× smaller than the mention
+    stream."""
+    u = triples.select(
+        F.col("subj").alias("entity"),
+        F.date_trunc(granularity, F.col(ts_col)).alias("period"),
+        F.col(conv).alias("__conv"),
+        F.lit(1).alias("__is_subj"),
+    ).unionByName(
+        triples.select(
+            F.col("obj").alias("entity"),
+            F.date_trunc(granularity, F.col(ts_col)).alias("period"),
+            F.col(conv).alias("__conv"),
+            F.lit(0).alias("__is_subj"),
+        )
+    )
+    return u.groupBy("entity", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mentions"),
+        F.countDistinct("__conv").alias("n_convs"),
+        F.sum("__is_subj").cast("bigint").alias("n_as_subj"),
+    )

@@ -670,3 +670,50 @@ def test_local_clustering_triangle_plus_pendant(spark):
     assert got["c"][:2] == (3, 1)
     assert got["c"][2] == pytest.approx(1 / 3)
     assert got["d"] == (1, 0, pytest.approx(0.0))
+
+
+def test_shortest_paths_min_plus_semantics(spark):
+    """Bounded Bellman-Ford: a cheap 2-hop path beats an expensive
+    direct edge; nodes beyond k relaxation rounds are absent; seed
+    dist stays 0; path confidence = exp(-dist) recovers the edge
+    product."""
+    import math
+
+    from crfsuite_spark.kg.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", 5.0),          # expensive direct
+            ("s", "b", 1.0), ("b", "a", 1.0),   # cheap 2-hop: 2.0
+            ("a", "c", 1.0),          # 3 hops via b (dist 3.0)
+            ("c", "far", 1.0),        # 4 hops -> absent at k=3
+        ],
+        ["src", "dst", "cost"],
+    )
+    seeds = spark.createDataFrame([("s",)], ["entity"])
+    out = shortest_paths(edges, seeds, k=3)
+    got = {r["entity"]: r["dist"] for r in out.collect()}
+    for df in out.pinned_caches:
+        df.unpersist()
+    assert got["s"] == pytest.approx(0.0)
+    assert got["b"] == pytest.approx(1.0)
+    assert got["a"] == pytest.approx(2.0)      # not 5.0
+    assert got["c"] == pytest.approx(3.0)
+    # at k=3 only the 3-edge path s-a-c-far (5+1+1) fits the bound;
+    # the cheaper 4-edge path s-b-a-c-far (1+1+1+1) needs round 4
+    assert got["far"] == pytest.approx(7.0)
+    out4 = shortest_paths(edges, seeds, k=4)
+    got4 = {r["entity"]: r["dist"] for r in out4.collect()}
+    for df in out4.pinned_caches:
+        df.unpersist()
+    assert got4["far"] == pytest.approx(4.0)
+    # confidence composition: cost=-ln(conf) => exp(-dist) = prod(conf)
+    conf_edges = spark.createDataFrame(
+        [("s", "x", -math.log(0.5)), ("x", "y", -math.log(0.4))],
+        ["src", "dst", "cost"],
+    )
+    out2 = shortest_paths(conf_edges, seeds, k=2)
+    got2 = {r["entity"]: r["dist"] for r in out2.collect()}
+    for df in out2.pinned_caches:
+        df.unpersist()
+    assert math.exp(-got2["y"]) == pytest.approx(0.2)

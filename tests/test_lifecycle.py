@@ -312,3 +312,30 @@ def test_decayed_support_half_life_arithmetic(spark):
     # continuous current-belief: fresh single beats stale triple
     assert (got["org:new"]["decayed_support"]
             > got["org:old"]["decayed_support"])
+
+
+def test_entity_timeline_periods_and_roles(spark):
+    """Monthly activity: role unpivot counts both slots, n_as_subj
+    tracks the subject role, periods split on calendar month, conv
+    distinct-count is per (entity, period)."""
+    from crfsuite_spark.kg.lifecycle import entity_timeline
+
+    d = datetime.datetime
+    cols = ["conv_id", "subj", "pred", "obj", "ts"]
+    rows = [
+        ("c1", "a", "r", "b", d(2025, 1, 10)),
+        ("c2", "a", "r", "c", d(2025, 1, 20)),
+        ("c2", "b", "r", "a", d(2025, 2, 5)),
+    ]
+    got = {
+        (r["entity"], r["period"].month): (
+            r["n_mentions"], r["n_convs"], r["n_as_subj"])
+        for r in entity_timeline(spark.createDataFrame(rows, cols)).collect()
+    }
+    # Jan: a subj twice (c1, c2); Feb: a obj once (c2)
+    assert got[("a", 1)] == (2, 2, 2)
+    assert got[("a", 2)] == (1, 1, 0)
+    assert got[("b", 1)] == (1, 1, 0)   # obj in Jan
+    assert got[("b", 2)] == (1, 1, 1)   # subj in Feb
+    assert got[("c", 1)] == (1, 1, 0)
+    assert len(got) == 5
