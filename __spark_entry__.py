@@ -2287,6 +2287,60 @@ def q_kg_entity_timeline(spark, sf):
     return entity_timeline(_gold_triples_ts(spark))
 
 
+def q_kg_entity_bursts(spark, sf):
+    """Burst detection over the monthly timeline (kg/lifecycle.py
+    entity_bursts): period-over-period mention-ratio flags on the
+    entity×period aggregate — a window on the period-grain summary,
+    never the mention stream."""
+    from crfsuite_spark.kg.lifecycle import entity_bursts, entity_timeline
+
+    out = entity_bursts(
+        entity_timeline(_gold_triples_ts(spark)), ratio=2.0, min_mentions=3
+    )
+    # prev_period (nullable timestamp) stays out of the driver compare:
+    # pandas sorts NaT inconsistently across engines' dtype resolutions
+    return out.select(
+        "entity", "period", "n_mentions", "n_convs", "n_as_subj",
+        F.coalesce("prev_mentions", F.lit(0)).cast("long").alias(
+            "prev_mentions"),
+        F.coalesce(F.round("burst_ratio", 6), F.lit(0.0)).alias(
+            "burst_ratio"),
+        "is_burst",
+    )
+
+
+def q_tr_conv_entity_overlap(spark, sf):
+    """Related conversations by shared-entity Jaccard
+    (operators/transcripts.py conv_entity_overlap): sparse similarity
+    join on the entity key with the hot-entity guard — only
+    conversations sharing an entity ever pair."""
+    from crfsuite_spark.operators.transcripts import conv_entity_overlap
+
+    mentions, _ = _mining_fixtures(spark)
+    out = conv_entity_overlap(mentions, min_jaccard=0.4)
+    return out.select(
+        "conv_a", "conv_b", "n_shared", "n_a", "n_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_diag_key_skew(spark, sf):
+    """Heavy-key shuffle profile (operators/diagnostics.py
+    key_skew_profile): top (lang, source) keys of the documents table
+    with share / cumulative share — the pre-shuffle measurement that
+    decides broadcast vs sort-merge vs salting."""
+    from crfsuite_spark.operators.diagnostics import key_skew_profile
+
+    docs = _t(spark, sf, "documents")
+    out = key_skew_profile(docs, ["lang", "source"], top_n=10)
+    return out.select(
+        "lang", "source", "n_rows",
+        F.round("share", 6).alias("share"),
+        F.round("cum_share", 6).alias("cum_share"),
+        "rank",
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -2850,6 +2904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_decayed_support": q_kg_decayed_support,
         "kg_shortest_paths": q_kg_shortest_paths,
         "kg_entity_timeline": q_kg_entity_timeline,
+        "kg_entity_bursts": q_kg_entity_bursts,
+        "tr_conv_entity_overlap": q_tr_conv_entity_overlap,
+        "diag_key_skew": q_diag_key_skew,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4294,6 +4351,77 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    count(DISTINCT conv_id) AS n_convs,
                    CAST(sum(is_subj) AS BIGINT) AS n_as_subj
             FROM u GROUP BY entity, period
+        """,
+        "kg_entity_bursts": f"""
+            WITH t AS (
+              SELECT g.*, s.ts
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx)),
+            u AS (
+              SELECT subj AS entity, date_trunc('month', ts) AS period,
+                     conv_id, 1 AS is_subj FROM t
+              UNION ALL
+              SELECT obj AS entity, date_trunc('month', ts) AS period,
+                     conv_id, 0 AS is_subj FROM t),
+            tl AS (
+              SELECT entity, period,
+                     CAST(count(*) AS BIGINT) AS n_mentions,
+                     count(DISTINCT conv_id) AS n_convs,
+                     CAST(sum(is_subj) AS BIGINT) AS n_as_subj
+              FROM u GROUP BY entity, period)
+            SELECT entity, period, n_mentions, n_convs, n_as_subj,
+                   CAST(COALESCE(lag(n_mentions) OVER w, 0) AS BIGINT)
+                     AS prev_mentions,
+                   COALESCE(round(n_mentions * 1.0
+                                  / lag(n_mentions) OVER w, 6), 0.0)
+                     AS burst_ratio,
+                   (n_mentions >= 3 AND
+                    (lag(n_mentions) OVER w IS NULL OR
+                     n_mentions * 1.0 / lag(n_mentions) OVER w >= 2.0))
+                     AS is_burst
+            FROM tl
+            WINDOW w AS (PARTITION BY entity ORDER BY period)
+        """,
+        "tr_conv_entity_overlap": f"""
+            WITH m AS (
+              SELECT DISTINCT conv_id AS c, canonical_id AS e
+              FROM read_parquet('{fixtures}/gold_mentions_synthetic.parquet')
+              WHERE canonical_id IS NOT NULL),
+            ed AS (SELECT e, count(*) AS n FROM m GROUP BY e),
+            mk AS (SELECT m.* FROM m JOIN ed USING (e) WHERE ed.n <= 1000),
+            sz AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM mk GROUP BY c),
+            sh AS (
+              SELECT a.c AS conv_a, b.c AS conv_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM mk a JOIN mk b ON a.e = b.e AND a.c < b.c
+              GROUP BY 1, 2)
+            SELECT sh.conv_a, sh.conv_b, sh.n_shared,
+                   sa.n AS n_a, sb.n AS n_b,
+                   round(sh.n_shared * 1.0
+                         / (sa.n + sb.n - sh.n_shared), 6) AS jaccard
+            FROM sh
+            JOIN sz sa ON sa.c = sh.conv_a
+            JOIN sz sb ON sb.c = sh.conv_b
+            WHERE sh.n_shared * 1.0 / (sa.n + sb.n - sh.n_shared) >= 0.4
+        """,
+        "diag_key_skew": """
+            WITH c AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows
+              FROM documents GROUP BY 1, 2),
+            tot AS (SELECT sum(n_rows) AS t FROM c),
+            top AS (
+              SELECT * FROM c
+              ORDER BY n_rows DESC, lang ASC, source ASC LIMIT 10)
+            SELECT lang, source, n_rows,
+                   round(n_rows * 1.0 / tot.t, 6) AS share,
+                   round(sum(n_rows) OVER (
+                     ORDER BY n_rows DESC, lang ASC, source ASC
+                     ROWS UNBOUNDED PRECEDING) * 1.0 / tot.t, 6) AS cum_share,
+                   CAST(row_number() OVER (
+                     ORDER BY n_rows DESC, lang ASC, source ASC) AS BIGINT)
+                     AS rank
+            FROM top CROSS JOIN tot
         """,
         "kg_entity_salience": f"""
             WITH m AS (

@@ -475,3 +475,41 @@ def entity_timeline(
         F.countDistinct("__conv").alias("n_convs"),
         F.sum("__is_subj").cast("bigint").alias("n_as_subj"),
     )
+
+
+def entity_bursts(
+    timeline: DataFrame,
+    ratio: float = 3.0,
+    min_mentions: int = 5,
+) -> DataFrame:
+    """Burst detection over the :func:`entity_timeline` aggregate:
+    periods where an entity's mention count jumps ≥ ``ratio``× its
+    previous ACTIVE period (first active period compares against 0
+    and bursts iff it clears ``min_mentions``) — the emergence /
+    news-spike signal KG triage ranks review queues by.
+
+    Output: timeline columns + (prev_period, prev_mentions, burst_ratio,
+    is_burst). ``burst_ratio`` is NULL for an entity's first period.
+
+    Scale note: this is a window over the TIMELINE aggregate —
+    entity × active-period cardinality, ~10^6× smaller than the
+    mention stream — partitioned on the uniform entity key; the
+    window-shuffles-everything concern that bans windows on mention
+    streams doesn't apply to period-grain summaries. min_mentions
+    prunes the long tail BEFORE the ratio flag so a 1→3 blip never
+    pages anyone."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy("period")
+    prev_n = F.lag("n_mentions").over(w)
+    r = F.col("n_mentions") / prev_n
+    return timeline.select(
+        "*",
+        F.lag("period").over(w).alias("prev_period"),
+        prev_n.alias("prev_mentions"),
+        r.alias("burst_ratio"),
+        (
+            (F.col("n_mentions") >= F.lit(min_mentions))
+            & (prev_n.isNull() | (r >= F.lit(float(ratio))))
+        ).alias("is_burst"),
+    )

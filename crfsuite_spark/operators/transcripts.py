@@ -461,3 +461,67 @@ def boilerplate_turns(
         .drop("__digest", "__n_convs")
     )
     return flagged
+
+
+def conv_entity_overlap(
+    mentions: DataFrame,
+    conv: str = "conv_id",
+    entity: str = "canonical_id",
+    min_jaccard: float = 0.25,
+    max_entity_convs: int | None = 1000,
+) -> DataFrame:
+    """Related-conversation pairs by shared-entity Jaccard:
+    (conv_a, conv_b, n_shared, n_a, n_b, jaccard) for conversation
+    pairs whose LINKED entity sets overlap — the retrieval/curation
+    query behind "other conversations about these entities" and
+    cross-conversation dedup triage. conv_a < conv_b canonical.
+
+    Sparse-similarity-join shape (same as n-gram Jaccard dedup, with
+    entities as the shingles): distinct (conv, entity) map-side, pair
+    candidates generated by self-joining on the ENTITY key — so only
+    conversations sharing at least one entity ever pair, never the
+    all-pairs square. A ubiquitous entity is the classic hot key;
+    ``max_entity_convs`` drops entities above the bound (documented
+    loss: pairs sharing ONLY ubiquitous entities are missed — by
+    construction the pairs PMI would score near zero anyway). Set
+    sizes join back as two aggregated frames on uniform conv keys;
+    the final Jaccard filter is a map-side predicate."""
+    m = (
+        mentions.select(
+            F.col(conv).alias("c"), F.col(entity).alias("e")
+        )
+        .where(F.col(entity).isNotNull())
+        .distinct()
+    )
+    if max_entity_convs:
+        edf = m.groupBy("e").agg(F.count(F.lit(1)).alias("__n"))
+        m = (
+            m.join(edf.where(F.col("__n") <= max_entity_convs), "e")
+            .drop("__n")
+        )
+    sizes = m.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = m.select(F.col("e"), F.col("c").alias("conv_a"))
+    b = m.select(F.col("e"), F.col("c").alias("conv_b"))
+    shared = (
+        a.join(b, "e")
+        .where(F.col("conv_a") < F.col("conv_b"))
+        .groupBy("conv_a", "conv_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("c").alias("conv_a"), F.col("n").alias("n_a")),
+            "conv_a",
+        )
+        .join(
+            sizes.select(F.col("c").alias("conv_b"), F.col("n").alias("n_b")),
+            "conv_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= F.lit(float(min_jaccard)))
+        .select("conv_a", "conv_b", "n_shared", "n_a", "n_b", "jaccard")
+    )

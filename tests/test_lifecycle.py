@@ -339,3 +339,40 @@ def test_entity_timeline_periods_and_roles(spark):
     assert got[("b", 2)] == (1, 1, 1)   # subj in Feb
     assert got[("c", 1)] == (1, 1, 0)
     assert len(got) == 5
+
+
+def test_entity_bursts_flags_and_ratio(spark):
+    """First active period bursts iff it clears min_mentions; later
+    periods need ratio x over the previous ACTIVE period; quiet
+    entities never flag."""
+    from crfsuite_spark.kg.lifecycle import entity_bursts
+
+    d = datetime.datetime
+    tl = spark.createDataFrame(
+        [
+            # spiky: 1 -> 6 (x6 burst), 6 -> 7 (no)
+            ("spiky", d(2025, 1, 1), 1, 1, 1),
+            ("spiky", d(2025, 2, 1), 6, 3, 4),
+            ("spiky", d(2025, 3, 1), 7, 3, 4),
+            # newcomer: first period already large -> burst
+            ("new", d(2025, 2, 1), 9, 5, 5),
+            # quiet: never clears min_mentions
+            ("quiet", d(2025, 1, 1), 1, 1, 1),
+            ("quiet", d(2025, 2, 1), 4, 2, 2),
+        ],
+        ["entity", "period", "n_mentions", "n_convs", "n_as_subj"],
+    )
+    got = {
+        (r["entity"], r["period"].month): r
+        for r in entity_bursts(tl, ratio=3.0, min_mentions=5).collect()
+    }
+    assert got[("spiky", 1)]["is_burst"] is False     # below min_mentions
+    s2 = got[("spiky", 2)]
+    assert s2["is_burst"] is True
+    assert s2["burst_ratio"] == pytest.approx(6.0)
+    assert s2["prev_mentions"] == 1
+    assert s2["prev_period"] == d(2025, 1, 1)
+    assert got[("spiky", 3)]["is_burst"] is False     # 7/6 < 3
+    n = got[("new", 2)]
+    assert n["is_burst"] is True and n["prev_mentions"] is None
+    assert got[("quiet", 2)]["is_burst"] is False     # 4 < min_mentions
