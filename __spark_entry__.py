@@ -2341,6 +2341,51 @@ def q_diag_key_skew(spark, sf):
     )
 
 
+def q_kg_eval_prf(spark, sf):
+    """Per-predicate extraction P/R/F1 as a distributed frame
+    (operators/evaluate.py triple_prf — the north-rule metric at
+    report grain, no driver counts). Predictions = gold triples under
+    a deterministic md5 perturbation both engines replay: 20% dropped
+    (recall loss), the top-decile hash slice relabeled met_with
+    (precision loss)."""
+    from crfsuite_spark.operators.evaluate import triple_prf
+
+    gold = _gold_triples(spark)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", "conv_id",
+                        F.col("turn_idx").cast("string"), "subj", "obj",
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    pred = (
+        gold.withColumn("__u", u)
+        .where(F.col("__u") >= 0.2)
+        .withColumn(
+            "pred",
+            F.when(F.col("__u") > 0.9, F.lit("met_with")).otherwise(
+                F.col("pred")
+            ),
+        )
+        .drop("__u")
+    )
+    out = triple_prf(pred, gold)
+    return out.select(
+        "pred", "n_gold", "n_pred", "n_correct",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -2907,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_bursts": q_kg_entity_bursts,
         "tr_conv_entity_overlap": q_tr_conv_entity_overlap,
         "diag_key_skew": q_diag_key_skew,
+        "kg_eval_prf": q_kg_eval_prf,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4422,6 +4468,53 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                      ORDER BY n_rows DESC, lang ASC, source ASC) AS BIGINT)
                      AS rank
             FROM top CROSS JOIN tot
+        """,
+        "kg_eval_prf": f"""
+            WITH g0 AS (
+              SELECT DISTINCT conv_id, turn_idx, subj, pred, obj
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            up AS (
+              SELECT *,
+                     (('0x' || substr(md5(concat_ws('#', conv_id,
+                        CAST(turn_idx AS VARCHAR), subj, obj)), 1, 8))::BIGINT
+                        % 1000000) / 1000000.0 AS u
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            p0 AS (
+              SELECT DISTINCT conv_id, turn_idx, subj,
+                     CASE WHEN u > 0.9 THEN 'met_with' ELSE pred END AS pred,
+                     obj
+              FROM up WHERE u >= 0.2),
+            np AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_pred
+                   FROM p0 GROUP BY pred),
+            ng AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_gold
+                   FROM g0 GROUP BY pred),
+            nc AS (
+              SELECT p0.pred, CAST(count(*) AS BIGINT) AS n_correct
+              FROM p0 JOIN g0 USING (conv_id, turn_idx, subj, pred, obj)
+              GROUP BY p0.pred),
+            j AS (
+              SELECT COALESCE(ng.pred, np.pred, nc.pred) AS pred,
+                     CAST(COALESCE(ng.n_gold, 0) AS BIGINT) AS n_gold,
+                     CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred,
+                     CAST(COALESCE(nc.n_correct, 0) AS BIGINT) AS n_correct
+              FROM ng
+              FULL OUTER JOIN np ON np.pred = ng.pred
+              FULL OUTER JOIN nc ON nc.pred = COALESCE(ng.pred, np.pred))
+            SELECT pred, n_gold, n_pred, n_correct,
+                   round(CASE WHEN n_pred > 0
+                         THEN n_correct * 1.0 / n_pred ELSE 0.0 END, 6)
+                     AS precision,
+                   round(CASE WHEN n_gold > 0
+                         THEN n_correct * 1.0 / n_gold ELSE 0.0 END, 6)
+                     AS recall,
+                   round(CASE WHEN (CASE WHEN n_pred > 0 THEN n_correct * 1.0 / n_pred ELSE 0.0 END)
+                              + (CASE WHEN n_gold > 0 THEN n_correct * 1.0 / n_gold ELSE 0.0 END) > 0
+                         THEN 2.0 * (CASE WHEN n_pred > 0 THEN n_correct * 1.0 / n_pred ELSE 0.0 END)
+                              * (CASE WHEN n_gold > 0 THEN n_correct * 1.0 / n_gold ELSE 0.0 END)
+                              / ((CASE WHEN n_pred > 0 THEN n_correct * 1.0 / n_pred ELSE 0.0 END)
+                                 + (CASE WHEN n_gold > 0 THEN n_correct * 1.0 / n_gold ELSE 0.0 END))
+                         ELSE 0.0 END, 6) AS f1
+            FROM j
         """,
         "kg_entity_salience": f"""
             WITH m AS (

@@ -180,3 +180,70 @@ def expected_calibration_error(
         (F.sum(F.col("n") * F.col("abs_gap")) / F.sum("n")).alias("ece"),
         F.max("abs_gap").alias("max_gap"),
     )
+
+
+def triple_prf(
+    pred: DataFrame,
+    gold: DataFrame,
+    keys: list[str] | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Distributed per-group extraction P/R/F1 — :func:`set_prf` as a
+    FRAME (one row per ``by`` group, e.g. per predicate), so the
+    north-rule metric itself scales: no counts collected to the
+    driver, the report stays joinable for dashboards and per-predicate
+    regression gates.
+
+    ``keys`` is the match grain (default mention grain:
+    ``conv_id, turn_idx, subj, pred, obj`` — set semantics after
+    ``distinct``); ``by`` the report grain (default ``pred``; must be
+    ⊆ keys). Output: by-cols + (n_gold, n_pred, n_correct, precision,
+    recall, f1) with 0.0 (never NULL) on empty denominators, matching
+    :func:`crf_evaluation`'s zero-guard contract
+    (reference R/evaluation.R:85-123 computes the same family
+    label-wise on one machine).
+
+    Shape: both sides dedup with ONE partial-aggregated distinct each,
+    the correct-count is an inner join at distinct-triple grain on the
+    uniform full key, and all three counts aggregate per ``by`` group —
+    a full-outer join of three tiny per-group frames at report
+    cardinality. The mention streams never join each other raw."""
+    if keys is None:
+        keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    if by is None:
+        by = ["pred"]
+    p = pred.select(*keys).distinct()
+    g = gold.select(*keys).distinct()
+    np_ = p.groupBy(*by).agg(F.count(F.lit(1)).cast("bigint").alias("n_pred"))
+    ng = g.groupBy(*by).agg(F.count(F.lit(1)).cast("bigint").alias("n_gold"))
+    nc = (
+        p.join(g, keys, "inner")
+        .groupBy(*by)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_correct"))
+    )
+    j = (
+        ng.join(np_, list(by), "full_outer")
+        .join(nc, list(by), "full_outer")
+        .select(
+            *by,
+            F.coalesce("n_gold", F.lit(0)).cast("bigint").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).cast("bigint").alias(
+                "n_correct"
+            ),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("n_correct") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_gold") > 0, F.col("n_correct") / F.col("n_gold")
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "*",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            prec + rec > 0, 2 * prec * rec / (prec + rec)
+        ).otherwise(F.lit(0.0)).alias("f1"),
+    )

@@ -130,3 +130,49 @@ def test_calibration_on_real_decode_marginals(spark, synth):
         assert 0.0 <= r["avg_conf"] <= 1.0
         assert 0.0 <= r["accuracy"] <= 1.0
         assert r["abs_gap"] == pytest.approx(abs(r["accuracy"] - r["avg_conf"]))
+
+
+def test_triple_prf_counts_and_zero_guards(spark):
+    """Hand-checkable per-predicate P/R/F1: duplicates dedup before
+    counting, predicates missing from one side get 0.0 (never NULL),
+    and the numbers agree with set_prf restricted to that predicate."""
+    import pytest
+
+    from crfsuite_spark.operators.evaluate import set_prf, triple_prf
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    gold = spark.createDataFrame(
+        [
+            ("c1", 1, "a", "works_at", "x"),
+            ("c1", 2, "b", "works_at", "y"),
+            ("c2", 1, "c", "works_at", "z"),
+            ("c2", 2, "d", "visited", "w"),
+        ],
+        cols,
+    )
+    pred = spark.createDataFrame(
+        [
+            ("c1", 1, "a", "works_at", "x"),   # correct
+            ("c1", 1, "a", "works_at", "x"),   # dup, dedups away
+            ("c1", 2, "b", "works_at", "WRONG"),
+            ("c3", 9, "e", "founded", "q"),    # pred-only predicate
+        ],
+        cols,
+    )
+    got = {r["pred"]: r for r in triple_prf(pred, gold).collect()}
+    w = got["works_at"]
+    assert (w["n_gold"], w["n_pred"], w["n_correct"]) == (3, 2, 1)
+    assert w["precision"] == pytest.approx(1 / 2)
+    assert w["recall"] == pytest.approx(1 / 3)
+    assert w["f1"] == pytest.approx(2 * 0.5 * (1 / 3) / (0.5 + 1 / 3))
+    v = got["visited"]           # gold-only: P=0 (no preds), R=0
+    assert (v["n_pred"], v["precision"], v["recall"], v["f1"]) == (
+        0, 0.0, 0.0, 0.0)
+    f = got["founded"]           # pred-only
+    assert (f["n_gold"], f["precision"], f["recall"]) == (0, 0.0, 0.0)
+    # agreement with the scalar set_prf on the works_at slice
+    s = set_prf(
+        pred.where("pred = 'works_at'"), gold.where("pred = 'works_at'"),
+        cols)
+    assert s["precision"] == pytest.approx(w["precision"])
+    assert s["recall"] == pytest.approx(w["recall"])
