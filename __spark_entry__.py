@@ -2386,6 +2386,63 @@ def q_kg_eval_prf(spark, sf):
     )
 
 
+def q_kg_confidence_reliability(spark, sf):
+    """Edge-level reliability diagram: triple_support's slot
+    confidence binned against gold membership (operators/evaluate.py
+    calibration_report over edges instead of tokens) — the gate that
+    says whether edge confidence can drive auto-accept thresholds.
+    Predictions = the same deterministic md5 perturbation as
+    kg_eval_prf; one bounded-key groupBy, ≤10 rows out."""
+    from crfsuite_spark.operators.evaluate import calibration_report
+    from crfsuite_spark.kg.graph import triple_support
+
+    gold = _gold_triples(spark)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", "conv_id",
+                        F.col("turn_idx").cast("string"), "subj", "obj",
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    pred = (
+        gold.withColumn("__u", u)
+        .where(F.col("__u") >= 0.2)
+        .withColumn(
+            "pred",
+            F.when(F.col("__u") > 0.9, F.lit("met_with")).otherwise(
+                F.col("pred")
+            ),
+        )
+        .drop("__u")
+    )
+    edges = triple_support(pred).join(
+        gold.select("subj", "pred", "obj").distinct().withColumn(
+            "__hit", F.lit(1)
+        ),
+        ["subj", "pred", "obj"],
+        "left",
+    ).select(
+        "confidence",
+        F.coalesce("__hit", F.lit(0)).cast("boolean").alias("correct"),
+    )
+    out = calibration_report(edges, conf_col="confidence",
+                             correct_col="correct")
+    return out.select(
+        "bin", "n",
+        F.round("avg_conf", 6).alias("avg_conf"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("abs_gap", 6).alias("abs_gap"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -2953,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_conv_entity_overlap": q_tr_conv_entity_overlap,
         "diag_key_skew": q_diag_key_skew,
         "kg_eval_prf": q_kg_eval_prf,
+        "kg_confidence_reliability": q_kg_confidence_reliability,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4515,6 +4573,41 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                                  + (CASE WHEN n_gold > 0 THEN n_correct * 1.0 / n_gold ELSE 0.0 END))
                          ELSE 0.0 END, 6) AS f1
             FROM j
+        """,
+        "kg_confidence_reliability": f"""
+            WITH up AS (
+              SELECT *,
+                     (('0x' || substr(md5(concat_ws('#', conv_id,
+                        CAST(turn_idx AS VARCHAR), subj, obj)), 1, 8))::BIGINT
+                        % 1000000) / 1000000.0 AS u
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            p0 AS (
+              SELECT conv_id, turn_idx, subj,
+                     CASE WHEN u > 0.9 THEN 'met_with' ELSE pred END AS pred,
+                     obj
+              FROM up WHERE u >= 0.2),
+            g AS (
+              SELECT subj, pred, obj, count(*) AS n FROM p0 GROUP BY 1, 2, 3),
+            tot AS (SELECT subj, pred, sum(n) AS tt FROM g GROUP BY 1, 2),
+            e AS (
+              SELECT g.subj, g.pred, g.obj,
+                     g.n * 1.0 / tot.tt AS confidence
+              FROM g JOIN tot USING (subj, pred)),
+            gold AS (
+              SELECT DISTINCT subj, pred, obj
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            lab AS (
+              SELECT e.confidence,
+                     (gold.subj IS NOT NULL) AS correct
+              FROM e LEFT JOIN gold USING (subj, pred, obj))
+            SELECT CAST(least(floor(confidence * 10), 9) AS INTEGER) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(confidence), 6) AS avg_conf,
+                   round(avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END), 6)
+                     AS accuracy,
+                   round(abs(avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END)
+                             - avg(confidence)), 6) AS abs_gap
+            FROM lab GROUP BY 1
         """,
         "kg_entity_salience": f"""
             WITH m AS (
