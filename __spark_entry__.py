@@ -2443,6 +2443,19 @@ def q_kg_confidence_reliability(spark, sf):
     )
 
 
+def q_kg_k_core(spark, sf):
+    """Bounded 2-core peeling (kg/graph.py k_core, 4 rounds):
+    iterative remove-degree-<2, which unravels pendant chains a
+    single-pass degree filter misses. The oracle unrolls the same
+    four peel rounds as CTEs."""
+    from crfsuite_spark.kg.graph import k_core
+
+    out = k_core(_gold_triples(spark), k=2, rounds=4)
+    res = out.select("entity", "degree")
+    res.pinned_caches = out.pinned_caches
+    return res
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3011,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_key_skew": q_diag_key_skew,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_confidence_reliability": q_kg_confidence_reliability,
+        "kg_k_core": q_kg_k_core,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4608,6 +4622,41 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    round(abs(avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END)
                              - avg(confidence)), 6) AS abs_gap
             FROM lab GROUP BY 1
+        """,
+        "kg_k_core": f"""
+            WITH e0 AS (
+              SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')
+              WHERE subj <> obj),
+            d1 AS (
+              SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS entity FROM e0 UNION ALL SELECT b FROM e0)
+              GROUP BY entity HAVING count(*) >= 2),
+            e1 AS (
+              SELECT e0.a, e0.b FROM e0
+              WHERE a IN (SELECT entity FROM d1)
+                AND b IN (SELECT entity FROM d1)),
+            d2 AS (
+              SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS entity FROM e1 UNION ALL SELECT b FROM e1)
+              GROUP BY entity HAVING count(*) >= 2),
+            e2 AS (
+              SELECT e1.a, e1.b FROM e1
+              WHERE a IN (SELECT entity FROM d2)
+                AND b IN (SELECT entity FROM d2)),
+            d3 AS (
+              SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS entity FROM e2 UNION ALL SELECT b FROM e2)
+              GROUP BY entity HAVING count(*) >= 2),
+            e3 AS (
+              SELECT e2.a, e2.b FROM e2
+              WHERE a IN (SELECT entity FROM d3)
+                AND b IN (SELECT entity FROM d3)),
+            d4 AS (
+              SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS entity FROM e3 UNION ALL SELECT b FROM e3)
+              GROUP BY entity HAVING count(*) >= 2)
+            SELECT entity, degree FROM d4
         """,
         "kg_entity_salience": f"""
             WITH m AS (

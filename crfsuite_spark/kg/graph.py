@@ -981,3 +981,69 @@ def shortest_paths(
         pinned.append(dist)
     dist.pinned_caches = pinned
     return dist
+
+
+def k_core(
+    triples: DataFrame,
+    k: int = 2,
+    rounds: int = 5,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Bounded k-core peeling over the undirected distinct edge set:
+    (entity, degree) for nodes surviving ``rounds`` rounds of
+    "remove every node with degree < k" (Seidman 1983 cores). The
+    dense-subgraph filter canonicalization triage runs before
+    clustering: a peeled hairball keeps only the parts with real
+    mutual support, shedding pendant chains that unravel iteratively
+    (a chain peels one link per round — exactly what single-pass
+    degree filters miss). ``degree`` is the within-core degree after
+    the last round.
+
+    FIXED round count, not a fixpoint probe, so the result is
+    deterministic and SQL-replayable; rounds ≥ the longest pendant
+    chain gives the exact k-core, and a caller that needs certainty
+    loops on a count fixpoint (one scalar probe per round — the
+    production pattern at 10^12 edges, where each round is the cost
+    and the bound is chosen, not discovered).
+
+    Per round: ONE partial-aggregated degree groupBy over surviving
+    edges + two semi-joins (endpoint ∈ survivors) on uniform entity
+    keys — node-cardinality frames against the edge table, no
+    windows, no collect. Each round's edge frame persists (consumed
+    by degree + next round); release via ``out.pinned_caches``."""
+    e = (
+        triples.select(F.col(subj).alias("x"), F.col(obj).alias("y"))
+        .where(F.col(subj) != F.col(obj))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    pinned = [e]
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("entity"))
+            .unionByName(e.select(F.col("b").alias("entity")))
+            .groupBy("entity")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+            .where(F.col("degree") >= k)
+        )
+        e = (
+            e.join(
+                deg.select(F.col("entity").alias("a")), "a", "left_semi"
+            )
+            .join(
+                deg.select(F.col("entity").alias("b")), "b", "left_semi"
+            )
+            .select("a", "b")
+            .persist()
+        )
+        pinned.append(e)
+    out = deg if deg is not None else e.select(
+        F.col("a").alias("entity"), F.lit(0).cast("bigint").alias("degree")
+    ).limit(0)
+    out.pinned_caches = pinned
+    return out

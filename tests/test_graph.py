@@ -717,3 +717,37 @@ def test_shortest_paths_min_plus_semantics(spark):
     for df in out2.pinned_caches:
         df.unpersist()
     assert math.exp(-got2["y"]) == pytest.approx(0.2)
+
+
+def test_k_core_unravels_pendant_chain(spark):
+    """2-core of triangle + 3-link pendant chain: the chain peels one
+    link per round (round 1 removes only its tip), so a single-pass
+    degree filter would keep chain interior nodes — after enough
+    rounds only the triangle survives, every member at degree 2."""
+    from crfsuite_spark.kg.graph import k_core
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    rows = [
+        ("c", 0, "a", "r", "b"), ("c", 1, "b", "r", "t"),
+        ("c", 2, "t", "r", "a"),                      # triangle a-b-t
+        ("c", 3, "t", "r", "p1"), ("c", 4, "p1", "r", "p2"),
+        ("c", 5, "p2", "r", "p3"),                    # pendant chain
+    ]
+    t = spark.createDataFrame(rows, cols)
+    # one round: only the chain tip p3 peels; p1, p2 still in
+    out1 = k_core(t, k=2, rounds=1)
+    got1 = {r["entity"] for r in out1.collect()}
+    for df in out1.pinned_caches:
+        df.unpersist()
+    assert got1 == {"a", "b", "t", "p1", "p2"}
+    # enough rounds: the whole chain unravels, triangle survives at 2
+    out = k_core(t, k=2, rounds=4)
+    got = {r["entity"]: r["degree"] for r in out.collect()}
+    for df in out.pinned_caches:
+        df.unpersist()
+    assert got == {"a": 2, "b": 2, "t": 2}
+    # k=3 empties this graph entirely
+    out3 = k_core(t, k=3, rounds=3)
+    assert out3.count() == 0
+    for df in out3.pinned_caches:
+        df.unpersist()
