@@ -206,3 +206,51 @@ def test_split_triples_eval_filter_is_semi_join(spark):
     # endpoint-closure filtering: two LeftSemi joins against the
     # vocabulary-sized entity set, no full-row window/sort
     assert plan.count("LeftSemi") >= 2, plan
+
+
+def test_conv_entity_overlap_no_window_semi_shape(spark):
+    """Related-conversation Jaccard: candidates come from the entity-key
+    self-join (pairs only where an entity is shared), counts are
+    partial-aggregated, and nothing plans a Window sort."""
+    from crfsuite_spark.operators.transcripts import conv_entity_overlap
+
+    m = spark.createDataFrame(
+        [("c1", "e1", 0), ("c2", "e1", 0), ("c2", "e2", 1)],
+        ["conv_id", "canonical_id", "turn_idx"],
+    )
+    plan = _plan(conv_entity_overlap(m))
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_k_core_semi_join_peeling(spark):
+    """Each peel round prunes edges via LeftSemi against the surviving
+    node set (node-cardinality), never a row-fanout inner join or a
+    window."""
+    from crfsuite_spark.kg.graph import k_core
+
+    t = spark.createDataFrame(
+        [("c", 0, "a", "r", "b"), ("c", 1, "b", "r", "x")],
+        ["conv_id", "turn_idx", "subj", "pred", "obj"],
+    )
+    out = k_core(t, k=2, rounds=2)
+    plan = _plan(out)
+    for df in out.pinned_caches:
+        df.unpersist()
+    assert plan.count("LeftSemi") >= 4, plan  # 2 endpoints x 2 rounds
+    assert "Window" not in plan, plan
+
+
+def test_comention_pmi_broadcasts_entity_counts(spark):
+    """The entity scope-count and N_scopes sides broadcast back onto
+    the pair frame — the mention-derived pair stream never shuffles on
+    the vocabulary join."""
+    from crfsuite_spark.kg.graph import comention_pmi
+
+    t = spark.createDataFrame(
+        [("c1", 0, "a", "r", "b"), ("c2", 0, "a", "r", "b")],
+        ["conv_id", "turn_idx", "subj", "pred", "obj"],
+    )
+    plan = _plan(comention_pmi(t))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
