@@ -2456,6 +2456,25 @@ def q_kg_k_core(spark, sf):
     return res
 
 
+def q_kg_current_beliefs(spark, sf):
+    """Recency-continuous current belief: decayed_support edges
+    resolved per functional slot with support_col='decayed_support'
+    (kg/lifecycle.py) — a fresh minority fact can out-rank a stale
+    majority one. Same map-side max_by, no window sort."""
+    from crfsuite_spark.kg.lifecycle import decayed_support, resolve_functional
+
+    edges = decayed_support(
+        _gold_triples_ts(spark), "2025-08-01 00:00:00", half_life_days=30.0
+    )
+    out = resolve_functional(
+        edges, ["located_in", "works_at"], support_col="decayed_support"
+    )
+    return out.select(
+        "subj", "pred", "obj", "n_mentions", "last_seen",
+        F.round("decayed_support", 6).alias("decayed_support"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3025,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eval_prf": q_kg_eval_prf,
         "kg_confidence_reliability": q_kg_confidence_reliability,
         "kg_k_core": q_kg_k_core,
+        "kg_current_beliefs": q_kg_current_beliefs,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4657,6 +4677,30 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                 SELECT a AS entity FROM e3 UNION ALL SELECT b FROM e3)
               GROUP BY entity HAVING count(*) >= 2)
             SELECT entity, degree FROM d4
+        """,
+        "kg_current_beliefs": f"""
+            WITH t AS (
+              SELECT g.*, s.ts
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx)),
+            e AS (
+              SELECT subj, pred, obj,
+                     CAST(count(*) AS BIGINT) AS n_mentions,
+                     max(ts) AS last_seen,
+                     sum(power(2.0,
+                       -((date_part('epoch', TIMESTAMP '2025-08-01 00:00:00')
+                          - date_part('epoch', ts)) / 86400.0) / 30.0))
+                       AS ds
+              FROM t WHERE ts <= TIMESTAMP '2025-08-01 00:00:00'
+              GROUP BY subj, pred, obj)
+            SELECT subj, pred, obj, n_mentions, last_seen,
+                   round(ds, 6) AS decayed_support
+            FROM e
+            WHERE pred IN ('located_in', 'works_at')
+            QUALIFY row_number() OVER (
+              PARTITION BY subj, pred
+              ORDER BY ds DESC, last_seen DESC, obj DESC) = 1
         """,
         "kg_entity_salience": f"""
             WITH m AS (

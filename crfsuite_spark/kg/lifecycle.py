@@ -230,6 +230,7 @@ def snapshot_asof(
 def resolve_functional(
     edges: DataFrame,
     functional_preds: Sequence[str],
+    support_col: str = "n_mentions",
 ) -> DataFrame:
     """Current-belief resolution for FUNCTIONAL predicates (at most one
     true object per subject — located_in, works_at, ...): per
@@ -249,10 +250,17 @@ def resolve_functional(
     (subj, pred) key; struct comparison is lexicographic by field, so
     the key IS the documented priority order. No window sort: a
     row_number form would shuffle every candidate row; max_by keeps
-    one winner per key per partition before the exchange."""
+    one winner per key per partition before the exchange.
+
+    ``support_col`` swaps the hard mention count for any other
+    support statistic — ``decayed_support`` from
+    :func:`decayed_support` turns this into RECENCY-CONTINUOUS
+    current belief (a fresh minority fact can out-rank a stale
+    majority one; the priority order stays (support, recency, obj)).
+    """
     row = F.struct(*[F.col(c) for c in edges.columns])
     key = F.struct(
-        F.col("n_mentions").alias("support"),
+        F.col(support_col).alias("support"),
         F.col("last_seen").alias("recency"),
         F.col("obj").alias("obj"),
     )

@@ -376,3 +376,26 @@ def test_entity_bursts_flags_and_ratio(spark):
     n = got[("new", 2)]
     assert n["is_burst"] is True and n["prev_mentions"] is None
     assert got[("quiet", 2)]["is_burst"] is False     # 4 < min_mentions
+
+
+def test_resolve_functional_decayed_support_col(spark):
+    """support_col='decayed_support' flips the winner when a fresh
+    minority fact out-weighs a stale majority one — while the default
+    n_mentions ranking keeps the stale winner."""
+    from crfsuite_spark.kg.lifecycle import decayed_support, resolve_functional
+
+    d = datetime.datetime
+    cols = ["subj", "pred", "obj", "ts"]
+    rows = [
+        *[("per:a", "works_at", "org:old", d(2025, 4, 1))] * 3,  # 122d old
+        ("per:a", "works_at", "org:new", d(2025, 7, 31)),        # 1d old
+    ]
+    edges = decayed_support(
+        spark.createDataFrame(rows, cols), d(2025, 8, 1), half_life_days=30.0
+    )
+    by_decay = resolve_functional(
+        edges, ["works_at"], support_col="decayed_support"
+    ).collect()
+    assert len(by_decay) == 1 and by_decay[0]["obj"] == "org:new"
+    by_count = resolve_functional(edges, ["works_at"]).collect()
+    assert by_count[0]["obj"] == "org:old"
