@@ -370,6 +370,15 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
         train_transe(t, dim=16, epochs=3, lr=0.5, seed=7,
                      num_partitions=cores)
 
+    def graph_pagerank():
+        from crfsuite_spark.kg.graph import pagerank
+
+        t = spark.read.parquet(ensure_triples())
+        out = pagerank(t, n_iters=3)
+        out.write.format("noop").mode("overwrite").save()
+        for df in out.pinned_caches:
+            df.unpersist()
+
     def conv_stats():
         from crfsuite_spark.operators.transcripts import conv_stats as cs
 
@@ -394,10 +403,11 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     timed("ds_dsir_select", dsir_select)
     timed("ta_unigram_nll", unigram)
     timed("sim_cluster_assign", cluster_assign)
-    if only in (None, "kg_bgp_query", "kg_transe_train"):
+    if only in (None, "kg_bgp_query", "kg_transe_train", "kg_pagerank3"):
         ensure_triples()
     timed("kg_bgp_query", bgp_query)
     timed("kg_transe_train", transe_train)
+    timed("kg_pagerank3", graph_pagerank)
     timed("tr_conv_stats", conv_stats)
     timed("tr_chat_examples", chat_examples)
 
