@@ -751,3 +751,44 @@ def test_k_core_unravels_pendant_chain(spark):
     assert out3.count() == 0
     for df in out3.pinned_caches:
         df.unpersist()
+
+
+def test_shortest_paths_fuzz_vs_bellman_ford(spark):
+    """Randomized graphs vs a pure-Python k-round Bellman-Ford mirror
+    (exact float equality: both accumulate left-to-right along each
+    path, min over identical candidates)."""
+    import random
+
+    rng = random.Random(11)
+    from crfsuite_spark.kg.graph import shortest_paths
+
+    for trial in range(4):
+        n = rng.randint(4, 9)
+        nodes = [f"v{i}" for i in range(n)]
+        edges = []
+        for _ in range(rng.randint(4, 14)):
+            a, b = rng.sample(nodes, 2)
+            edges.append((a, b, round(rng.uniform(0.1, 5.0), 3)))
+        k = rng.randint(1, 4)
+        seeds = rng.sample(nodes, rng.randint(1, 2))
+        # python mirror: k relaxation rounds over the full dist map
+        dist = {s: 0.0 for s in seeds}
+        for _ in range(k):
+            nxt = dict(dist)
+            for a, b, c in edges:
+                if a in dist:
+                    cand = dist[a] + c
+                    if b not in nxt or cand < nxt[b]:
+                        nxt[b] = cand
+            dist = nxt
+        out = shortest_paths(
+            spark.createDataFrame(edges, ["src", "dst", "cost"]),
+            spark.createDataFrame([(s,) for s in seeds], ["entity"]),
+            k=k,
+        )
+        got = {r["entity"]: r["dist"] for r in out.collect()}
+        for df in out.pinned_caches:
+            df.unpersist()
+        assert got.keys() == dist.keys(), (trial, got, dist)
+        for v in dist:
+            assert got[v] == pytest.approx(dist[v], abs=1e-12), (trial, v)

@@ -399,3 +399,49 @@ def test_resolve_functional_decayed_support_col(spark):
     assert len(by_decay) == 1 and by_decay[0]["obj"] == "org:new"
     by_count = resolve_functional(edges, ["works_at"]).collect()
     assert by_count[0]["obj"] == "org:old"
+
+
+def test_temporal_conflicts_fuzz_vs_brute_force(spark):
+    """Randomized mention streams vs a brute-force interval-overlap
+    mirror over every (subj, pred, obj-pair)."""
+    import itertools
+    import random
+
+    from crfsuite_spark.kg.lifecycle import temporal_conflicts
+
+    rng = random.Random(23)
+    d0 = datetime.datetime(2025, 1, 1)
+    for trial in range(3):
+        rows = []
+        for _ in range(rng.randint(10, 40)):
+            rows.append((
+                f"s{rng.randint(0, 3)}",
+                rng.choice(["works_at", "located_in", "visited"]),
+                f"o{rng.randint(0, 4)}",
+                d0 + datetime.timedelta(days=rng.randint(0, 90)),
+            ))
+        funcs = ["works_at", "located_in"]
+        # brute force
+        from collections import defaultdict
+        iv = defaultdict(lambda: [None, None, 0])
+        for s, p, o, ts in rows:
+            if p not in funcs:
+                continue
+            k = (s, p, o)
+            lo, hi, n = iv[k]
+            iv[k] = [ts if lo is None or ts < lo else lo,
+                     ts if hi is None or ts > hi else hi, n + 1]
+        exp = set()
+        for (s1, p1, o1), (s2, p2, o2) in itertools.combinations(iv, 2):
+            if s1 == s2 and p1 == p2 and o1 != o2:
+                a, b = sorted([(o1, iv[(s1, p1, o1)]), (o2, iv[(s2, p2, o2)])])
+                if a[1][0] <= b[1][1] and b[1][0] <= a[1][1]:
+                    exp.add((s1, p1, a[0], b[0]))
+        got = {
+            (r["subj"], r["pred"], r["obj_a"], r["obj_b"])
+            for r in temporal_conflicts(
+                spark.createDataFrame(rows, ["subj", "pred", "obj", "ts"]),
+                funcs,
+            ).collect()
+        }
+        assert got == exp, (trial, got ^ exp)
