@@ -792,3 +792,42 @@ def test_shortest_paths_fuzz_vs_bellman_ford(spark):
         assert got.keys() == dist.keys(), (trial, got, dist)
         for v in dist:
             assert got[v] == pytest.approx(dist[v], abs=1e-12), (trial, v)
+
+
+def test_k_core_fuzz_vs_python_peeling(spark):
+    """Random graphs vs a pure-Python round-for-round peel mirror
+    (fixed rounds, same degree-then-filter order)."""
+    import random
+
+    from crfsuite_spark.kg.graph import k_core
+
+    rng = random.Random(31)
+    for trial in range(3):
+        n = rng.randint(5, 10)
+        nodes = [f"v{i}" for i in range(n)]
+        eset = set()
+        for _ in range(rng.randint(4, 16)):
+            a, b = rng.sample(nodes, 2)
+            eset.add((min(a, b), max(a, b)))
+        k = rng.randint(2, 3)
+        rounds = rng.randint(1, 4)
+        edges = set(eset)
+        deg = {}
+        for _ in range(rounds):
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            deg = {v: d for v, d in deg.items() if d >= k}
+            edges = {(a, b) for a, b in edges if a in deg and b in deg}
+        rows = [("c", i, a, "r", b) for i, (a, b) in enumerate(sorted(eset))]
+        out = k_core(
+            spark.createDataFrame(
+                rows, ["conv_id", "turn_idx", "subj", "pred", "obj"]
+            ),
+            k=k, rounds=rounds,
+        )
+        got = {r["entity"]: r["degree"] for r in out.collect()}
+        for df in out.pinned_caches:
+            df.unpersist()
+        assert got == deg, (trial, k, rounds, got, deg)
