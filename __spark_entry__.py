@@ -2475,6 +2475,27 @@ def q_kg_current_beliefs(spark, sf):
     )
 
 
+def q_kg_extraction_yield(spark, sf):
+    """Per-conversation extraction-yield monitoring
+    (operators/evaluate.py extraction_yield): turn counts vs
+    triple-bearing turns, triples, distinct entities, coverage — the
+    silent-failure alarm a production extractor watches. Two
+    conv-cardinality aggregates + left joins (zero-yield convs report
+    0.0, never vanish)."""
+    from crfsuite_spark.operators.evaluate import extraction_yield
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
+    turns = spark.read.parquet(
+        os.path.join(fixtures, "gold_turn_ts_synthetic.parquet")
+    )
+    out = extraction_yield(turns, _gold_triples(spark))
+    return out.select(
+        "conv_id", "n_turns", "n_triple_turns", "n_triples", "n_entities",
+        F.round("coverage", 6).alias("coverage"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3045,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_confidence_reliability": q_kg_confidence_reliability,
         "kg_k_core": q_kg_k_core,
         "kg_current_beliefs": q_kg_current_beliefs,
+        "kg_extraction_yield": q_kg_extraction_yield,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4701,6 +4723,34 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY subj, pred
               ORDER BY ds DESC, last_seen DESC, obj DESC) = 1
+        """,
+        "kg_extraction_yield": f"""
+            WITH t AS (
+              SELECT conv_id, count(DISTINCT turn_idx) AS n_turns
+              FROM read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet')
+              GROUP BY conv_id),
+            g AS (
+              SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            x AS (
+              SELECT conv_id,
+                     count(DISTINCT turn_idx) AS n_triple_turns,
+                     CAST(count(*) AS BIGINT) AS n_triples
+              FROM g GROUP BY conv_id),
+            e AS (
+              SELECT conv_id, count(DISTINCT ent) AS n_entities FROM (
+                SELECT conv_id, subj AS ent FROM g
+                UNION ALL SELECT conv_id, obj FROM g)
+              GROUP BY conv_id)
+            SELECT t.conv_id, t.n_turns,
+                   CAST(COALESCE(x.n_triple_turns, 0) AS BIGINT)
+                     AS n_triple_turns,
+                   CAST(COALESCE(x.n_triples, 0) AS BIGINT) AS n_triples,
+                   CAST(COALESCE(e.n_entities, 0) AS BIGINT) AS n_entities,
+                   round(COALESCE(x.n_triple_turns, 0) * 1.0 / t.n_turns, 6)
+                     AS coverage
+            FROM t
+            LEFT JOIN x USING (conv_id)
+            LEFT JOIN e USING (conv_id)
         """,
         "kg_entity_salience": f"""
             WITH m AS (

@@ -247,3 +247,66 @@ def triple_prf(
             prec + rec > 0, 2 * prec * rec / (prec + rec)
         ).otherwise(F.lit(0.0)).alias("f1"),
     )
+
+
+def extraction_yield(
+    turns: DataFrame,
+    triples: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+) -> DataFrame:
+    """Per-conversation extraction-yield report: (conv_id, n_turns,
+    n_triple_turns, n_triples, n_entities, coverage) with coverage =
+    fraction of turns that produced ≥1 triple — the monitoring query a
+    production extraction pipeline alarms on (a coverage cliff after a
+    model/template change is the canonical silent-failure signal, long
+    before any gold-labelled P/R is available).
+
+    ``turns`` is the turn-grain frame (one row per (conv, turn) — the
+    transcript table itself works), ``triples`` the mention-grain
+    extraction output.
+
+    Shape: one partial-aggregated groupBy per side on the uniform conv
+    key (the triple side pre-collapses distinct turns and entities via
+    conditional countDistinct in the same pass), one equi-join of two
+    conv-cardinality aggregates, left join so zero-yield conversations
+    REPORT with coverage 0.0 instead of vanishing."""
+    t = turns.groupBy(F.col(conv).alias("conv_id")).agg(
+        F.countDistinct(turn).alias("n_turns")
+    )
+    x = triples.groupBy(F.col(conv).alias("conv_id")).agg(
+        F.countDistinct(turn).alias("n_triple_turns"),
+        F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+        F.countDistinct("subj").alias("__ns"),
+    )
+    ents = (
+        triples.select(F.col(conv).alias("conv_id"),
+                       F.col("subj").alias("e"))
+        .unionByName(
+            triples.select(F.col(conv).alias("conv_id"),
+                           F.col("obj").alias("e"))
+        )
+        .groupBy("conv_id")
+        .agg(F.countDistinct("e").alias("n_entities"))
+    )
+    return (
+        t.join(x.drop("__ns"), "conv_id", "left")
+        .join(ents, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce("n_triple_turns", F.lit(0)).cast("bigint").alias(
+                "n_triple_turns"
+            ),
+            F.coalesce("n_triples", F.lit(0)).cast("bigint").alias(
+                "n_triples"
+            ),
+            F.coalesce("n_entities", F.lit(0)).cast("bigint").alias(
+                "n_entities"
+            ),
+            (
+                F.coalesce("n_triple_turns", F.lit(0))
+                / F.col("n_turns")
+            ).alias("coverage"),
+        )
+    )

@@ -176,3 +176,31 @@ def test_triple_prf_counts_and_zero_guards(spark):
         cols)
     assert s["precision"] == pytest.approx(w["precision"])
     assert s["recall"] == pytest.approx(w["recall"])
+
+
+def test_extraction_yield_counts_and_zero_yield(spark):
+    import pytest
+
+    from crfsuite_spark.operators.evaluate import extraction_yield
+
+    turns = spark.createDataFrame(
+        [("c1", 0), ("c1", 1), ("c1", 2), ("c1", 3), ("c2", 0), ("c2", 1)],
+        ["conv_id", "turn_idx"],
+    )
+    triples = spark.createDataFrame(
+        [
+            ("c1", 0, "a", "r", "b"),
+            ("c1", 0, "a", "r", "c"),   # same turn, second triple
+            ("c1", 2, "b", "r", "c"),
+            # c2: zero extractions — must still report
+        ],
+        ["conv_id", "turn_idx", "subj", "pred", "obj"],
+    )
+    got = {r["conv_id"]: r for r in extraction_yield(turns, triples).collect()}
+    c1 = got["c1"]
+    assert (c1["n_turns"], c1["n_triple_turns"], c1["n_triples"]) == (4, 2, 3)
+    assert c1["n_entities"] == 3                      # a, b, c
+    assert c1["coverage"] == pytest.approx(0.5)
+    c2 = got["c2"]
+    assert (c2["n_triples"], c2["n_entities"]) == (0, 0)
+    assert c2["coverage"] == pytest.approx(0.0)
