@@ -2496,6 +2496,20 @@ def q_kg_extraction_yield(spark, sf):
     )
 
 
+def q_kg_validate_asymmetric(spark, sf):
+    """OWL AsymmetricProperty violations (kg/validate.py
+    validate_asymmetric): both directions asserted for an asymmetric
+    predicate — the upstream slot-swap signature. Canonical-pair
+    projection turns the reverse-edge self-join into ONE
+    partial-aggregated pair-count groupBy. partnered_with is
+    deliberately unconstrained (legitimately symmetric)."""
+    from crfsuite_spark.kg.validate import validate_asymmetric
+
+    return validate_asymmetric(
+        _gold_triples(spark), ["acquired", "founded", "works_at"]
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3067,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_k_core": q_kg_k_core,
         "kg_current_beliefs": q_kg_current_beliefs,
         "kg_extraction_yield": q_kg_extraction_yield,
+        "kg_validate_asymmetric": q_kg_validate_asymmetric,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4723,6 +4738,17 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY subj, pred
               ORDER BY ds DESC, last_seen DESC, obj DESC) = 1
+        """,
+        "kg_validate_asymmetric": f"""
+            WITH t AS (
+              SELECT DISTINCT subj, pred, obj
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')
+              WHERE pred IN ('acquired', 'founded', 'works_at')
+                AND subj <> obj)
+            SELECT pred, least(subj, obj) AS entity_a,
+                   greatest(subj, obj) AS entity_b
+            FROM t
+            GROUP BY 1, 2, 3 HAVING count(*) = 2
         """,
         "kg_extraction_yield": f"""
             WITH t AS (

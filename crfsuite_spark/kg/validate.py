@@ -283,3 +283,46 @@ def validate_graph(
         )
         out = out.unionByName(reqs)
     return out
+
+
+def validate_asymmetric(
+    triples: DataFrame,
+    asymmetric_preds: list[str],
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """OWL ``AsymmetricProperty`` check (the pair-level constraint
+    :func:`validate_rows` can't see): for each listed predicate,
+    report unordered pairs asserted in BOTH directions — "A acquired
+    B" and "B acquired A" cannot both hold, and in transcript-mined
+    graphs a symmetric assertion of an asymmetric predicate is the
+    signature of a subject/object slot swap upstream (the relation
+    grammar picked the wrong argument order).
+
+    Output: (pred, entity_a, entity_b) with ``entity_a < entity_b`` —
+    one row per violating pair per predicate, both directions folded.
+
+    Shape: pred filter reaches the scan (a pred-partitioned table
+    reads only the constrained slice), the mention stream collapses to
+    the distinct directed edge set FIRST, then a self-join keyed on
+    the canonically-ordered pair detects the reverse edge — the join
+    runs at edge cardinality on a uniform composite key, and the
+    canonical (least, greatest) projection means violations surface
+    as pair-count == 2 in ONE partial-aggregated groupBy, no actual
+    self-join materialization."""
+    t = triples.select("subj", "pred", "obj").where(
+        F.col("pred").isin(list(asymmetric_preds))
+        & (F.col("subj") != F.col("obj"))
+    )
+    if not assume_distinct:
+        t = t.distinct()
+    return (
+        t.select(
+            "pred",
+            F.least("subj", "obj").alias("entity_a"),
+            F.greatest("subj", "obj").alias("entity_b"),
+        )
+        .groupBy("pred", "entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == 2)
+        .select("pred", "entity_a", "entity_b")
+    )

@@ -180,3 +180,33 @@ def test_required_no_window_partial_agg(dirty):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial" in plan.lower(), plan
+
+
+def test_validate_asymmetric_pairs(spark):
+    """Both-direction pairs flag once (canonical order); one-direction
+    edges, self-loops, unconstrained predicates, and duplicate
+    mentions never flag."""
+    from crfsuite_spark.kg.validate import validate_asymmetric
+
+    cols = ["subj", "pred", "obj"]
+    t = spark.createDataFrame(
+        [
+            ("a", "acquired", "b"), ("b", "acquired", "a"),   # violation
+            ("a", "acquired", "b"),                           # dup mention
+            ("a", "acquired", "c"),                           # one-way: fine
+            ("d", "acquired", "d"),                           # self-loop: ignored
+            ("x", "partnered_with", "y"), ("y", "partnered_with", "x"),
+            # ^ symmetric predicate, not constrained
+        ],
+        cols,
+    )
+    got = validate_asymmetric(t, ["acquired"]).collect()
+    assert [(r["pred"], r["entity_a"], r["entity_b"]) for r in got] == [
+        ("acquired", "a", "b")
+    ]
+    plan = (
+        validate_asymmetric(t, ["acquired"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial" in plan.lower(), plan   # pair count map-side combines
+    assert "Window" not in plan, plan
