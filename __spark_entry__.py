@@ -2510,6 +2510,58 @@ def q_kg_validate_asymmetric(spark, sf):
     )
 
 
+def q_kg_span_agreement(spark, sf):
+    """Exact vs lenient span-boundary agreement per entity type
+    (operators/evaluate.py span_agreement — the exact/lenient gap IS
+    the boundary-error budget). Predictions = gold mentions under a
+    deterministic md5 perturbation: 15% dropped, top-quintile hash
+    slice gets a one-token end slip (lenient hit, exact miss), the
+    next slice retypes to MISC."""
+    from crfsuite_spark.operators.evaluate import span_agreement
+
+    mentions, _ = _mining_fixtures(spark)
+    gold = mentions.select(
+        "conv_id", "turn_idx", "entity_type", "start_tok", "end_tok"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", "conv_id", F.col("turn_idx").cast("string"),
+                        F.col("start_tok").cast("string"), "surface",
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    pred = (
+        mentions.withColumn("__u", u)
+        .where(F.col("__u") >= 0.15)
+        .select(
+            "conv_id", "turn_idx",
+            F.when(
+                (F.col("__u") > 0.7) & (F.col("__u") <= 0.8), F.lit("MISC")
+            ).otherwise(F.col("entity_type")).alias("entity_type"),
+            "start_tok",
+            F.when(F.col("__u") > 0.8, F.col("end_tok") + 1)
+            .otherwise(F.col("end_tok")).alias("end_tok"),
+        )
+    )
+    out = span_agreement(pred, gold)
+    return out.select(
+        "entity_type", "n_gold", "n_pred", "n_exact",
+        "n_lenient_p", "n_lenient_g",
+        F.round("precision_exact", 6).alias("precision_exact"),
+        F.round("recall_exact", 6).alias("recall_exact"),
+        F.round("precision_lenient", 6).alias("precision_lenient"),
+        F.round("recall_lenient", 6).alias("recall_lenient"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3082,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_current_beliefs": q_kg_current_beliefs,
         "kg_extraction_yield": q_kg_extraction_yield,
         "kg_validate_asymmetric": q_kg_validate_asymmetric,
+        "kg_span_agreement": q_kg_span_agreement,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4749,6 +4802,79 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    greatest(subj, obj) AS entity_b
             FROM t
             GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "kg_span_agreement": f"""
+            WITH m AS (
+              SELECT * FROM read_parquet('{fixtures}/gold_mentions_synthetic.parquet')),
+            g AS (
+              SELECT DISTINCT conv_id, turn_idx, entity_type,
+                     start_tok, end_tok FROM m),
+            up AS (
+              SELECT *,
+                     (('0x' || substr(md5(concat_ws('#', conv_id,
+                        CAST(turn_idx AS VARCHAR), CAST(start_tok AS VARCHAR),
+                        surface)), 1, 8))::BIGINT % 1000000) / 1000000.0 AS u
+              FROM m),
+            p AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     CASE WHEN u > 0.7 AND u <= 0.8 THEN 'MISC'
+                          ELSE entity_type END AS entity_type,
+                     start_tok,
+                     CASE WHEN u > 0.8 THEN end_tok + 1
+                          ELSE end_tok END AS end_tok
+              FROM up WHERE u >= 0.15),
+            ng AS (SELECT entity_type, CAST(count(*) AS BIGINT) AS n_gold
+                   FROM g GROUP BY 1),
+            np AS (SELECT entity_type, CAST(count(*) AS BIGINT) AS n_pred
+                   FROM p GROUP BY 1),
+            ne AS (
+              SELECT p.entity_type, CAST(count(*) AS BIGINT) AS n_exact
+              FROM p JOIN g USING (conv_id, turn_idx, entity_type,
+                                   start_tok, end_tok)
+              GROUP BY 1),
+            lp AS (
+              SELECT entity_type, CAST(count(*) AS BIGINT) AS n_lenient_p
+              FROM p WHERE EXISTS (
+                SELECT 1 FROM g WHERE g.conv_id = p.conv_id
+                  AND g.turn_idx = p.turn_idx
+                  AND g.entity_type = p.entity_type
+                  AND p.start_tok <= g.end_tok
+                  AND g.start_tok <= p.end_tok)
+              GROUP BY 1),
+            lg AS (
+              SELECT entity_type, CAST(count(*) AS BIGINT) AS n_lenient_g
+              FROM g WHERE EXISTS (
+                SELECT 1 FROM p WHERE p.conv_id = g.conv_id
+                  AND p.turn_idx = g.turn_idx
+                  AND p.entity_type = g.entity_type
+                  AND g.start_tok <= p.end_tok
+                  AND p.start_tok <= g.end_tok)
+              GROUP BY 1),
+            rep AS (
+              SELECT COALESCE(ng.entity_type, np.entity_type) AS entity_type,
+                     CAST(COALESCE(ng.n_gold, 0) AS BIGINT) AS n_gold,
+                     CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred
+              FROM ng FULL OUTER JOIN np ON np.entity_type = ng.entity_type)
+            SELECT rep.entity_type, rep.n_gold, rep.n_pred,
+                   CAST(COALESCE(ne.n_exact, 0) AS BIGINT) AS n_exact,
+                   CAST(COALESCE(lp.n_lenient_p, 0) AS BIGINT) AS n_lenient_p,
+                   CAST(COALESCE(lg.n_lenient_g, 0) AS BIGINT) AS n_lenient_g,
+                   round(CASE WHEN rep.n_pred > 0
+                     THEN COALESCE(ne.n_exact, 0) * 1.0 / rep.n_pred
+                     ELSE 0.0 END, 6) AS precision_exact,
+                   round(CASE WHEN rep.n_gold > 0
+                     THEN COALESCE(ne.n_exact, 0) * 1.0 / rep.n_gold
+                     ELSE 0.0 END, 6) AS recall_exact,
+                   round(CASE WHEN rep.n_pred > 0
+                     THEN COALESCE(lp.n_lenient_p, 0) * 1.0 / rep.n_pred
+                     ELSE 0.0 END, 6) AS precision_lenient,
+                   round(CASE WHEN rep.n_gold > 0
+                     THEN COALESCE(lg.n_lenient_g, 0) * 1.0 / rep.n_gold
+                     ELSE 0.0 END, 6) AS recall_lenient
+            FROM rep
+            LEFT JOIN ne ON ne.entity_type = rep.entity_type
+            LEFT JOIN lp ON lp.entity_type = rep.entity_type
+            LEFT JOIN lg ON lg.entity_type = rep.entity_type
         """,
         "kg_extraction_yield": f"""
             WITH t AS (

@@ -310,3 +310,89 @@ def extraction_yield(
             ).alias("coverage"),
         )
     )
+
+
+def span_agreement(
+    pred: DataFrame,
+    gold: DataFrame,
+    keys: list[str] | None = None,
+    type_col: str = "entity_type",
+    start_col: str = "start_tok",
+    end_col: str = "end_tok",
+) -> DataFrame:
+    """Span-level NER agreement with BOTH exact-boundary and lenient
+    (any-overlap, same type) credit, per entity type — the MUC-style
+    companion to :func:`triple_prf`: exact-only scoring reads a
+    one-token boundary slip as a double error (FP+FN), while the
+    exact/lenient GAP is precisely the boundary-error budget, the
+    first thing to triage when a tagger regresses (reference
+    R/evaluation.R scores token-level only; span grain is what the
+    chunkrange annotation format S9 stores).
+
+    Output per type: (entity_type, n_gold, n_pred, n_exact,
+    n_lenient_p, n_lenient_g, precision_exact, recall_exact,
+    precision_lenient, recall_lenient) where lenient precision counts
+    predicted spans overlapping ANY same-type gold span in the same
+    sequence (each span counts once — semi-join semantics, no
+    double-credit fanout) and lenient recall the mirror image.
+
+    Shape: both sides dedup once; exact matches are ONE equi-join at
+    distinct-span grain; the lenient sides are LeftSemi joins with an
+    equi prefix on (keys, type) plus the interval-overlap range
+    residual — sequence-bounded, so the per-key candidate set is a
+    turn's spans, never a cross-sequence fanout; all counts collapse
+    in partial-aggregated per-type groupBys and meet in a tiny
+    full-outer report join. Zero denominators report 0.0, never NULL.
+    """
+    if keys is None:
+        keys = ["conv_id", "turn_idx"]
+    cols = keys + [type_col, start_col, end_col]
+    p = pred.select(*cols).distinct()
+    g = gold.select(*cols).distinct()
+    per = lambda df, name: df.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias(name)
+    )
+    exact = per(p.join(g, cols, "inner"), "n_exact")
+
+    def overlap_semi(left, right):
+        # aliased condition: left/right may share lineage (e.g. a
+        # perturbed copy of the same frame), so bare Column refs
+        # would be ambiguous
+        cond = " AND ".join(
+            [f"l.`{k}` = r.`{k}`" for k in keys + [type_col]]
+            + [
+                f"l.`{start_col}` <= r.`{end_col}`",
+                f"r.`{start_col}` <= l.`{end_col}`",
+            ]
+        )
+        return left.alias("l").join(
+            right.alias("r"), F.expr(cond), "left_semi"
+        )
+
+    len_p = per(overlap_semi(p, g), "n_lenient_p")
+    len_g = per(overlap_semi(g, p), "n_lenient_g")
+    rep = (
+        per(g, "n_gold")
+        .join(per(p, "n_pred"), type_col, "full_outer")
+        .join(exact, type_col, "full_outer")
+        .join(len_p, type_col, "full_outer")
+        .join(len_g, type_col, "full_outer")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")
+    ratio = lambda num, den: F.when(
+        den > 0, num.cast("double") / den
+    ).otherwise(F.lit(0.0))
+    n_gold, n_pred = z("n_gold"), z("n_pred")
+    n_exact, n_lp, n_lg = z("n_exact"), z("n_lenient_p"), z("n_lenient_g")
+    return rep.select(
+        type_col,
+        n_gold.alias("n_gold"),
+        n_pred.alias("n_pred"),
+        n_exact.alias("n_exact"),
+        n_lp.alias("n_lenient_p"),
+        n_lg.alias("n_lenient_g"),
+        ratio(n_exact, n_pred).alias("precision_exact"),
+        ratio(n_exact, n_gold).alias("recall_exact"),
+        ratio(n_lp, n_pred).alias("precision_lenient"),
+        ratio(n_lg, n_gold).alias("recall_lenient"),
+    )

@@ -204,3 +204,47 @@ def test_extraction_yield_counts_and_zero_yield(spark):
     c2 = got["c2"]
     assert (c2["n_triples"], c2["n_entities"]) == (0, 0)
     assert c2["coverage"] == pytest.approx(0.0)
+
+
+def test_span_agreement_exact_vs_lenient(spark):
+    """Boundary slips count lenient-only; type mismatches and
+    different-turn overlaps count nowhere; each span credits at most
+    once even when it overlaps two gold spans."""
+    import pytest
+
+    from crfsuite_spark.operators.evaluate import span_agreement
+
+    cols = ["conv_id", "turn_idx", "entity_type", "start_tok", "end_tok"]
+    gold = spark.createDataFrame(
+        [
+            ("c1", 0, "PER", 2, 3),
+            ("c1", 0, "PER", 5, 6),
+            ("c1", 0, "ORG", 8, 9),
+            ("c1", 1, "PER", 2, 3),     # other turn
+        ],
+        cols,
+    )
+    pred = spark.createDataFrame(
+        [
+            ("c1", 0, "PER", 2, 3),     # exact
+            ("c1", 0, "PER", 4, 5),     # boundary slip: overlaps (5,6)
+            ("c1", 0, "ORG", 2, 3),     # type mismatch with PER span
+            ("c1", 0, "PER", 1, 7),     # spans BOTH PER golds: one credit
+            ("c1", 2, "PER", 2, 3),     # wrong turn entirely
+        ],
+        cols,
+    )
+    got = {r["entity_type"]: r for r in span_agreement(pred, gold).collect()}
+    per = got["PER"]
+    assert (per["n_gold"], per["n_pred"], per["n_exact"]) == (3, 4, 1)
+    # lenient precision: exact + slip + umbrella = 3 of 4 pred spans
+    assert per["n_lenient_p"] == 3
+    assert per["precision_lenient"] == pytest.approx(3 / 4)
+    # lenient recall: both turn-0 golds covered, turn-1 gold not
+    assert per["n_lenient_g"] == 2
+    assert per["recall_lenient"] == pytest.approx(2 / 3)
+    assert per["precision_exact"] == pytest.approx(1 / 4)
+    org = got["ORG"]
+    # the mistyped ORG pred overlaps no ORG gold
+    assert (org["n_exact"], org["n_lenient_p"]) == (0, 0)
+    assert org["precision_exact"] == 0.0 and org["recall_lenient"] == 0.0
