@@ -2562,6 +2562,26 @@ def q_kg_span_agreement(spark, sf):
     )
 
 
+def q_kg_dictionary_spans(spark, sf):
+    """Distant-supervision span projection (kg/mining.py
+    dictionary_spans; Mintz et al. 2009): dictionary aliases found
+    verbatim in the token stream become typed spans — longest-match
+    containment suppression, ambiguity resolved by (weight,
+    canonical_id). Turn-array pack + broadcast first-token join; the
+    stream shuffles once."""
+    from crfsuite_spark.kg.mining import dictionary_spans
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
+    toks = spark.read.parquet(
+        os.path.join(fixtures, "gold_decode_synthetic.parquet")
+    )
+    alias = spark.read.parquet(
+        os.path.join(fixtures, "alias_dict_synthetic.parquet")
+    )
+    return dictionary_spans(toks, alias)
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3135,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extraction_yield": q_kg_extraction_yield,
         "kg_validate_asymmetric": q_kg_validate_asymmetric,
         "kg_span_agreement": q_kg_span_agreement,
+        "kg_dictionary_spans": q_kg_dictionary_spans,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4802,6 +4823,46 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    greatest(subj, obj) AS entity_b
             FROM t
             GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "kg_dictionary_spans": f"""
+            WITH tok AS (
+              SELECT * FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')),
+            arr AS (
+              SELECT conv_id, turn_idx,
+                     list(token_idx ORDER BY token_idx) AS ids,
+                     list(lower(token) ORDER BY token_idx) AS toks
+              FROM tok GROUP BY 1, 2),
+            d AS (
+              SELECT DISTINCT lower(alias) AS a, canonical_id, entity_type,
+                     COALESCE(weight, 0.0) AS w
+              FROM read_parquet('{fixtures}/alias_dict_synthetic.parquet')),
+            dn AS (SELECT a, canonical_id, entity_type, w,
+                          len(string_split(a, ' ')) AS n FROM d),
+            cand AS (
+              SELECT arr.conv_id, arr.turn_idx, g.pos AS s,
+                     g.pos + dn.n - 1 AS e,
+                     arr.ids[g.pos] AS start_tok,
+                     arr.ids[g.pos + dn.n - 1] AS end_tok,
+                     dn.canonical_id, dn.entity_type, dn.a AS alias,
+                     dn.w, dn.n
+              FROM arr
+              JOIN generate_series(1, 512) AS g(pos)
+                ON g.pos <= len(arr.toks)
+              CROSS JOIN dn
+              WHERE g.pos + dn.n - 1 <= len(arr.toks)
+                AND array_to_string(arr.toks[g.pos : g.pos + dn.n - 1], ' ')
+                    = dn.a),
+            kept AS (
+              SELECT c.* FROM cand c WHERE NOT EXISTS (
+                SELECT 1 FROM cand o WHERE o.conv_id = c.conv_id
+                  AND o.turn_idx = c.turn_idx
+                  AND o.s <= c.s AND c.e <= o.e AND o.n > c.n))
+            SELECT conv_id, turn_idx, start_tok, end_tok,
+                   canonical_id, entity_type, alias
+            FROM kept
+            QUALIFY row_number() OVER (
+              PARTITION BY conv_id, turn_idx, s, e
+              ORDER BY w DESC, canonical_id) = 1
         """,
         "kg_span_agreement": f"""
             WITH m AS (

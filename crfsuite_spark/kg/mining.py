@@ -159,3 +159,131 @@ def mine_acronyms(
         )
         .where(F.col("n_convs") >= int(min_convs))
     )
+
+
+def dictionary_spans(
+    tokens: DataFrame,
+    alias_dict: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    tok_idx: str = "token_idx",
+    token: str = "token",
+) -> DataFrame:
+    """Distant-supervision span projection: every dictionary alias
+    found verbatim (lowercased token equality) in the token stream
+    becomes a typed span — (conv_id, turn_idx, start_tok, end_tok,
+    canonical_id, entity_type, alias) — the Mintz et al. 2009
+    bootstrap that weak-labels a NEW corpus before any model exists
+    (feed the result to operators/chunks.py for BIO recode and the
+    trainer has silver training data; the inverse of
+    :func:`mine_aliases`, which grows the dictionary FROM
+    supervision).
+
+    Match semantics, deterministic and engine-replayable: candidate =
+    an alias whose token sequence equals a contiguous lowercased
+    token window; a candidate strictly CONTAINED in a longer
+    candidate on the same turn is suppressed (longest-match);
+    overlapping-but-not-nested candidates both survive (documented —
+    true greedy segmentation is an inherently sequential scan);
+    an ambiguous span (two canonical ids for the same alias) resolves
+    by (weight desc, canonical_id asc) max_by.
+
+    Scale shape: one groupBy packs each turn's tokens into an ordered
+    array (turn-bounded, same partitioning the tagger uses); matching
+    is a posexplode of start positions joined BROADCAST against the
+    (first-token, n-tokens, alias) dictionary — the stream shuffles
+    once into turn arrays and never again; the phrase equality is a
+    scan-local slice + array_join, the containment suppression an
+    anti-join at candidate cardinality within turns. Real token ids
+    ride the array (``token_idx`` gaps survive — start/end map back
+    through the packed structs, not positions)."""
+    arr = (
+        tokens.groupBy(F.col(conv).alias("conv_id"),
+                       F.col(turn).alias("turn_idx"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(tok_idx).alias("i"),
+                        F.lower(F.col(token)).alias("t"),
+                    )
+                )
+            ).alias("__a")
+        )
+        .select(
+            "conv_id", "turn_idx",
+            F.col("__a.i").alias("__ids"),
+            F.col("__a.t").alias("__toks"),
+        )
+    )
+    d = (
+        alias_dict.select(
+            F.lower("alias").alias("__alias"),
+            "canonical_id",
+            "entity_type",
+            F.coalesce(F.col("weight").cast("double"), F.lit(0.0)).alias(
+                "__w"
+            ),
+        )
+        .distinct()
+        .withColumn("__atoks", F.split("__alias", " "))
+        .withColumn("__n", F.size("__atoks"))
+        .withColumn("__first", F.col("__atoks")[0])
+    )
+    cand = (
+        arr.select(
+            "conv_id", "turn_idx", "__ids", "__toks",
+            F.posexplode("__toks").alias("__pos", "__tok"),
+        )
+        .join(F.broadcast(d), F.col("__tok") == F.col("__first"))
+        .where(F.col("__pos") + F.col("__n") <= F.size("__toks"))
+        .where(
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__pos") + 1, F.col("__n")),
+                " ",
+            )
+            == F.col("__alias")
+        )
+        .select(
+            "conv_id", "turn_idx",
+            F.col("__pos").alias("__s"),
+            (F.col("__pos") + F.col("__n") - 1).alias("__e"),
+            F.element_at(F.col("__ids"), F.col("__pos") + 1).alias(
+                "start_tok"
+            ),
+            F.element_at(
+                F.col("__ids"), F.col("__pos") + F.col("__n")
+            ).alias("end_tok"),
+            "canonical_id", "entity_type",
+            F.col("__alias").alias("alias"),
+            "__w", "__n",
+        )
+    )
+    # longest-match: drop candidates strictly inside a longer one
+    inner = cand.alias("c")
+    outer = cand.select(
+        "conv_id", "turn_idx",
+        F.col("__s").alias("__os"), F.col("__e").alias("__oe"),
+        F.col("__n").alias("__on"),
+    ).alias("o")
+    kept = inner.join(
+        outer,
+        F.expr(
+            "c.conv_id = o.conv_id AND c.turn_idx = o.turn_idx "
+            "AND o.__os <= c.__s AND c.__e <= o.__oe AND o.__on > c.__n"
+        ),
+        "left_anti",
+    )
+    # ambiguous span -> best (weight desc, canonical_id asc)
+    row = F.struct(
+        "conv_id", "turn_idx", "start_tok", "end_tok",
+        "canonical_id", "entity_type", "alias",
+    )
+    key = F.struct(
+        (-F.col("__w")).alias("nw"), F.col("canonical_id").alias("id")
+    )
+    return (
+        kept.groupBy("conv_id", "turn_idx", "__s", "__e")
+        .agg(F.min_by(row, key).alias("__b"))
+        .select("__b.*")
+    )

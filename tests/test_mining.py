@@ -106,3 +106,52 @@ def test_mine_aliases_plan_partial_agg_no_window(mining_data):
     assert "Window" not in plan
     assert "partial_count" in plan  # map-side combine on the raw stream
     assert "BroadcastHashJoin" in plan  # known-pair anti-join broadcasts
+
+
+def test_dictionary_spans_longest_match_and_ambiguity(spark):
+    """Longest match suppresses contained candidates; token_idx gaps
+    survive through the packed arrays; ambiguous aliases resolve by
+    weight then id; non-nested overlaps both survive (documented)."""
+    from crfsuite_spark.kg.mining import dictionary_spans
+
+    tok_cols = ["conv_id", "turn_idx", "token_idx", "token"]
+    toks = spark.createDataFrame(
+        [
+            # gap: token_idx jumps 0 -> 2 (double space upstream)
+            ("c1", 0, 0, "Met"),
+            ("c1", 0, 2, "Alice"),
+            ("c1", 0, 3, "Johnson"),
+            ("c1", 0, 4, "today"),
+            # overlap-not-nested: "acme corp" and "corp holdings"
+            ("c1", 1, 0, "Acme"),
+            ("c1", 1, 1, "Corp"),
+            ("c1", 1, 2, "Holdings"),
+        ],
+        tok_cols,
+    )
+    alias = spark.createDataFrame(
+        [
+            ("alice johnson", "per:alice", "PER", 1.0),
+            ("alice", "per:alice", "PER", 0.5),           # contained: drop
+            ("alice", "per:other_alice", "PER", 0.9),     # contained: drop
+            ("acme corp", "org:acme", "ORG", 1.0),
+            ("corp holdings", "org:corp_holdings", "ORG", 1.0),
+            ("today", "misc:today", "MISC", 0.2),
+            ("today", "misc:today_b", "MISC", 0.2),       # tie -> min id
+        ],
+        ["alias", "canonical_id", "entity_type", "weight"],
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"], r["start_tok"], r["end_tok"]):
+        (r["canonical_id"], r["alias"])
+        for r in dictionary_spans(toks, alias).collect()
+    }
+    # gap-aware ids: alice johnson spans real token ids 2..3
+    assert got[("c1", 0, 2, 3)] == ("per:alice", "alice johnson")
+    assert ("c1", 0, 2, 2) not in got          # contained single-token
+    # equal-weight ambiguity -> lexicographically first id
+    assert got[("c1", 0, 4, 4)][0] == "misc:today"
+    # overlapping but not nested: both survive
+    assert got[("c1", 1, 0, 1)][0] == "org:acme"
+    assert got[("c1", 1, 1, 2)][0] == "org:corp_holdings"
+    assert len(got) == 4
