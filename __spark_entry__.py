@@ -2582,6 +2582,47 @@ def q_kg_dictionary_spans(spark, sf):
     return dictionary_spans(toks, alias)
 
 
+def q_crf_cohens_kappa(spark, sf):
+    """Cohen's κ inter-annotator agreement (operators/evaluate.py
+    cohens_kappa) between the gold labels and a deterministic md5
+    second-annotator (15% of tokens relabeled 'O') — the S9
+    annotation-workflow QC gate. One contingency groupBy, everything
+    else bounded-frame algebra."""
+    from crfsuite_spark.operators.evaluate import cohens_kappa
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
+    toks = spark.read.parquet(
+        os.path.join(fixtures, "gold_decode_synthetic.parquet")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", "conv_id", F.col("turn_idx").cast("string"),
+                        F.col("token_idx").cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    ann = toks.select(
+        F.col("label").alias("a"),
+        F.when(u < 0.15, F.lit("O")).otherwise(F.col("label")).alias("b"),
+    )
+    out = cohens_kappa(ann, "a", "b")
+    return out.select(
+        "n",
+        F.round("po", 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.round("kappa", 6).alias("kappa"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3156,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_validate_asymmetric": q_kg_validate_asymmetric,
         "kg_span_agreement": q_kg_span_agreement,
         "kg_dictionary_spans": q_kg_dictionary_spans,
+        "crf_cohens_kappa": q_crf_cohens_kappa,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4823,6 +4865,38 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    greatest(subj, obj) AS entity_b
             FROM t
             GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "crf_cohens_kappa": f"""
+            WITH t AS (
+              SELECT label AS a,
+                     CASE WHEN (('0x' || substr(md5(concat_ws('#', conv_id,
+                            CAST(turn_idx AS VARCHAR),
+                            CAST(token_idx AS VARCHAR))), 1, 8))::BIGINT
+                            % 1000000) / 1000000.0 < 0.15
+                          THEN 'O' ELSE label END AS b
+              FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')),
+            cells AS (
+              SELECT a, b, CAST(count(*) AS DOUBLE) AS n
+              FROM t GROUP BY a, b),
+            tot AS (
+              SELECT sum(n) AS n,
+                     sum(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+              FROM cells),
+            ma AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+            mb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY b),
+            pe AS (
+              SELECT sum(ma.na * mb.nb) AS pe_num
+              FROM ma JOIN mb ON ma.a = mb.b)
+            SELECT CAST(tot.n AS BIGINT) AS n,
+                   round(tot.agree / tot.n, 6) AS po,
+                   round(COALESCE(pe.pe_num, 0) / (tot.n * tot.n), 6) AS pe,
+                   round(CASE WHEN COALESCE(pe.pe_num, 0) / (tot.n * tot.n) >= 1.0
+                         THEN 1.0
+                         ELSE (tot.agree / tot.n
+                               - pe.pe_num / (tot.n * tot.n))
+                              / (1.0 - pe.pe_num / (tot.n * tot.n)) END, 6)
+                     AS kappa
+            FROM tot CROSS JOIN pe
         """,
         "kg_dictionary_spans": f"""
             WITH tok AS (

@@ -396,3 +396,56 @@ def span_agreement(
         ratio(n_lp, n_pred).alias("precision_lenient"),
         ratio(n_lg, n_gold).alias("recall_lenient"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's κ inter-annotator agreement (Cohen 1960) over two label
+    columns: ONE row (n, po, pe, kappa) with po observed agreement,
+    pe chance agreement from the marginals, κ = (po − pe)/(1 − pe)
+    (κ = 1.0 when pe = 1 — degenerate single-label case where po must
+    also be 1). The QC gate for the S9 annotation workflow
+    (inst/app/annotation.Rmd stores raw chunks; double-annotated
+    overlaps need an agreement number before the labels train
+    anything).
+
+    Shape: the token stream collapses ONCE into the (a, b)
+    contingency (label-vocab² rows, map-side combined); every other
+    quantity — marginals, po, pe — is algebra on that bounded frame
+    (two re-aggregations + one 1-row join), nothing driver-side."""
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    )
+    tot = cells.agg(
+        F.sum("__n").alias("n"),
+        (
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))
+                  .otherwise(F.lit(0.0)))
+        ).alias("__agree"),
+    )
+    ma = cells.groupBy("__a").agg(F.sum("__n").alias("__na"))
+    mb = cells.groupBy("__b").agg(F.sum("__n").alias("__nb"))
+    pe_row = (
+        ma.join(mb, ma["__a"] == mb["__b"])
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__pe_num"))
+    )
+    return (
+        tot.crossJoin(pe_row)
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("__agree") / F.col("n")).alias("po"),
+            (F.coalesce("__pe_num", F.lit(0.0)) / (F.col("n") * F.col("n"))
+             ).alias("pe"),
+        )
+        .select(
+            "n", "po", "pe",
+            F.when(F.col("pe") >= 1.0, F.lit(1.0))
+            .otherwise((F.col("po") - F.col("pe")) / (1.0 - F.col("pe")))
+            .alias("kappa"),
+        )
+    )

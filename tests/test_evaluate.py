@@ -248,3 +248,28 @@ def test_span_agreement_exact_vs_lenient(spark):
     # the mistyped ORG pred overlaps no ORG gold
     assert (org["n_exact"], org["n_lenient_p"]) == (0, 0)
     assert org["precision_exact"] == 0.0 and org["recall_lenient"] == 0.0
+
+
+def test_cohens_kappa_hand_arithmetic(spark):
+    """Textbook 2x2 example + the degenerate all-agree single-label
+    case (pe = 1 -> kappa 1.0) + independence (kappa ~ 0)."""
+    import pytest
+
+    from crfsuite_spark.operators.evaluate import cohens_kappa
+
+    # classic: 20 A-yes/B-yes, 5 A-yes/B-no, 10 A-no/B-yes, 15 A-no/B-no
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    r = cohens_kappa(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b"
+    ).first()
+    assert r["n"] == 50
+    assert r["po"] == pytest.approx(0.7)
+    # pe = (25*30 + 25*20) / 2500 = 0.5 -> kappa = 0.4
+    assert r["pe"] == pytest.approx(0.5)
+    assert r["kappa"] == pytest.approx(0.4)
+    # degenerate: both always say the same single label
+    r2 = cohens_kappa(
+        spark.createDataFrame([("x", "x")] * 7, ["a", "b"]), "a", "b"
+    ).first()
+    assert r2["pe"] == pytest.approx(1.0) and r2["kappa"] == 1.0
