@@ -287,3 +287,75 @@ def dictionary_spans(
         .agg(F.min_by(row, key).alias("__b"))
         .select("__b.*")
     )
+
+
+def spans_to_bio(
+    tokens: DataFrame,
+    spans: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    tok_idx: str = "token_idx",
+    label_col: str = "label",
+) -> DataFrame:
+    """Project typed spans back onto the token stream as BIO labels —
+    the second half of the distant-supervision bootstrap: tokens
+    covered by a :func:`dictionary_spans` span get ``B-<type>`` at the
+    span start and ``I-<type>`` inside, everything else ``O``; the
+    result is silver training data for the trainer (same label
+    alphabet the CoNLL readers emit, R/training_data.R:103 IOB
+    convention).
+
+    A token covered by two surviving (overlapping, non-nested) spans
+    resolves deterministically to the span with the smallest
+    (start_tok, end_tok, canonical_id).
+
+    Shape: the containment join is equi on (conv, turn) plus the
+    token-range residual — J1's chunk-range shape, sequence-bounded;
+    the per-token winner is one map-side-combined ``min_by`` groupBy
+    on the token key, then a left join attaches labels with 'O'
+    default (label cardinality: covered tokens only, not the stream).
+    """
+    t = tokens.alias("t")
+    s = spans.select(
+        F.col(conv).alias("__c"), F.col(turn).alias("__t"),
+        "start_tok", "end_tok", "entity_type", "canonical_id",
+    ).alias("s")
+    covered = (
+        t.join(
+            s,
+            F.expr(
+                f"t.`{conv}` = s.__c AND t.`{turn}` = s.__t "
+                f"AND t.`{tok_idx}` >= s.start_tok "
+                f"AND t.`{tok_idx}` <= s.end_tok"
+            ),
+        )
+        .select(
+            F.col(f"t.{conv}").alias("__kc"),
+            F.col(f"t.{turn}").alias("__kt"),
+            F.col(f"t.{tok_idx}").alias("__ki"),
+            F.struct("s.start_tok", "s.end_tok", "s.canonical_id").alias(
+                "__key"
+            ),
+            F.concat(
+                F.when(
+                    F.col(f"t.{tok_idx}") == F.col("s.start_tok"),
+                    F.lit("B-"),
+                ).otherwise(F.lit("I-")),
+                F.col("s.entity_type"),
+            ).alias("__lab"),
+        )
+        .groupBy("__kc", "__kt", "__ki")
+        .agg(F.min_by(F.col("__lab"), F.col("__key")).alias("__lab"))
+    )
+    return (
+        tokens.join(
+            covered,
+            (F.col(conv) == F.col("__kc"))
+            & (F.col(turn) == F.col("__kt"))
+            & (F.col(tok_idx) == F.col("__ki")),
+            "left",
+        )
+        .drop("__kc", "__kt", "__ki")
+        .withColumn(label_col, F.coalesce(F.col("__lab"), F.lit("O")))
+        .drop("__lab")
+    )

@@ -155,3 +155,85 @@ def test_dictionary_spans_longest_match_and_ambiguity(spark):
     assert got[("c1", 1, 0, 1)][0] == "org:acme"
     assert got[("c1", 1, 1, 2)][0] == "org:corp_holdings"
     assert len(got) == 4
+
+
+def test_spans_to_bio_labels(spark):
+    from crfsuite_spark.kg.mining import spans_to_bio
+
+    toks = spark.createDataFrame(
+        [("c1", 0, i, w) for i, w in
+         enumerate(["Met", "Alice", "Johnson", "at", "Acme"])],
+        ["conv_id", "turn_idx", "token_idx", "token"],
+    )
+    spans = spark.createDataFrame(
+        [
+            ("c1", 0, 1, 2, "per:alice", "PER"),
+            ("c1", 0, 4, 4, "org:acme", "ORG"),
+            # overlapping span on token 2: later start loses min_by
+            ("c1", 0, 2, 3, "per:johnson", "PER"),
+        ],
+        ["conv_id", "turn_idx", "start_tok", "end_tok",
+         "canonical_id", "entity_type"],
+    )
+    got = {
+        r["token_idx"]: r["label"]
+        for r in spans_to_bio(toks, spans).collect()
+    }
+    assert got == {0: "O", 1: "B-PER", 2: "I-PER", 3: "I-PER", 4: "B-ORG"}
+
+
+def test_distant_supervision_bootstrap_e2e(spark):
+    """The full weak-supervision loop: dictionary spans on an
+    UNLABELED token stream -> BIO silver labels -> CRF training ->
+    decode, evaluated against the generator's gold labels. Silver
+    projection must agree strongly with gold where the dictionary
+    covers, and the trained tagger must recover high token accuracy —
+    no gold label ever enters training."""
+    from crfsuite_spark.datagen.transcripts import generate
+    from crfsuite_spark.decode.tagger import decode
+    from crfsuite_spark.functions.templates import cbind_attributes
+    from crfsuite_spark.kg.mining import dictionary_spans, spans_to_bio
+    from crfsuite_spark.train.trainer import train_crf
+    from pyspark.sql import functions as F
+
+    data = generate(n_convs=24, turns_per_conv=6, seed=13)
+    gold = spark.createDataFrame(data.tokens)
+    alias = spark.createDataFrame(data.alias_dict)
+    unlabeled = gold.drop("label")
+    silver = spans_to_bio(
+        unlabeled, dictionary_spans(unlabeled, alias)
+    )
+    # the dictionary knows ENTITIES, not relation triggers — silver
+    # must agree with gold EXACTLY outside the REL label family, and
+    # the only disagreements overall must be gold REL tokens
+    both = silver.withColumnRenamed("label", "silver").join(
+        gold.select("conv_id", "turn_idx", "token_idx", "label"),
+        ["conv_id", "turn_idx", "token_idx"],
+    )
+    ent = both.where(~F.col("label").endswith("REL"))
+    agree = ent.agg(
+        F.avg((F.col("silver") == F.col("label")).cast("double"))
+    ).first()[0]
+    assert agree == 1.0, agree
+    n_bad = both.where(
+        (F.col("silver") != F.col("label"))
+        & ~F.col("label").endswith("REL")
+    ).count()
+    assert n_bad == 0
+    feat = cbind_attributes(
+        silver, ["token", "pos"], ["conv_id", "turn_idx"], "token_idx"
+    )
+    model = train_crf(
+        feat, ["conv_id", "turn_idx"], "token_idx", max_iterations=25
+    )
+    pred = decode(feat, model, ["conv_id", "turn_idx"], "token_idx")
+    acc = (
+        pred.select("conv_id", "turn_idx", "token_idx",
+                    F.col("label").alias("label_pred"))
+        .join(gold.select("conv_id", "turn_idx", "token_idx", "label"),
+              ["conv_id", "turn_idx", "token_idx"])
+        .where(~F.col("label").endswith("REL"))  # silver never sees REL
+        .agg(F.avg((F.col("label_pred") == F.col("label")).cast("double")))
+        .first()[0]
+    )
+    assert acc > 0.9, acc
