@@ -2623,6 +2623,21 @@ def q_crf_cohens_kappa(spark, sf):
     )
 
 
+def q_kg_mine_path_rules(spark, sf):
+    """AMIE-style 2-atom path-rule discovery (kg/rules.py
+    mine_path_rules; Galárraga et al. 2013): support/confidence per
+    (p1, p2 ⇒ head) chain pattern — distinct-edge 2-path join,
+    grounding-distinct before the head check, pattern-grain counts."""
+    from crfsuite_spark.kg.rules import mine_path_rules
+
+    out = mine_path_rules(_gold_triples(spark), min_support=2,
+                          min_confidence=0.1)
+    return out.select(
+        "p1", "p2", "head", "support", "n_body",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3198,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_span_agreement": q_kg_span_agreement,
         "kg_dictionary_spans": q_kg_dictionary_spans,
         "crf_cohens_kappa": q_crf_cohens_kappa,
+        "kg_mine_path_rules": q_kg_mine_path_rules,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4865,6 +4881,26 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    greatest(subj, obj) AS entity_b
             FROM t
             GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "kg_mine_path_rules": f"""
+            WITH e AS (
+              SELECT DISTINCT subj AS x, pred AS p, obj AS z
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            body AS (
+              SELECT DISTINCT e1.p AS p1, e2.p AS p2, e1.x, e2.z
+              FROM e e1 JOIN e e2 ON e1.z = e2.x),
+            bc AS (
+              SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_body
+              FROM body GROUP BY 1, 2),
+            sup AS (
+              SELECT b.p1, b.p2, e3.p AS head,
+                     CAST(count(*) AS BIGINT) AS support
+              FROM body b JOIN e e3 ON e3.x = b.x AND e3.z = b.z
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+            SELECT sup.p1, sup.p2, sup.head, sup.support, bc.n_body,
+                   round(sup.support * 1.0 / bc.n_body, 6) AS confidence
+            FROM sup JOIN bc USING (p1, p2)
+            WHERE sup.support * 1.0 / bc.n_body >= 0.1
         """,
         "crf_cohens_kappa": f"""
             WITH t AS (

@@ -198,3 +198,64 @@ def _chain(total, delta, rules, max_rounds, delta_is_total):
         total = total.unionByName(new)
         delta = new
     return derived, pinned
+
+
+def mine_path_rules(
+    triples: DataFrame,
+    min_support: int = 2,
+    min_confidence: float = 0.1,
+) -> DataFrame:
+    """AMIE-style path-rule DISCOVERY (Galárraga et al. 2013) for the
+    2-atom chain shape ``p1(x, y) ∧ p2(y, z) ⇒ head(x, z)``:
+    (p1, p2, head, support, n_body, confidence) with
+
+        support    = |{(x,z): body holds AND head(x,z) ∈ graph}|
+        n_body     = |{(x,z): body holds}|
+        confidence = support / n_body   (AMIE "standard confidence")
+
+    — the discovery complement to :func:`infer` (which APPLIES given
+    rules): mined high-confidence rules feed ``Rule`` objects for
+    materialization, and low-confidence heads flag predicate pairs
+    the extractor conflates.
+
+    Scale shape: distinct edge set first (mention multiplicity never
+    reaches the joins), body = ONE self-join on the shared-entity key
+    (the 2-path join — same cost center and AQE skew-split story as
+    triangle_count), collapsed to DISTINCT (p1, p2, x, z) groundings
+    before the head join so a dense y-hub can't multiply grounding
+    counts; head check is one equi-join on (x, z); both counts are
+    partial-aggregated groupBys on the bounded (p1, p2[, head])
+    pattern key, met by a broadcast-size report join. Thresholds
+    prune at pattern grain, the only place they can."""
+    e = triples.select(
+        F.col("subj").alias("x"), F.col("pred").alias("p"),
+        F.col("obj").alias("z"),
+    ).distinct()
+    body = (
+        e.select(F.col("p").alias("p1"), "x", F.col("z").alias("y"))
+        .join(
+            e.select(F.col("p").alias("p2"), F.col("x").alias("y"), "z"),
+            "y",
+        )
+        .select("p1", "p2", "x", "z")
+        .distinct()
+    )
+    n_body = body.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_body")
+    )
+    sup = (
+        body.join(
+            e.select("x", F.col("p").alias("head"), "z"), ["x", "z"]
+        )
+        .groupBy("p1", "p2", "head")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= int(min_support))
+    )
+    return (
+        sup.join(F.broadcast(n_body), ["p1", "p2"])
+        .withColumn(
+            "confidence", F.col("support") / F.col("n_body")
+        )
+        .where(F.col("confidence") >= float(min_confidence))
+        .select("p1", "p2", "head", "support", "n_body", "confidence")
+    )

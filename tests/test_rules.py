@@ -197,3 +197,38 @@ def test_incremental_equals_full_reclose_random(spark):
 def test_rule_head_must_be_bound():
     with pytest.raises(ValueError, match="not bound"):
         Rule(body=(("?x", "p", "?y"),), head=("?x", "q", "?z"))
+
+
+def test_mine_path_rules_hand_graph(spark):
+    """Hand-built chain graph: support/confidence arithmetic, the
+    hub-grounding dedup (a dense middle entity must not multiply
+    counts), and threshold pruning."""
+    import pytest
+
+    from crfsuite_spark.kg.rules import mine_path_rules
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    rows = [
+        # works_at(a, X) ∧ located_in(X, c1) with head visited(a, c1)
+        ("c", 0, "a", "works_at", "X"),
+        ("c", 1, "X", "located_in", "c1"),
+        ("c", 2, "a", "visited", "c1"),
+        # second grounding, no head
+        ("c", 3, "b", "works_at", "Y"),
+        ("c", 4, "Y", "located_in", "c2"),
+        # hub: two parallel works_at paths a->X via DUPLICATE mentions
+        ("c", 5, "a", "works_at", "X"),
+    ]
+    out = mine_path_rules(
+        spark.createDataFrame(rows, cols), min_support=1,
+        min_confidence=0.0,
+    )
+    got = {(r["p1"], r["p2"], r["head"]): r for r in out.collect()}
+    r = got[("works_at", "located_in", "visited")]
+    # groundings: (a,c1), (b,c2) -> n_body 2; head holds for (a,c1)
+    assert (r["support"], r["n_body"]) == (1, 2)
+    assert r["confidence"] == pytest.approx(0.5)
+    # min_support=2 prunes it
+    assert mine_path_rules(
+        spark.createDataFrame(rows, cols), min_support=2
+    ).count() == 0
