@@ -2638,6 +2638,62 @@ def q_kg_mine_path_rules(spark, sf):
     )
 
 
+def q_kg_acceptance_curve(spark, sf):
+    """Auto-accept operating curve (operators/evaluate.py
+    acceptance_curve): per candidate threshold, the precision and
+    correct-coverage of accepting every edge at-or-above it — the
+    cutoff-picking query downstream of kg_confidence_reliability.
+    Same deterministic perturbed-edge frame; one bounded-bin groupBy
+    plus a ≤10-row window."""
+    from crfsuite_spark.operators.evaluate import acceptance_curve
+    from crfsuite_spark.kg.graph import triple_support
+
+    gold = _gold_triples(spark)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", "conv_id",
+                        F.col("turn_idx").cast("string"), "subj", "obj",
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    pred = (
+        gold.withColumn("__u", u)
+        .where(F.col("__u") >= 0.2)
+        .withColumn(
+            "pred",
+            F.when(F.col("__u") > 0.9, F.lit("met_with")).otherwise(
+                F.col("pred")
+            ),
+        )
+        .drop("__u")
+    )
+    edges = triple_support(pred).join(
+        gold.select("subj", "pred", "obj").distinct().withColumn(
+            "__hit", F.lit(1)
+        ),
+        ["subj", "pred", "obj"],
+        "left",
+    ).select(
+        "confidence",
+        F.coalesce("__hit", F.lit(0)).cast("boolean").alias("correct"),
+    )
+    out = acceptance_curve(edges)
+    return out.select(
+        F.round("threshold", 6).alias("threshold"),
+        "n_accepted", "n_correct_accepted",
+        F.round("precision", 6).alias("precision"),
+        F.round("coverage", 6).alias("coverage"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3214,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dictionary_spans": q_kg_dictionary_spans,
         "crf_cohens_kappa": q_crf_cohens_kappa,
         "kg_mine_path_rules": q_kg_mine_path_rules,
+        "kg_acceptance_curve": q_kg_acceptance_curve,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4881,6 +4938,51 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    greatest(subj, obj) AS entity_b
             FROM t
             GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "kg_acceptance_curve": f"""
+            WITH up AS (
+              SELECT *,
+                     (('0x' || substr(md5(concat_ws('#', conv_id,
+                        CAST(turn_idx AS VARCHAR), subj, obj)), 1, 8))::BIGINT
+                        % 1000000) / 1000000.0 AS u
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            p0 AS (
+              SELECT conv_id, turn_idx, subj,
+                     CASE WHEN u > 0.9 THEN 'met_with' ELSE pred END AS pred,
+                     obj
+              FROM up WHERE u >= 0.2),
+            g AS (
+              SELECT subj, pred, obj, count(*) AS n FROM p0 GROUP BY 1, 2, 3),
+            tot AS (SELECT subj, pred, sum(n) AS tt FROM g GROUP BY 1, 2),
+            e AS (
+              SELECT g.subj, g.pred, g.obj, g.n * 1.0 / tot.tt AS confidence
+              FROM g JOIN tot USING (subj, pred)),
+            gold AS (
+              SELECT DISTINCT subj, pred, obj
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            lab AS (
+              SELECT e.confidence, (gold.subj IS NOT NULL) AS correct
+              FROM e LEFT JOIN gold USING (subj, pred, obj)),
+            bins AS (
+              SELECT CAST(least(floor(confidence * 10), 9) AS INTEGER)
+                       AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     sum(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS c
+              FROM lab GROUP BY 1),
+            tc AS (SELECT sum(c) AS tc FROM bins),
+            cum AS (
+              SELECT bin,
+                     sum(n) OVER w AS acc, sum(c) OVER w AS cor
+              FROM bins
+              WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING))
+            SELECT round(bin / 10.0, 6) AS threshold,
+                   CAST(acc AS BIGINT) AS n_accepted,
+                   CAST(cor AS BIGINT) AS n_correct_accepted,
+                   round(CASE WHEN acc > 0 THEN cor / acc ELSE 0.0 END, 6)
+                     AS precision,
+                   round(CASE WHEN tc.tc > 0 THEN cor / tc.tc
+                         ELSE 0.0 END, 6) AS coverage
+            FROM cum CROSS JOIN tc
         """,
         "kg_mine_path_rules": f"""
             WITH e AS (

@@ -449,3 +449,59 @@ def cohens_kappa(
             .alias("kappa"),
         )
     )
+
+
+def acceptance_curve(
+    df: DataFrame,
+    conf_col: str = "confidence",
+    correct_col: str = "correct",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Auto-accept operating curve: for each candidate threshold
+    t = bin/n_bins, the (n_accepted, n_correct_accepted, precision,
+    coverage) you'd get by auto-accepting everything with confidence
+    ≥ t — the query that turns :func:`calibration_report`'s "can the
+    confidence be trusted" into the operational "WHERE do we set the
+    cutoff" (pick the highest coverage whose precision clears the
+    product bar; everything below routes to review).
+
+    Shape: ONE map-side-combined groupBy bins the stream to ≤ n_bins
+    rows (identical collapse to calibration_report); the
+    cumulative-from-the-top sums are a window over that bounded frame
+    only. ``coverage`` = accepted correct / all correct (recall of
+    the auto-accept gate); precision guards against the 0-accepted
+    top bin with 0.0, never NULL."""
+    from pyspark.sql import Window
+
+    conf = F.col(conf_col).cast("double")
+    bin_ = F.least(
+        F.floor(conf * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    bins = (
+        df.where(conf.isNotNull())
+        .groupBy(bin_)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum(F.col(correct_col).cast("double")).alias("__c"),
+        )
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = bins.agg(F.sum("__c").alias("__tc"))
+    acc = F.sum("__n").over(w)
+    cor = F.sum("__c").over(w)
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("bin") / F.lit(float(n_bins))).alias("threshold"),
+            acc.cast("bigint").alias("n_accepted"),
+            cor.cast("bigint").alias("n_correct_accepted"),
+            F.when(acc > 0, cor / acc).otherwise(F.lit(0.0)).alias(
+                "precision"
+            ),
+            F.when(F.col("__tc") > 0, cor / F.col("__tc"))
+            .otherwise(F.lit(0.0))
+            .alias("coverage"),
+        )
+    )

@@ -273,3 +273,28 @@ def test_cohens_kappa_hand_arithmetic(spark):
         spark.createDataFrame([("x", "x")] * 7, ["a", "b"]), "a", "b"
     ).first()
     assert r2["pe"] == pytest.approx(1.0) and r2["kappa"] == 1.0
+
+
+def test_acceptance_curve_monotonic_and_exact(spark):
+    import pytest
+
+    from crfsuite_spark.operators.evaluate import acceptance_curve
+
+    # 4 high-conf (3 correct), 6 low-conf (1 correct)
+    rows = ([(0.95, True)] * 3 + [(0.95, False)]
+            + [(0.25, True)] + [(0.25, False)] * 5)
+    out = acceptance_curve(
+        spark.createDataFrame(rows, ["confidence", "correct"])
+    ).orderBy("threshold").collect()
+    assert len(out) == 2
+    lo, hi = out
+    assert hi["threshold"] == pytest.approx(0.9)
+    assert (hi["n_accepted"], hi["n_correct_accepted"]) == (4, 3)
+    assert hi["precision"] == pytest.approx(3 / 4)
+    assert hi["coverage"] == pytest.approx(3 / 4)
+    assert (lo["n_accepted"], lo["n_correct_accepted"]) == (10, 4)
+    assert lo["precision"] == pytest.approx(0.4)
+    assert lo["coverage"] == pytest.approx(1.0)
+    # lowering the threshold can only grow acceptance and coverage
+    assert lo["n_accepted"] >= hi["n_accepted"]
+    assert lo["coverage"] >= hi["coverage"]
