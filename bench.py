@@ -370,6 +370,17 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
         train_transe(t, dim=16, epochs=3, lr=0.5, seed=7,
                      num_partitions=cores)
 
+    def dict_spans():
+        from crfsuite_spark.datagen.transcripts import build_alias_dict
+        from crfsuite_spark.functions.tokenize import tokenize
+        from crfsuite_spark.kg.mining import dictionary_spans
+
+        t = spark.read.parquet(tpath)
+        alias = spark.createDataFrame(build_alias_dict())
+        dictionary_spans(tokenize(t), alias).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def graph_pagerank():
         from crfsuite_spark.kg.graph import pagerank
 
@@ -408,6 +419,7 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     timed("kg_bgp_query", bgp_query)
     timed("kg_transe_train", transe_train)
     timed("kg_pagerank3", graph_pagerank)
+    timed("kg_dict_spans", dict_spans)
     timed("tr_conv_stats", conv_stats)
     timed("tr_chat_examples", chat_examples)
 
