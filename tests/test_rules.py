@@ -232,3 +232,37 @@ def test_mine_path_rules_hand_graph(spark):
     assert mine_path_rules(
         spark.createDataFrame(rows, cols), min_support=2
     ).count() == 0
+
+
+def test_mined_rules_feed_construct(spark):
+    """The discovery→application loop: the top mined rule converts
+    directly into a Rule/construct application, and every inferred
+    head the rule's own support counted is reproduced. Precision of
+    the applied rule on the graph equals the mined confidence."""
+    import pytest
+
+    from crfsuite_spark.kg.rules import construct, mine_path_rules
+    from pyspark.sql import functions as F
+    import os
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "fixtures")
+    t = spark.read.parquet(
+        os.path.join(fixtures, "gold_triples_synthetic.parquet")
+    )
+    mined = mine_path_rules(t, min_support=2, min_confidence=0.1)
+    top = mined.orderBy(F.desc("confidence"), F.desc("support"),
+                        "p1", "p2", "head").first()
+    derived = construct(
+        t,
+        body=[("?x", top["p1"], "?y"), ("?y", top["p2"], "?z")],
+        head=("?x", top["head"], "?z"),
+    ).distinct()
+    n_derived = derived.count()
+    assert n_derived == top["n_body"]
+    known = t.select(
+        F.col("subj"), F.col("pred"), F.col("obj")
+    ).distinct()
+    n_hit = derived.join(known, ["subj", "pred", "obj"], "inner").count()
+    assert n_hit == top["support"]
+    assert n_hit / n_derived == pytest.approx(top["confidence"])
