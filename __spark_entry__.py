@@ -2694,6 +2694,43 @@ def q_kg_acceptance_curve(spark, sf):
     )
 
 
+def q_kg_infer_entity_types(spark, sf):
+    """Surrogate entity typing by predicate-signature voting
+    (kg/graph.py infer_entity_types): the bottom md5 tercile of gold
+    entities is stripped to unk: surrogates, then typed back from the
+    slots they occupy — broadcast signature table, one entity-key
+    shuffle, map-side max_by winner."""
+    from crfsuite_spark.kg.graph import infer_entity_types
+
+    gold = _gold_triples(spark)
+
+    def mask(c):
+        u = (
+            F.conv(F.substring(F.md5(F.col(c)), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % 1000000
+        ) / 1000000.0
+        return F.when(
+            u < 0.3,
+            F.concat(
+                F.lit("unk:"),
+                F.substring_index(F.col(c), ":", -1),
+            ),
+        ).otherwise(F.col(c))
+
+    t = gold.select(
+        "conv_id", "turn_idx",
+        mask("subj").alias("subj"), "pred", mask("obj").alias("obj"),
+    )
+    out = infer_entity_types(t)
+    return out.select(
+        "entity", "inferred_type",
+        F.round("score", 6).alias("score"),
+        "n_mentions",
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3271,6 +3308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crf_cohens_kappa": q_crf_cohens_kappa,
         "kg_mine_path_rules": q_kg_mine_path_rules,
         "kg_acceptance_curve": q_kg_acceptance_curve,
+        "kg_infer_entity_types": q_kg_infer_entity_types,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4938,6 +4976,56 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    greatest(subj, obj) AS entity_b
             FROM t
             GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "kg_infer_entity_types": f"""
+            WITH g AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN (('0x' || substr(md5(subj), 1, 8))::BIGINT
+                                % 1000000) / 1000000.0 < 0.3
+                          THEN 'unk:' || split_part(subj, ':', -1)
+                          ELSE subj END AS subj,
+                     pred,
+                     CASE WHEN (('0x' || substr(md5(obj), 1, 8))::BIGINT
+                                % 1000000) / 1000000.0 < 0.3
+                          THEN 'unk:' || split_part(obj, ':', -1)
+                          ELSE obj END AS obj
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            occ AS (
+              SELECT subj AS entity, pred, 's' AS slot FROM g
+              UNION ALL
+              SELECT obj AS entity, pred, 'o' AS slot FROM g),
+            typed AS (
+              SELECT * FROM occ
+              WHERE instr(entity, ':') > 0
+                AND split_part(entity, ':', 1) <> 'unk'),
+            sig0 AS (
+              SELECT pred, slot, split_part(entity, ':', 1) AS etype,
+                     CAST(count(*) AS DOUBLE) AS c
+              FROM typed GROUP BY 1, 2, 3),
+            sigt AS (SELECT pred, slot, sum(c) AS t FROM sig0 GROUP BY 1, 2),
+            sig AS (
+              SELECT sig0.pred, sig0.slot, sig0.etype,
+                     sig0.c / sigt.t AS share
+              FROM sig0 JOIN sigt USING (pred, slot)),
+            unk AS (
+              SELECT entity, pred, slot, CAST(count(*) AS DOUBLE) AS m
+              FROM occ WHERE split_part(entity, ':', 1) = 'unk'
+              GROUP BY 1, 2, 3),
+            votes AS (
+              SELECT unk.entity, sig.etype,
+                     sum(unk.m * sig.share) AS score
+              FROM unk JOIN sig USING (pred, slot)
+              GROUP BY 1, 2),
+            nm AS (SELECT entity, CAST(sum(m) AS BIGINT) AS n_mentions
+                   FROM unk GROUP BY entity),
+            win AS (
+              SELECT entity, etype AS inferred_type, score
+              FROM votes
+              QUALIFY row_number() OVER (
+                PARTITION BY entity ORDER BY score DESC, etype ASC) = 1)
+            SELECT win.entity, win.inferred_type,
+                   round(win.score, 6) AS score, nm.n_mentions
+            FROM win JOIN nm USING (entity)
         """,
         "kg_acceptance_curve": f"""
             WITH up AS (

