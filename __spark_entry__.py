@@ -2731,6 +2731,26 @@ def q_kg_infer_entity_types(spark, sf):
     )
 
 
+def q_tr_topic_segments(spark, sf):
+    """Entity-shift topic segmentation (operators/transcripts.py
+    topic_segments; TextTiling with linked entities as the signal):
+    per mention-bearing turn, Jaccard vs the previous turn's entity
+    set, boundary flags, running segment ordinal — turn-grain
+    aggregate + conversation-bounded windows."""
+    from crfsuite_spark.operators.transcripts import topic_segments
+
+    mentions, _ = _mining_fixtures(spark)
+    out = topic_segments(mentions, jaccard_threshold=0.2)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.array_join("entities", "|").alias("entities"),
+        F.coalesce(F.round("jaccard_prev", 6), F.lit(-1.0)).alias(
+            "jaccard_prev"
+        ),
+        "is_boundary", "segment",
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3309,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mine_path_rules": q_kg_mine_path_rules,
         "kg_acceptance_curve": q_kg_acceptance_curve,
         "kg_infer_entity_types": q_kg_infer_entity_types,
+        "tr_topic_segments": q_tr_topic_segments,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4976,6 +4997,38 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    greatest(subj, obj) AS entity_b
             FROM t
             GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "tr_topic_segments": f"""
+            WITH sets AS (
+              SELECT conv_id, turn_idx,
+                     list_sort(list(DISTINCT canonical_id)) AS es
+              FROM read_parquet('{fixtures}/gold_mentions_synthetic.parquet')
+              GROUP BY conv_id, turn_idx),
+            lagged AS (
+              SELECT conv_id, turn_idx, es,
+                     lag(es) OVER w AS prev
+              FROM sets
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            flags AS (
+              SELECT conv_id, turn_idx, es,
+                     CASE WHEN prev IS NULL THEN NULL
+                          ELSE len(list_intersect(es, prev)) * 1.0
+                               / len(list_distinct(list_concat(es, prev)))
+                     END AS j,
+                     (prev IS NULL OR
+                      len(list_intersect(es, prev)) * 1.0
+                        / len(list_distinct(list_concat(es, prev))) < 0.2)
+                       AS is_boundary
+              FROM lagged)
+            SELECT conv_id, turn_idx,
+                   array_to_string(es, '|') AS entities,
+                   COALESCE(round(j, 6), -1.0) AS jaccard_prev,
+                   is_boundary,
+                   CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS segment
+            FROM flags
         """,
         "kg_infer_entity_types": f"""
             WITH g AS (

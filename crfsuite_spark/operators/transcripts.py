@@ -525,3 +525,55 @@ def conv_entity_overlap(
         .where(F.col("jaccard") >= F.lit(float(min_jaccard)))
         .select("conv_a", "conv_b", "n_shared", "n_a", "n_b", "jaccard")
     )
+
+
+def topic_segments(
+    mentions: DataFrame,
+    jaccard_threshold: float = 0.2,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+    entity: str = "canonical_id",
+) -> DataFrame:
+    """Entity-shift topic segmentation: split each conversation into
+    segments at mention-bearing turns whose entity set has Jaccard <
+    ``jaccard_threshold`` against the previous mention-bearing turn —
+    the TextTiling idea (Hearst 1997) with linked entities as the
+    lexical signal, which is what a transcript KG already has. Output
+    per mention-bearing turn: (conv_id, turn_idx, entities,
+    jaccard_prev, is_boundary, segment) — segment is a 1-based
+    ordinal; downstream chunkers cut conversations at boundaries
+    instead of fixed windows.
+
+    Jaccard against the PREVIOUS turn only (not a decayed window) —
+    deterministic, one lag. First mention-bearing turn of a conv is
+    always a boundary; ``jaccard_prev`` is NULL there.
+
+    Scale shape: entity sets collapse per (conv, turn) in one
+    map-side-combined groupBy; the lag + running boundary count are
+    conversation-bounded windows over the TURN-grain aggregate (same
+    class as the W1 feature windows — partitioned on the uniform conv
+    key, never a global sort)."""
+    from pyspark.sql import Window
+
+    sets = (
+        mentions.groupBy(F.col(conv).alias("conv_id"),
+                         F.col(turn).alias("turn_idx"))
+        .agg(F.sort_array(F.collect_set(entity)).alias("entities"))
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("entities").over(w)
+    inter = F.size(F.array_intersect(F.col("entities"), prev))
+    uni = F.size(F.array_union(F.col("entities"), prev))
+    jac = (inter / uni).alias("jaccard_prev")
+    flagged = sets.select(
+        "conv_id", "turn_idx", "entities",
+        jac,
+        (prev.isNull() | ((inter / uni) < F.lit(float(jaccard_threshold))))
+        .alias("is_boundary"),
+    )
+    run = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return flagged.withColumn(
+        "segment", F.sum(F.col("is_boundary").cast("int")).over(run)
+    )

@@ -39,3 +39,31 @@ def test_conv_entity_overlap_jaccard_and_hot_guard(spark):
     assert set(got2) == {("c1", "c2")}
     assert got2[("c1", "c2")]["n_a"] == 2
     assert got2[("c1", "c2")]["jaccard"] == pytest.approx(1.0)
+
+
+def test_topic_segments_boundaries(spark):
+    """First mention turn is always a boundary; same entities continue
+    the segment; a disjoint entity set opens a new one; partial
+    overlap above the threshold continues."""
+    from crfsuite_spark.operators.transcripts import topic_segments
+
+    cols = ["conv_id", "canonical_id", "turn_idx"]
+    rows = [
+        ("c1", "a", 0), ("c1", "b", 0),       # {a,b}
+        ("c1", "a", 2), ("c1", "b", 2),       # same -> continue (j=1)
+        ("c1", "b", 4), ("c1", "c", 4),       # j=1/3 -> continue at 0.2
+        ("c1", "x", 6), ("c1", "y", 6),       # disjoint -> boundary
+    ]
+    got = {
+        r["turn_idx"]: r
+        for r in topic_segments(
+            spark.createDataFrame(rows, cols), jaccard_threshold=0.2
+        ).collect()
+    }
+    assert got[0]["is_boundary"] is True and got[0]["segment"] == 1
+    assert got[0]["jaccard_prev"] is None
+    assert got[2]["is_boundary"] is False and got[2]["segment"] == 1
+    assert got[2]["jaccard_prev"] == 1.0
+    assert got[4]["is_boundary"] is False     # 1/3 >= 0.2
+    assert got[6]["is_boundary"] is True and got[6]["segment"] == 2
+    assert got[6]["jaccard_prev"] == 0.0
