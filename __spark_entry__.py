@@ -2751,6 +2751,53 @@ def q_tr_topic_segments(spark, sf):
     )
 
 
+def q_kg_prf_by_month(spark, sf):
+    """Extraction quality drift over time: the SAME triple_prf
+    operator at (month, pred) report grain (its ``by`` parameter) —
+    the prequential monitoring view that catches a quality cliff in a
+    specific ingest month. Same deterministic perturbation as
+    kg_eval_prf."""
+    from crfsuite_spark.operators.evaluate import triple_prf
+
+    gold = _gold_triples_ts(spark).withColumn(
+        "month", F.date_trunc("month", F.col("ts"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", "conv_id",
+                        F.col("turn_idx").cast("string"), "subj", "obj",
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    pred = (
+        gold.withColumn("__u", u)
+        .where(F.col("__u") >= 0.2)
+        .withColumn(
+            "pred",
+            F.when(F.col("__u") > 0.9, F.lit("met_with")).otherwise(
+                F.col("pred")
+            ),
+        )
+        .drop("__u")
+    )
+    keys = ["conv_id", "turn_idx", "month", "subj", "pred", "obj"]
+    out = triple_prf(pred, gold, keys=keys, by=["month", "pred"])
+    return out.select(
+        "month", "pred", "n_gold", "n_pred", "n_correct",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3330,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_acceptance_curve": q_kg_acceptance_curve,
         "kg_infer_entity_types": q_kg_infer_entity_types,
         "tr_topic_segments": q_tr_topic_segments,
+        "kg_prf_by_month": q_kg_prf_by_month,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -4997,6 +5045,63 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    greatest(subj, obj) AS entity_b
             FROM t
             GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "kg_prf_by_month": f"""
+            WITH t AS (
+              SELECT g.*, date_trunc('month', s.ts) AS month
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx)),
+            g0 AS (
+              SELECT DISTINCT conv_id, turn_idx, month, subj, pred, obj
+              FROM t),
+            up AS (
+              SELECT *,
+                     (('0x' || substr(md5(concat_ws('#', conv_id,
+                        CAST(turn_idx AS VARCHAR), subj, obj)), 1, 8))::BIGINT
+                        % 1000000) / 1000000.0 AS u
+              FROM t),
+            p0 AS (
+              SELECT DISTINCT conv_id, turn_idx, month, subj,
+                     CASE WHEN u > 0.9 THEN 'met_with' ELSE pred END AS pred,
+                     obj
+              FROM up WHERE u >= 0.2),
+            np AS (SELECT month, pred, CAST(count(*) AS BIGINT) AS n_pred
+                   FROM p0 GROUP BY 1, 2),
+            ng AS (SELECT month, pred, CAST(count(*) AS BIGINT) AS n_gold
+                   FROM g0 GROUP BY 1, 2),
+            nc AS (
+              SELECT p0.month, p0.pred, CAST(count(*) AS BIGINT) AS n_correct
+              FROM p0 JOIN g0
+                USING (conv_id, turn_idx, month, subj, pred, obj)
+              GROUP BY 1, 2),
+            j AS (
+              SELECT COALESCE(ng.month, np.month, nc.month) AS month,
+                     COALESCE(ng.pred, np.pred, nc.pred) AS pred,
+                     CAST(COALESCE(ng.n_gold, 0) AS BIGINT) AS n_gold,
+                     CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred,
+                     CAST(COALESCE(nc.n_correct, 0) AS BIGINT) AS n_correct
+              FROM ng
+              FULL OUTER JOIN np
+                ON np.month = ng.month AND np.pred = ng.pred
+              FULL OUTER JOIN nc
+                ON nc.month = COALESCE(ng.month, np.month)
+               AND nc.pred = COALESCE(ng.pred, np.pred))
+            SELECT month, pred, n_gold, n_pred, n_correct,
+                   round(CASE WHEN n_pred > 0
+                     THEN n_correct * 1.0 / n_pred ELSE 0.0 END, 6)
+                     AS precision,
+                   round(CASE WHEN n_gold > 0
+                     THEN n_correct * 1.0 / n_gold ELSE 0.0 END, 6)
+                     AS recall,
+                   round(CASE WHEN (CASE WHEN n_pred > 0 THEN n_correct * 1.0 / n_pred ELSE 0.0 END)
+                              + (CASE WHEN n_gold > 0 THEN n_correct * 1.0 / n_gold ELSE 0.0 END) > 0
+                         THEN 2.0 * (CASE WHEN n_pred > 0 THEN n_correct * 1.0 / n_pred ELSE 0.0 END)
+                              * (CASE WHEN n_gold > 0 THEN n_correct * 1.0 / n_gold ELSE 0.0 END)
+                              / ((CASE WHEN n_pred > 0 THEN n_correct * 1.0 / n_pred ELSE 0.0 END)
+                                 + (CASE WHEN n_gold > 0 THEN n_correct * 1.0 / n_gold ELSE 0.0 END))
+                         ELSE 0.0 END, 6) AS f1
+            FROM j
         """,
         "tr_topic_segments": f"""
             WITH sets AS (
