@@ -2798,6 +2798,56 @@ def q_kg_prf_by_month(spark, sf):
     )
 
 
+def q_kg_snapshot_churn(spark, sf):
+    """Predicate-level churn rollup of the crawl-over-crawl edge diff
+    (kg/lifecycle.py snapshot_diff aggregated to (pred, status)
+    grain): added/removed/retained edge counts + net support delta
+    per predicate — the dashboard number over the edge-grain diff."""
+    from crfsuite_spark.kg.lifecycle import snapshot_diff
+
+    t = _gold_triples(spark)
+    old = t.where(F.col("conv_id") <= "conv_00012")
+    new = t.where(F.col("conv_id") >= "conv_00007")
+    return (
+        snapshot_diff(old, new)
+        .groupBy("pred", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum("delta").cast("bigint").alias("net_delta"),
+        )
+    )
+
+
+def q_kg_growth_curve(spark, sf):
+    """Knowledge-accumulation curve: per month, NEW entities (first
+    ever seen that month) and the cumulative distinct-entity count —
+    first-seen month per entity is one groupBy over the role unpivot,
+    the curve a window over the months-cardinality aggregate."""
+    from pyspark.sql import Window
+
+    t = _gold_triples_ts(spark)
+    u = t.select(
+        F.col("subj").alias("entity"),
+        F.date_trunc("month", F.col("ts")).alias("m"),
+    ).unionByName(
+        t.select(
+            F.col("obj").alias("entity"),
+            F.date_trunc("month", F.col("ts")).alias("m"),
+        )
+    )
+    first = u.groupBy("entity").agg(F.min("m").alias("month"))
+    per = first.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per.select(
+        "month", "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("n_cumulative"),
+    )
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3378,6 +3428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_infer_entity_types": q_kg_infer_entity_types,
         "tr_topic_segments": q_tr_topic_segments,
         "kg_prf_by_month": q_kg_prf_by_month,
+        "kg_snapshot_churn": q_kg_snapshot_churn,
+        "kg_growth_curve": q_kg_growth_curve,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -5045,6 +5097,47 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    greatest(subj, obj) AS entity_b
             FROM t
             GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "kg_snapshot_churn": f"""
+            WITH t AS (
+              SELECT * FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            o AS (
+              SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n_old
+              FROM t WHERE conv_id <= 'conv_00012' GROUP BY 1, 2, 3),
+            n AS (
+              SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM t WHERE conv_id >= 'conv_00007' GROUP BY 1, 2, 3),
+            d AS (
+              SELECT COALESCE(o.pred, n.pred) AS pred,
+                     CASE WHEN COALESCE(o.n_old, 0) = 0 THEN 'added'
+                          WHEN COALESCE(n.n_new, 0) = 0 THEN 'removed'
+                          ELSE 'retained' END AS status,
+                     COALESCE(n.n_new, 0) - COALESCE(o.n_old, 0) AS delta
+              FROM o FULL OUTER JOIN n
+                ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj)
+            SELECT pred, status, CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(delta) AS BIGINT) AS net_delta
+            FROM d GROUP BY pred, status
+        """,
+        "kg_growth_curve": f"""
+            WITH t AS (
+              SELECT g.*, s.ts
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet') g
+              JOIN read_parquet('{fixtures}/gold_turn_ts_synthetic.parquet') s
+                USING (conv_id, turn_idx)),
+            u AS (
+              SELECT subj AS entity, date_trunc('month', ts) AS m FROM t
+              UNION ALL
+              SELECT obj AS entity, date_trunc('month', ts) AS m FROM t),
+            f AS (SELECT entity, min(m) AS month FROM u GROUP BY entity),
+            per AS (
+              SELECT month, CAST(count(*) AS BIGINT) AS n_new
+              FROM f GROUP BY month)
+            SELECT month, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY month
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS n_cumulative
+            FROM per
         """,
         "kg_prf_by_month": f"""
             WITH t AS (
