@@ -254,3 +254,38 @@ def test_comention_pmi_broadcasts_entity_counts(spark):
     plan = _plan(comention_pmi(t))
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_dictionary_spans_broadcast_dict_no_window(spark):
+    """The alias dictionary joins broadcast against the exploded turn
+    positions; no Window anywhere (suppression is an anti-join, the
+    winner a map-side min_by groupBy)."""
+    from crfsuite_spark.kg.mining import dictionary_spans
+
+    toks = spark.createDataFrame(
+        [("c1", 0, 0, "Alice")],
+        ["conv_id", "turn_idx", "token_idx", "token"],
+    )
+    alias = spark.createDataFrame(
+        [("alice", "per:alice", "PER", 1.0)],
+        ["alias", "canonical_id", "entity_type", "weight"],
+    )
+    plan = _plan(dictionary_spans(toks, alias))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_infer_entity_types_broadcast_signatures(spark):
+    """The signature table broadcasts onto the surrogate evidence; the
+    winner is a max_by groupBy, never a Window sort."""
+    from crfsuite_spark.kg.graph import infer_entity_types
+
+    t = spark.createDataFrame(
+        [("c", 0, "per:a", "works_at", "org:x"),
+         ("c", 1, "unk:m", "works_at", "org:x")],
+        ["conv_id", "turn_idx", "subj", "pred", "obj"],
+    )
+    plan = _plan(infer_entity_types(t))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
