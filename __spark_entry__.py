@@ -2848,6 +2848,23 @@ def q_kg_growth_curve(spark, sf):
     )
 
 
+def q_kg_comention_windowed(spark, sf):
+    """Locality-scoped co-mention: the SAME comention_edges operator
+    with a (conversation, 4-turn-bucket) composite scope instead of
+    the whole conversation — proximity co-occurrence, the sharper
+    relatedness signal for long transcripts (entities 40 turns apart
+    stop counting as related)."""
+    from crfsuite_spark.kg.graph import comention_edges
+
+    t = _gold_triples(spark).withColumn(
+        "scope",
+        F.concat_ws(
+            "#", "conv_id", F.floor(F.col("turn_idx") / 4).cast("string")
+        ),
+    )
+    return comention_edges(t, scope="scope")
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3430,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_prf_by_month": q_kg_prf_by_month,
         "kg_snapshot_churn": q_kg_snapshot_churn,
         "kg_growth_curve": q_kg_growth_curve,
+        "kg_comention_windowed": q_kg_comention_windowed,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -5097,6 +5115,21 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    greatest(subj, obj) AS entity_b
             FROM t
             GROUP BY 1, 2, 3 HAVING count(*) = 2
+        """,
+        "kg_comention_windowed": f"""
+            WITH t AS (
+              SELECT *, conv_id || '#' ||
+                     CAST(CAST(floor(turn_idx / 4.0) AS BIGINT) AS VARCHAR)
+                       AS scope
+              FROM read_parquet('{fixtures}/gold_triples_synthetic.parquet')),
+            m AS (
+              SELECT DISTINCT scope AS s, subj AS entity FROM t
+              UNION
+              SELECT DISTINCT scope AS s, obj AS entity FROM t)
+            SELECT x.entity AS entity_a, y.entity AS entity_b,
+                   CAST(count(*) AS BIGINT) AS n_scopes
+            FROM m x JOIN m y ON x.s = y.s AND x.entity < y.entity
+            GROUP BY 1, 2
         """,
         "kg_snapshot_churn": f"""
             WITH t AS (
