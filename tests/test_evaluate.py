@@ -298,3 +298,52 @@ def test_acceptance_curve_monotonic_and_exact(spark):
     # lowering the threshold can only grow acceptance and coverage
     assert lo["n_accepted"] >= hi["n_accepted"]
     assert lo["coverage"] >= hi["coverage"]
+
+
+def test_triple_prf_fuzz_vs_python_sets(spark):
+    """Random pred/gold mention streams vs a pure-Python set mirror."""
+    import random
+    from collections import defaultdict
+
+    import pytest
+
+    from crfsuite_spark.operators.evaluate import triple_prf
+
+    rng = random.Random(41)
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    for trial in range(3):
+        def stream(n):
+            return [
+                (
+                    f"c{rng.randint(0, 2)}",
+                    rng.randint(0, 3),
+                    f"s{rng.randint(0, 3)}",
+                    rng.choice(["p1", "p2", "p3"]),
+                    f"o{rng.randint(0, 3)}",
+                )
+                for _ in range(n)
+            ]
+
+        pr, gr = stream(rng.randint(5, 40)), stream(rng.randint(5, 40))
+        ps, gs = set(pr), set(gr)
+        exp = defaultdict(lambda: [0, 0, 0])   # pred -> gold, pred, correct
+        for t in gs:
+            exp[t[3]][0] += 1
+        for t in ps:
+            exp[t[3]][1] += 1
+        for t in ps & gs:
+            exp[t[3]][2] += 1
+        got = {
+            r["pred"]: (r["n_gold"], r["n_pred"], r["n_correct"],
+                        r["precision"], r["recall"])
+            for r in triple_prf(
+                spark.createDataFrame(pr, cols),
+                spark.createDataFrame(gr, cols),
+            ).collect()
+        }
+        assert set(got) == set(exp), trial
+        for p, (ng, np_, nc) in exp.items():
+            g = got[p]
+            assert g[:3] == (ng, np_, nc), (trial, p)
+            assert g[3] == pytest.approx(nc / np_ if np_ else 0.0)
+            assert g[4] == pytest.approx(nc / ng if ng else 0.0)
