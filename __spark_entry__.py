@@ -1545,6 +1545,62 @@ def _gold_triples(spark):
     )
 
 
+def _perturbed_triples(gold):
+    """Deterministic md5 perturbation shared by the evaluation-family
+    queries (kg_eval_prf / kg_confidence_reliability /
+    kg_acceptance_curve / kg_prf_by_month): drop the bottom 20% hash
+    slice (recall loss), relabel the top decile to met_with
+    (precision loss). Keyed on (conv, turn, subj, obj) so BOTH the
+    drop and the relabel replay bit-identically in each query's
+    DuckDB oracle — keep the four SQL mirrors in sync with any change
+    here."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", "conv_id",
+                        F.col("turn_idx").cast("string"), "subj", "obj",
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    return (
+        gold.withColumn("__u", u)
+        .where(F.col("__u") >= 0.2)
+        .withColumn(
+            "pred",
+            F.when(F.col("__u") > 0.9, F.lit("met_with")).otherwise(
+                F.col("pred")
+            ),
+        )
+        .drop("__u")
+    )
+
+
+def _perturbed_edges(spark):
+    """(confidence, correct) edge frame shared by the reliability and
+    acceptance-curve queries: triple_support over the perturbed
+    stream, correctness = membership in the distinct gold edge set."""
+    from crfsuite_spark.kg.graph import triple_support
+
+    gold = _gold_triples(spark)
+    return triple_support(_perturbed_triples(gold)).join(
+        gold.select("subj", "pred", "obj").distinct().withColumn(
+            "__hit", F.lit(1)
+        ),
+        ["subj", "pred", "obj"],
+        "left",
+    ).select(
+        "confidence",
+        F.coalesce("__hit", F.lit(0)).cast("boolean").alias("correct"),
+    )
+
+
 def q_kg_triple_support(spark, sf):
     """Graph materialize enrichment: mention-level triples collapse to
     weighted edges with provenance counts and slot confidence
@@ -2351,32 +2407,7 @@ def q_kg_eval_prf(spark, sf):
     from crfsuite_spark.operators.evaluate import triple_prf
 
     gold = _gold_triples(spark)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "#", "conv_id",
-                        F.col("turn_idx").cast("string"), "subj", "obj",
-                    )
-                ),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("bigint")
-        % 1000000
-    ) / 1000000.0
-    pred = (
-        gold.withColumn("__u", u)
-        .where(F.col("__u") >= 0.2)
-        .withColumn(
-            "pred",
-            F.when(F.col("__u") > 0.9, F.lit("met_with")).otherwise(
-                F.col("pred")
-            ),
-        )
-        .drop("__u")
-    )
+    pred = _perturbed_triples(gold)
     out = triple_prf(pred, gold)
     return out.select(
         "pred", "n_gold", "n_pred", "n_correct",
@@ -2394,45 +2425,8 @@ def q_kg_confidence_reliability(spark, sf):
     Predictions = the same deterministic md5 perturbation as
     kg_eval_prf; one bounded-key groupBy, ≤10 rows out."""
     from crfsuite_spark.operators.evaluate import calibration_report
-    from crfsuite_spark.kg.graph import triple_support
 
-    gold = _gold_triples(spark)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "#", "conv_id",
-                        F.col("turn_idx").cast("string"), "subj", "obj",
-                    )
-                ),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("bigint")
-        % 1000000
-    ) / 1000000.0
-    pred = (
-        gold.withColumn("__u", u)
-        .where(F.col("__u") >= 0.2)
-        .withColumn(
-            "pred",
-            F.when(F.col("__u") > 0.9, F.lit("met_with")).otherwise(
-                F.col("pred")
-            ),
-        )
-        .drop("__u")
-    )
-    edges = triple_support(pred).join(
-        gold.select("subj", "pred", "obj").distinct().withColumn(
-            "__hit", F.lit(1)
-        ),
-        ["subj", "pred", "obj"],
-        "left",
-    ).select(
-        "confidence",
-        F.coalesce("__hit", F.lit(0)).cast("boolean").alias("correct"),
-    )
+    edges = _perturbed_edges(spark)
     out = calibration_report(edges, conf_col="confidence",
                              correct_col="correct")
     return out.select(
@@ -2646,45 +2640,8 @@ def q_kg_acceptance_curve(spark, sf):
     Same deterministic perturbed-edge frame; one bounded-bin groupBy
     plus a ≤10-row window."""
     from crfsuite_spark.operators.evaluate import acceptance_curve
-    from crfsuite_spark.kg.graph import triple_support
 
-    gold = _gold_triples(spark)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "#", "conv_id",
-                        F.col("turn_idx").cast("string"), "subj", "obj",
-                    )
-                ),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("bigint")
-        % 1000000
-    ) / 1000000.0
-    pred = (
-        gold.withColumn("__u", u)
-        .where(F.col("__u") >= 0.2)
-        .withColumn(
-            "pred",
-            F.when(F.col("__u") > 0.9, F.lit("met_with")).otherwise(
-                F.col("pred")
-            ),
-        )
-        .drop("__u")
-    )
-    edges = triple_support(pred).join(
-        gold.select("subj", "pred", "obj").distinct().withColumn(
-            "__hit", F.lit(1)
-        ),
-        ["subj", "pred", "obj"],
-        "left",
-    ).select(
-        "confidence",
-        F.coalesce("__hit", F.lit(0)).cast("boolean").alias("correct"),
-    )
+    edges = _perturbed_edges(spark)
     out = acceptance_curve(edges)
     return out.select(
         F.round("threshold", 6).alias("threshold"),
@@ -2762,32 +2719,7 @@ def q_kg_prf_by_month(spark, sf):
     gold = _gold_triples_ts(spark).withColumn(
         "month", F.date_trunc("month", F.col("ts"))
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "#", "conv_id",
-                        F.col("turn_idx").cast("string"), "subj", "obj",
-                    )
-                ),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("bigint")
-        % 1000000
-    ) / 1000000.0
-    pred = (
-        gold.withColumn("__u", u)
-        .where(F.col("__u") >= 0.2)
-        .withColumn(
-            "pred",
-            F.when(F.col("__u") > 0.9, F.lit("met_with")).otherwise(
-                F.col("pred")
-            ),
-        )
-        .drop("__u")
-    )
+    pred = _perturbed_triples(gold)
     keys = ["conv_id", "turn_idx", "month", "subj", "pred", "obj"]
     out = triple_prf(pred, gold, keys=keys, by=["month", "pred"])
     return out.select(
@@ -5234,6 +5166,7 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
               SELECT conv_id, turn_idx,
                      list_sort(list(DISTINCT canonical_id)) AS es
               FROM read_parquet('{fixtures}/gold_mentions_synthetic.parquet')
+              WHERE canonical_id IS NOT NULL
               GROUP BY conv_id, turn_idx),
             lagged AS (
               SELECT conv_id, turn_idx, es,
@@ -5429,8 +5362,13 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                      arr.ids[g.pos + dn.n - 1] AS end_tok,
                      dn.canonical_id, dn.entity_type, dn.a AS alias,
                      dn.w, dn.n
+              -- DuckDB's generate_series cannot laterally reference
+              -- arr.toks, so start positions come from a bounded
+              -- static series: 4096 >> any turn length the tokenizer
+              -- can produce from the transcript generator (turns are
+              -- sentence-scale; the Spark side posexplode is unbounded)
               FROM arr
-              JOIN generate_series(1, 512) AS g(pos)
+              JOIN generate_series(1, 4096) AS g(pos)
                 ON g.pos <= len(arr.toks)
               CROSS JOIN dn
               WHERE g.pos + dn.n - 1 <= len(arr.toks)

@@ -827,7 +827,15 @@ def comention_pmi(
     frame and join back BROADCAST (entity cardinality = vocabulary,
     not mentions); N is a 1-row aggregate crossJoin-broadcast back.
     ``min_pair_scopes`` prunes the noisy singleton-pair tail before
-    the joins (PMI on c_ab=1 is the classic rare-pair artifact)."""
+    the joins (PMI on c_ab=1 is the classic rare-pair artifact).
+
+    Consistency contract: ALL THREE counts (c_ab, c_x, N) are taken
+    over the SAME scope universe — the scopes surviving the
+    ``max_entities_per_scope`` guard. Counting marginals over every
+    scope while the pair counts skip capped scopes would mix two
+    universes and can flip the SIGN of pmi for pairs touching a
+    capped scope (a degenerate scope then simply doesn't exist for
+    this statistic, which is also what the guard means)."""
     m = (
         triples.select(F.col(scope).alias("s"), F.col(subj).alias("entity"))
         .unionByName(
@@ -835,6 +843,14 @@ def comention_pmi(
         )
         .distinct()
     )
+    if max_entities_per_scope:
+        ok = (
+            m.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .where(F.col("__sz") <= max_entities_per_scope)
+            .select("s")
+        )
+        m = m.join(ok, "s", "left_semi")
     pairs = comention_edges(
         triples, scope=scope, subj=subj, obj=obj,
         max_entities_per_scope=max_entities_per_scope,
@@ -997,8 +1013,10 @@ def k_core(
     clustering: a peeled hairball keeps only the parts with real
     mutual support, shedding pendant chains that unravel iteratively
     (a chain peels one link per round — exactly what single-pass
-    degree filters miss). ``degree`` is the within-core degree after
-    the last round.
+    degree filters miss). ``degree`` is measured over the edge set
+    ENTERING the final round (it may still count neighbors that
+    round peels); once the rounds have converged it equals the exact
+    within-core degree.
 
     FIXED round count, not a fixpoint probe, so the result is
     deterministic and SQL-replayable; rounds ≥ the longest pendant
@@ -1118,10 +1136,7 @@ def infer_entity_types(
     votes = (
         unk.join(F.broadcast(sig), ["pred", "slot"])
         .groupBy("entity", "etype")
-        .agg(
-            F.sum(F.col("__m") * F.col("__share")).alias("__score"),
-            F.sum("__m").alias("__mm"),
-        )
+        .agg(F.sum(F.col("__m") * F.col("__share")).alias("__score"))
     )
     n_m = unk.groupBy("entity").agg(
         F.sum("__m").cast("bigint").alias("n_mentions")

@@ -277,7 +277,6 @@ def extraction_yield(
     x = triples.groupBy(F.col(conv).alias("conv_id")).agg(
         F.countDistinct(turn).alias("n_triple_turns"),
         F.count(F.lit(1)).cast("bigint").alias("n_triples"),
-        F.countDistinct("subj").alias("__ns"),
     )
     ents = (
         triples.select(F.col(conv).alias("conv_id"),
@@ -290,7 +289,7 @@ def extraction_yield(
         .agg(F.countDistinct("e").alias("n_entities"))
     )
     return (
-        t.join(x.drop("__ns"), "conv_id", "left")
+        t.join(x, "conv_id", "left")
         .join(ents, "conv_id", "left")
         .select(
             "conv_id",

@@ -546,7 +546,10 @@ def topic_segments(
 
     Jaccard against the PREVIOUS turn only (not a decayed window) —
     deterministic, one lag. First mention-bearing turn of a conv is
-    always a boundary; ``jaccard_prev`` is NULL there.
+    always a boundary; ``jaccard_prev`` is NULL there. NULL entity
+    ids (unlinked mentions) are dropped FIRST: a turn whose mentions
+    all failed linking carries no topic signal and must not
+    force-split the conversation with an empty set.
 
     Scale shape: entity sets collapse per (conv, turn) in one
     map-side-combined groupBy; the lag + running boundary count are
@@ -556,8 +559,9 @@ def topic_segments(
     from pyspark.sql import Window
 
     sets = (
-        mentions.groupBy(F.col(conv).alias("conv_id"),
-                         F.col(turn).alias("turn_idx"))
+        mentions.where(F.col(entity).isNotNull())
+        .groupBy(F.col(conv).alias("conv_id"),
+                 F.col(turn).alias("turn_idx"))
         .agg(F.sort_array(F.collect_set(entity)).alias("entities"))
     )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")

@@ -866,3 +866,39 @@ def test_infer_entity_types_signature_voting(spark):
     assert m["n_mentions"] == 2
     assert m["score"] == pytest.approx(2.0)  # share 1.0 per occurrence
     assert got["unk:somewhere"]["inferred_type"] == "loc"
+
+
+def test_comention_pmi_capped_scope_consistent_universe(spark):
+    """Regression (review finding): when a scope exceeds
+    max_entities_per_scope, ALL counts (pair, marginal, N) must come
+    from the surviving scope universe — mixing universes flipped the
+    PMI sign for pairs touching a capped scope."""
+    import math
+
+    import pytest
+
+    from crfsuite_spark.kg.graph import comention_pmi
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    rows = [
+        # c_big: 4 entities (exceeds cap of 3) incl. the x,y pair
+        ("cbig", 0, "x", "r", "y"), ("cbig", 1, "w", "r", "v"),
+        # two small scopes where x,y co-occur
+        ("c1", 0, "x", "r", "y"),
+        ("c2", 0, "x", "r", "y"),
+        # a third small scope with unrelated entities
+        ("c3", 0, "p", "r", "q"),
+    ]
+    got = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in comention_pmi(
+            spark.createDataFrame(rows, cols), max_entities_per_scope=3
+        ).collect()
+    }
+    xy = got[("x", "y")]
+    # surviving universe: c1, c2, c3 -> N=3, c_x=c_y=c_xy=2
+    assert (xy["n_scopes"], xy["n_a"], xy["n_b"]) == (2, 2, 2)
+    assert xy["pmi"] == pytest.approx(math.log(3 * 2 / 4))  # > 0
+    assert xy["pmi"] > 0
+    # entities seen ONLY in the capped scope contribute nothing
+    assert not any("w" in k or "v" in k for k in got)

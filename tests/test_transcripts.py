@@ -67,3 +67,27 @@ def test_topic_segments_boundaries(spark):
     assert got[4]["is_boundary"] is False     # 1/3 >= 0.2
     assert got[6]["is_boundary"] is True and got[6]["segment"] == 2
     assert got[6]["jaccard_prev"] == 0.0
+
+
+def test_topic_segments_null_entities_carry_no_signal(spark):
+    """Regression (review finding): a turn whose mentions all failed
+    linking (NULL canonical_id) must not force a topic boundary —
+    identical entity sets around it stay in one segment."""
+    from crfsuite_spark.operators.transcripts import topic_segments
+
+    cols = ["conv_id", "canonical_id", "turn_idx"]
+    rows = [
+        ("c1", "a", 0), ("c1", "b", 0),
+        ("c1", None, 1),                  # unlinked-only turn
+        ("c1", "a", 2), ("c1", "b", 2),
+    ]
+    got = {
+        r["turn_idx"]: r
+        for r in topic_segments(
+            spark.createDataFrame(rows, cols), jaccard_threshold=0.2
+        ).collect()
+    }
+    assert set(got) == {0, 2}            # NULL-only turn emits no row
+    assert got[2]["jaccard_prev"] == 1.0
+    assert got[2]["is_boundary"] is False
+    assert got[0]["segment"] == got[2]["segment"] == 1
