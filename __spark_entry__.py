@@ -2797,6 +2797,25 @@ def q_kg_comention_windowed(spark, sf):
     return comention_edges(t, scope="scope")
 
 
+def q_kg_dict_health(spark, sf):
+    """Dictionary QC (kg/mining.py dictionary_health): per alias,
+    ambiguity (distinct canonicals) and observed corpus matches from
+    the dictionary_spans projection — dead and ambiguous aliases are
+    the first suspects when weak labels degrade. Bounded frames
+    throughout."""
+    from crfsuite_spark.kg.mining import dictionary_health, dictionary_spans
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
+    toks = spark.read.parquet(
+        os.path.join(fixtures, "gold_decode_synthetic.parquet")
+    )
+    alias = spark.read.parquet(
+        os.path.join(fixtures, "alias_dict_synthetic.parquet")
+    )
+    return dictionary_health(alias, dictionary_spans(toks, alias))
+
+
 def q_sim_cluster_assign(spark, sf):
     """Nearest-centroid assignment in pure codegen expressions:
     centroids = embeddings of the 8 smallest vec_ids (deterministic,
@@ -3380,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_churn": q_kg_snapshot_churn,
         "kg_growth_curve": q_kg_growth_curve,
         "kg_comention_windowed": q_kg_comention_windowed,
+        "kg_dict_health": q_kg_dict_health,
         "crf_calibration": q_crf_calibration,
         "crf_calibration_ece": q_crf_calibration_ece,
         "tr_conv_stats_merge": q_tr_conv_stats_merge,
@@ -5308,6 +5328,55 @@ def _oracle_sql_dict(fixtures: str) -> dict[str, str]:
                    round(sup.support * 1.0 / bc.n_body, 6) AS confidence
             FROM sup JOIN bc USING (p1, p2)
             WHERE sup.support * 1.0 / bc.n_body >= 0.1
+        """,
+        "kg_dict_health": f"""
+            WITH tok AS (
+              SELECT * FROM read_parquet('{fixtures}/gold_decode_synthetic.parquet')),
+            arr AS (
+              SELECT conv_id, turn_idx,
+                     list(token_idx ORDER BY token_idx) AS ids,
+                     list(lower(token) ORDER BY token_idx) AS toks
+              FROM tok GROUP BY 1, 2),
+            d AS (
+              SELECT DISTINCT lower(alias) AS a, canonical_id, entity_type,
+                     COALESCE(weight, 0.0) AS w
+              FROM read_parquet('{fixtures}/alias_dict_synthetic.parquet')),
+            dn AS (SELECT a, canonical_id, entity_type, w,
+                          len(string_split(a, ' ')) AS n FROM d),
+            cand AS (
+              SELECT arr.conv_id, arr.turn_idx, g.pos AS s,
+                     g.pos + dn.n - 1 AS e,
+                     dn.canonical_id, dn.a AS alias, dn.w, dn.n
+              FROM arr
+              JOIN generate_series(1, 4096) AS g(pos)
+                ON g.pos <= len(arr.toks)
+              CROSS JOIN dn
+              WHERE g.pos + dn.n - 1 <= len(arr.toks)
+                AND array_to_string(arr.toks[g.pos : g.pos + dn.n - 1], ' ')
+                    = dn.a),
+            kept AS (
+              SELECT c.* FROM cand c WHERE NOT EXISTS (
+                SELECT 1 FROM cand o WHERE o.conv_id = c.conv_id
+                  AND o.turn_idx = c.turn_idx
+                  AND o.s <= c.s AND c.e <= o.e AND o.n > c.n)),
+            won AS (
+              SELECT conv_id, turn_idx, s, e, alias
+              FROM kept
+              QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx, s, e
+                ORDER BY w DESC, canonical_id) = 1),
+            sc AS (
+              SELECT alias, CAST(count(*) AS BIGINT) AS n_spans
+              FROM won GROUP BY alias),
+            amb AS (
+              SELECT a AS alias,
+                     count(DISTINCT canonical_id) AS n_canonicals
+              FROM d GROUP BY a)
+            SELECT amb.alias, amb.n_canonicals,
+                   amb.n_canonicals > 1 AS ambiguous,
+                   CAST(COALESCE(sc.n_spans, 0) AS BIGINT) AS n_spans,
+                   COALESCE(sc.n_spans, 0) > 0 AS matched
+            FROM amb LEFT JOIN sc USING (alias)
         """,
         "crf_cohens_kappa": f"""
             WITH t AS (

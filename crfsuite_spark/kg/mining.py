@@ -359,3 +359,48 @@ def spans_to_bio(
         .withColumn(label_col, F.coalesce(F.col("__lab"), F.lit("O")))
         .drop("__lab")
     )
+
+
+def dictionary_health(
+    alias_dict: DataFrame,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Dictionary QC report, one row per normalized alias:
+    (alias, n_canonicals, ambiguous, n_spans, matched) — the health
+    check run before anyone trusts :func:`dictionary_spans` output:
+    ambiguous aliases (one surface → several canonical ids) dilute
+    weak labels, and dead aliases (zero corpus matches) signal a
+    rotten dictionary or a normalization drift between dictionary
+    and tokenizer.
+
+    ``spans`` is a :func:`dictionary_spans` output for the corpus
+    under audit; omit it for the dictionary-only view (n_spans 0,
+    matched false).
+
+    Shape: both sides are bounded — the ambiguity count is one
+    groupBy over the dictionary (vocabulary-sized), the per-alias
+    span count one partial-aggregated groupBy over the span table
+    (matches, not tokens), met by a left join at alias cardinality."""
+    d = (
+        alias_dict.select(
+            F.lower("alias").alias("alias"), "canonical_id"
+        )
+        .distinct()
+        .groupBy("alias")
+        .agg(F.countDistinct("canonical_id").alias("n_canonicals"))
+        .withColumn("ambiguous", F.col("n_canonicals") > 1)
+    )
+    if spans is None:
+        return d.select(
+            "alias", "n_canonicals", "ambiguous",
+            F.lit(0).cast("bigint").alias("n_spans"),
+            F.lit(False).alias("matched"),
+        )
+    sc = spans.groupBy("alias").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    )
+    return d.join(sc, "alias", "left").select(
+        "alias", "n_canonicals", "ambiguous",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        (F.coalesce("n_spans", F.lit(0)) > 0).alias("matched"),
+    )

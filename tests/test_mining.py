@@ -237,3 +237,35 @@ def test_distant_supervision_bootstrap_e2e(spark):
         .first()[0]
     )
     assert acc > 0.9, acc
+
+
+def test_dictionary_health_ambiguity_and_coverage(spark):
+    from crfsuite_spark.kg.mining import dictionary_health, dictionary_spans
+
+    toks = spark.createDataFrame(
+        [("c1", 0, 0, "Alice"), ("c1", 0, 1, "visited")],
+        ["conv_id", "turn_idx", "token_idx", "token"],
+    )
+    alias = spark.createDataFrame(
+        [
+            ("alice", "per:alice", "PER", 1.0),
+            ("alice", "per:other", "PER", 0.5),      # ambiguous
+            ("ghost corp", "org:ghost", "ORG", 1.0), # dead alias
+        ],
+        ["alias", "canonical_id", "entity_type", "weight"],
+    )
+    got = {
+        r["alias"]: r
+        for r in dictionary_health(
+            alias, dictionary_spans(toks, alias)
+        ).collect()
+    }
+    a = got["alice"]
+    assert (a["n_canonicals"], a["ambiguous"]) == (2, True)
+    assert (a["n_spans"], a["matched"]) == (1, True)
+    g = got["ghost corp"]
+    assert (g["n_canonicals"], g["ambiguous"]) == (1, False)
+    assert (g["n_spans"], g["matched"]) == (0, False)
+    # dictionary-only view
+    solo = {r["alias"]: r for r in dictionary_health(alias).collect()}
+    assert solo["alice"]["n_spans"] == 0 and not solo["alice"]["matched"]
