@@ -129,9 +129,37 @@ def hashed_gram_counts(
     )
 
 
+def _bucketed_raw(
+    raw: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    seed: int,
+    flag: Column | None = None,
+) -> DataFrame:
+    """``raw`` + ``__buckets`` (int array: the md5 bucket of every
+    unigram+bigram, document order) [+ ``__t`` 0/1 when ``flag``].
+
+    This is the shared tokenize→gram→hash pass that BOTH the fit
+    histogram and the scoring fold consume: the caller persists it, so
+    the corpus pays the per-gram md5 exactly once instead of once per
+    pass (fit + score re-tokenized the whole pool before — measured
+    77 s → the cache form at sf1.0). Each stage is its own projection
+    so no optimizer rule re-inlines the tokenizer into a per-element
+    lambda (the O(words²) pushed-filter hazard seen in the r05 plan)."""
+    pre = [F.col(c) for c in raw.columns] + [_toks(text_col).alias("__toks")]
+    if flag is not None:
+        pre.append(F.when(flag, F.lit(1)).otherwise(F.lit(0)).alias("__t"))
+    staged = raw.select(*pre).withColumn("__grams", _grams_of(F.col("__toks")))
+    buckets = F.transform(
+        F.col("__grams"),
+        lambda g: _gram_bucket(g, n_buckets, seed).cast("int"),
+    )
+    return staged.withColumn("__buckets", buckets).drop("__toks", "__grams")
+
+
 def _fit_log_ratio(
     target: "DataFrame | Column",
-    raw: DataFrame,
+    raw_bucketed: DataFrame,
     text_col: str,
     n_buckets: int,
     alpha: float,
@@ -142,28 +170,39 @@ def _fit_log_ratio(
     log p_target[b] − log p_raw[b] as a plain list for literal
     embedding.
 
-    ``target`` as a separate DataFrame costs two bucket-count jobs;
+    ``raw_bucketed`` is the persisted :func:`_bucketed_raw` frame — the
+    raw histogram explodes its precomputed int bucket arrays (no
+    re-tokenization, no per-gram md5). ``target`` as a separate
+    DataFrame costs one extra bucket-count job over the target corpus;
     ``target`` as a boolean Column PREDICATE over ``raw`` (the common
     'target is a labeled subset of the pool' case) fits BOTH
-    histograms in ONE scan — count(*) vs count_if(pred) per bucket."""
-    if n_buckets > 65536:
-        raise ValueError(
-            "n_buckets > 65536 would bloat the embedded literal plan; "
-            "hash collisions are part of the DSIR design — use fewer"
-        )
+    histograms from the same exploded pass — count(*) vs count_if per
+    bucket."""
     ct = [0] * n_buckets
     cr = [0] * n_buckets
     if isinstance(target, Column):
-        hist = hashed_gram_counts(raw, text_col, n_buckets, seed, flag=target)
+        hist = (
+            raw_bucketed.select(
+                "__t", F.explode("__buckets").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"), F.sum("__t").alias("cnt_flagged"))
+        )
         for row in hist.collect():
             cr[row["bucket"]] = row["cnt"]
             ct[row["bucket"]] = int(row["cnt_flagged"])
     else:
-        for counts, frame in ((ct, target), (cr, raw)):
-            for row in hashed_gram_counts(
-                frame, text_col, n_buckets, seed
-            ).collect():
-                counts[row["bucket"]] = row["cnt"]
+        for row in hashed_gram_counts(
+            target, text_col, n_buckets, seed
+        ).collect():
+            ct[row["bucket"]] = row["cnt"]
+        hist = (
+            raw_bucketed.select(F.explode("__buckets").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+        for row in hist.collect():
+            cr[row["bucket"]] = row["cnt"]
     nt, nr = sum(ct), sum(cr)
     zt = math.log(nt + alpha * n_buckets)
     zr = math.log(nr + alpha * n_buckets)
@@ -196,25 +235,40 @@ def dsir_weights(
     fixed-size chunks, which :func:`~crfsuite_spark.operators.sampling.
     chunk_documents` provides).
 
-    The returned frame's plan is scan-local — fit runs two bounded
-    count jobs eagerly, scoring embeds the log-ratio literal (module
-    docstring)."""
-    lr = _fit_log_ratio(target, raw, text_col, n_buckets, alpha, seed)
+    The returned frame's plan is scan-local — fit runs bounded count
+    jobs eagerly, scoring embeds the log-ratio literal (module
+    docstring). The shared tokenize→gram→md5 pass is computed ONCE
+    into a persisted int-bucket frame (:func:`_bucketed_raw`) that the
+    fit explodes and the scoring fold reads back — identical math
+    (same bucket per gram, same left-fold order over the same gram
+    sequence), half the corpus passes. The returned frame carries the
+    persisted input in ``pinned_caches`` (same release contract as
+    operators/minhash.py): callers that materialize the result may
+    ``unpersist()`` them."""
+    if n_buckets > 65536:
+        raise ValueError(
+            "n_buckets > 65536 would bloat the embedded literal plan; "
+            "hash collisions are part of the DSIR design — use fewer"
+        )
+    pre = _bucketed_raw(
+        raw, text_col, n_buckets, seed,
+        flag=target if isinstance(target, Column) else None,
+    ).persist()
+    lr = _fit_log_ratio(target, pre, text_col, n_buckets, alpha, seed)
     lr_col = F.lit(lr)
-    grams = F.col("__grams")
+    buckets = F.col("__buckets")
     logw = F.aggregate(
-        grams,
+        buckets,
         F.lit(0.0),
-        lambda acc, g: acc
-        + F.element_at(lr_col, (_gram_bucket(g, n_buckets, seed) + 1).cast("int")),
+        lambda acc, b: acc + F.element_at(lr_col, b + F.lit(1)),
     )
-    return (
-        raw.withColumn("__toks", _toks(text_col))
-        .withColumn("__grams", _grams_of(F.col("__toks")))
-        .withColumn("logweight", logw)
-        .withColumn("n_grams", F.size(grams).cast("bigint"))
-        .drop("__toks", "__grams")
+    out = (
+        pre.withColumn("logweight", logw)
+        .withColumn("n_grams", F.size(buckets).cast("bigint"))
+        .drop("__buckets", "__t")
     )
+    out.pinned_caches = [pre]
+    return out
 
 
 def dsir_select(
@@ -255,9 +309,10 @@ def dsir_select(
         # validate BEFORE dsir_weights eagerly runs the corpus-wide fit
         raise ValueError("temperature must be > 0 (use a small value "
                          "like 1e-3 for near-deterministic top-k)")
-    scored = dsir_weights(
+    weighted = dsir_weights(
         raw, target, id_col, text_col, n_buckets, alpha, seed
-    ).where(F.col("n_grams") >= int(min_grams))
+    )
+    scored = weighted.where(F.col("n_grams") >= int(min_grams))
     # u in (0,1): (h + 0.5) / 1e6 over the SAME portable md5 idiom the
     # whole repo uses (one implementation, one oracle recipe)
     from crfsuite_spark.operators.sampling import _portable_hash_expr
@@ -268,4 +323,8 @@ def dsir_select(
     out = scored.withColumn(
         "gumbel_key", F.col("logweight") / F.lit(float(temperature)) + gumbel
     )
-    return out.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(int(k))
+    sel = out.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(int(k))
+    # cache-lifetime contract: the selection plan scans the persisted
+    # bucket frame (see dsir_weights) — release after materializing
+    sel.pinned_caches = getattr(weighted, "pinned_caches", [])
+    return sel

@@ -45,6 +45,28 @@ def get_spark(
         # core a 64 MB dictionary/shingle table is still a cheap
         # broadcast and saves a sort-merge shuffle of the big side
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # InferFiltersFromGenerate adds a size(arr) > 0 filter under
+        # every explode; predicate pushdown then substitutes the alias
+        # chain into that filter, re-inlining the array-builder with the
+        # tokenizer INSIDE the per-element lambda — O(elements × subtree)
+        # per row (measured: explode of staged word 8-grams 34.9 s → 6.7 s
+        # at sf1.0 with the rule off). The filter is purely an early-skip
+        # (explode drops empty/null arrays regardless), so results are
+        # identical; scale-independent, not a local[32] tune.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        # collect_list/min_by groupBys (span/substr dedup canonical-
+        # occurrence cut, turn packing) aggregate over millions of
+        # uniform hash keys; the default 128-key fallback turns every
+        # such ObjectHashAggregate into a full SortAggregate (sorting
+        # the corpus token stream by 32-char digests). 1M keys/task keeps
+        # the hash path up to ~sf30 partition sizes while bounding
+        # worst-case per-task buffer memory (~100 MB at our key widths);
+        # past it the sort-based fallback still spills gracefully.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "1048576")
         # propagate the allocator tuning to executor-spawned workers on
         # real clusters too (local mode inherits via os.environ above)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
