@@ -21,7 +21,17 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # the corpus ships as ONE parquet row group (unsplittable), so
+        # every per-document pipeline would otherwise run its whole
+        # compute stage on a single core; one round-robin exchange of
+        # the few-MB text column restores full parallelism (results are
+        # partitioning-independent — deterministic round-robin via
+        # sortBeforeRepartition). A production corpus arrives as many
+        # row groups and would not need (or want) this.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # --------------------------------------------------------------------------

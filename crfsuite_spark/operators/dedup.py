@@ -267,60 +267,91 @@ def span_dedup(
     (``*id``, text: surviving blocks rejoined by ' ', n_blocks,
     n_kept). A fully-deduplicated document keeps an empty text.
 
-    Scale shape: block explode is map-side; canonical selection is one
-    map-side-combined groupBy on the md5 block key (uniform) +
-    ``min_by`` — no window sort; the winner join shuffles on the same
-    uniform key; reassembly is one groupBy on the id. Whitespace is
+    Scale shape (r06): the block stream exists ONCE — a persisted
+    narrow (id, idx, 16-byte binary md5 key) frame; block TEXT never
+    enters any shuffle. Canonical selection is one map-side-combined
+    groupBy on the uniform key + ``min_by`` (no window sort); the
+    non-canonical occurrences join the CACHED narrow frame against the
+    duplicated-key winners (broadcast when small) and reduce to
+    per-document removed-index lists; documents are rebuilt map-side
+    from their own staged token arrays (the r05 form recomputed the
+    block explode for the winner join and shuffled block text into
+    both the join and the reassembly groupBy). The tokenizer is staged
+    as a bound column so the per-block lambda slices an array instead
+    of re-splitting the document (the O(words²) hazard). Whitespace is
     normalized to single spaces by the split/rejoin (documented
-    contract — span dedup rewrites documents by nature)."""
+    contract — span dedup rewrites documents by nature). The returned
+    frame scans the persisted block frame (``pinned_caches`` release
+    contract, as operators/minhash.py)."""
+    bt = int(block_tokens)
     c = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(c), r"\s+")
     nw = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(words))
-    n_blocks = F.ceil(nw / F.lit(block_tokens)).cast("int")
-    blocks_arr = F.when(n_blocks <= 0, F.array().cast("array<string>")).otherwise(
+    n_blocks = F.ceil(nw / F.lit(bt)).cast("int")
+    base = df.select(id_col, words.alias("__words"), n_blocks.alias("__nb"))
+    blocks_arr = F.when(
+        F.col("__nb") <= 0, F.array().cast("array<string>")
+    ).otherwise(
         F.transform(
-            F.sequence(F.lit(0), n_blocks - 1),
+            F.sequence(F.lit(0), F.col("__nb") - 1),
             lambda i: F.array_join(
-                F.slice(words, i * block_tokens + 1, block_tokens), " "
+                F.slice(F.col("__words"), i * bt + 1, bt), " "
             ),
         )
     )
-    blocks = df.select(
-        id_col, F.posexplode(blocks_arr).alias("__idx", "__block")
-    ).withColumn("__key", F.md5(F.col("__block")))
-    winners = blocks.groupBy("__key").agg(
+    blocks = (
+        base.select(id_col, F.posexplode(blocks_arr).alias("__idx", "__block"))
+        .select(id_col, "__idx", F.unhex(F.md5(F.col("__block"))).alias("__key"))
+        .persist()
+    )
+    # count-only corpus aggregation (primitive HashAggregate), min_by
+    # restricted to the duplicated-key subset — see substr_dedup
+    dup_keys = (
+        blocks.groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") > 1)
+        .select("__key")
+    )
+    dup_occ = blocks.join(dup_keys, "__key")
+    winners = dup_occ.groupBy("__key").agg(
         F.min_by(
             F.struct(F.col(id_col).alias("id"), F.col("__idx").alias("idx")),
             F.struct(F.col(id_col).alias("id"), F.col("__idx").alias("idx")),
-        ).alias("__w")
+        ).alias("__w"),
     )
-    kept = (
-        blocks.join(winners, "__key")
+    removed = (
+        dup_occ.join(winners, "__key")
         .where(
-            (F.col("__w.id") == F.col(id_col)) & (F.col("__w.idx") == F.col("__idx"))
+            (F.col("__w.id") != F.col(id_col)) | (F.col("__w.idx") != F.col("__idx"))
         )
-        .select(id_col, "__idx", "__block")
+        .groupBy(id_col)
+        .agg(F.collect_list("__idx").alias("__rem"))
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__idx", "__block"))),
-                lambda s: s["__block"],
+    staged = (
+        base.join(removed, id_col, "left")
+        .withColumn(
+            "__rem", F.coalesce(F.col("__rem"), F.array().cast("array<int>"))
+        )
+        .withColumn(
+            "__kept",
+            F.when(
+                F.col("__nb") <= 0, F.array().cast("array<string>")
+            ).otherwise(
+                F.filter(
+                    blocks_arr,
+                    lambda b, i: ~F.array_contains(F.col("__rem"), i),
+                )
             ),
-            " ",
-        ).alias("__text"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-    )
-    base = df.select(id_col, n_blocks.cast("bigint").alias("n_blocks"))
-    return (
-        base.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
-            "n_blocks",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+    out = staged.select(
+        id_col,
+        F.array_join(F.col("__kept"), " ").alias(text_col),
+        F.col("__nb").cast("bigint").alias("n_blocks"),
+        F.size("__kept").cast("bigint").alias("n_kept"),
+    )
+    out.pinned_caches = [blocks]
+    return out
 
 
 def dedup_against(
@@ -430,18 +461,40 @@ def substr_dedup(
             lambda i: F.array_join(F.slice(F.col("__words"), i + 1, k), " "),
         )
     )
-    windows = base.select(
-        id_col, F.posexplode(win_arr).alias("__pos", "__wtext")
-    ).select(id_col, "__pos", F.md5(F.col("__wtext")).alias("__key"))
-    winners = windows.groupBy("__key").agg(
-        F.count(F.lit(1)).alias("__cnt"),
+    # r06: the stride-1 window stream exists ONCE — persisted narrow
+    # (id, pos, 16-byte binary md5) triples feed BOTH the canonical
+    # groupBy and the non-canonical-occurrence join (the r05 form
+    # recomputed the explode+md5 for the winner join and shuffled the
+    # 32-char hex keys twice); unhex halves the key bytes in the one
+    # corpus-scale exchange, with identical grouping (hex→binary is a
+    # bijection)
+    windows = (
+        base.select(id_col, F.posexplode(win_arr).alias("__pos", "__wtext"))
+        .select(id_col, "__pos", F.unhex(F.md5(F.col("__wtext"))).alias("__key"))
+        .persist()
+    )
+    # canonical cut in two grades: the CORPUS-scale aggregation is a
+    # count-only groupBy (primitive buffers → HashAggregate with
+    # map-side combine — min_by's struct buffer would force a
+    # SortAggregate over the whole window stream); the min_by runs only
+    # over occurrences of DUPLICATED keys (a near-dup-scale subset that
+    # AQE broadcast-joins back against the cached windows when small,
+    # falling back to a shuffle join at open-web duplication rates)
+    dup_keys = (
+        windows.groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") > 1)
+        .select("__key")
+    )
+    dup_occ = windows.join(dup_keys, "__key")
+    winners = dup_occ.groupBy("__key").agg(
         F.min_by(
             F.struct(F.col(id_col).alias("id"), F.col("__pos").alias("pos")),
             F.struct(F.col(id_col).alias("id"), F.col("__pos").alias("pos")),
         ).alias("__w"),
     )
     removed = (
-        windows.join(winners.where(F.col("__cnt") > 1), "__key")
+        dup_occ.join(winners, "__key")
         .where(
             (F.col("__w.id") != F.col(id_col))
             | (F.col("__w.pos") != F.col("__pos"))
@@ -472,12 +525,15 @@ def substr_dedup(
             ),
         )
     )
-    return staged.select(
+    out = staged.select(
         id_col,
         F.array_join(F.col("__kept"), " ").alias(text_col),
         F.col("__nw").cast("bigint").alias("n_tokens"),
         F.size("__kept").cast("bigint").alias("n_kept"),
     )
+    # cache-lifetime contract: the plan scans the persisted window frame
+    out.pinned_caches = [windows]
+    return out
 
 
 def intra_doc_span_dedup(

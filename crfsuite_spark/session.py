@@ -67,6 +67,18 @@ def get_spark(
         # past it the sort-based fallback still spills gracefully.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 "1048576")
+        # scan parallelism floor: maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, bytes/minPartitionNum)) — the 4 MB default
+        # openCost models spinning-disk seek+open and FLOORS every split
+        # at 4 MB, so a compact table (one 5.7 MB zstd file at sf1.0)
+        # scans as 2 splits and the whole per-document pipeline runs on
+        # 2 of 32 cores (measured: the substr_dedup window build sat at
+        # 2-way parallelism). 128 KB matches NVMe/page-cache open cost;
+        # large files still split at bytes/minPartitionNum, so cluster-
+        # scale scans keep their 128 MB-1 GB splits. Env-overridable for
+        # deployments on high-latency object stores.
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"))
         # propagate the allocator tuning to executor-spawned workers on
         # real clusters too (local mode inherits via os.environ above)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
