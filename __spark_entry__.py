@@ -22,7 +22,7 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
+    if name in ("documents", "embeddings"):
         # the corpus ships as ONE parquet row group (unsplittable), so
         # every per-document pipeline would otherwise run its whole
         # compute stage on a single core; one round-robin exchange of

@@ -35,6 +35,11 @@ from pyspark.sql import functions as F
 # int64 under ANSI arithmetic (Spark 4 default)
 MERSENNE = (1 << 31) - 1
 
+# exact-stats broadcast cap for the screen/verify join sides (bytes of
+# array payload; comfortably inside executor memory at 4+ GB/core while
+# far under the 8 GB broadcast hard cap)
+_BROADCAST_CAP = 48 * 1024 * 1024
+
 
 def char_shingles(col: str, k: int = 3):
     """Distinct character k-gram array, JVM-side."""
@@ -347,6 +352,24 @@ def minhash_pairs_against(
     br = lsh_band_buckets(sig_r, id_col, n_hashes, bands).select(
         F.col(id_col).alias("id_ref"), "band", "bucket"
     )
+    # exact-stats join strategy (see minhash_self_pairs note): one agg
+    # per persisted signature frame yields true byte sizes; each screen
+    # /verify side broadcasts iff it actually fits
+    def _stats(sig):
+        row = sig.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("__hs")).alias("sh_total"),
+        ).collect()[0]
+        n, sh_total = row["n"], row["sh_total"] or 0
+        mv_ok = n * (8 * n_hashes + 24) < _BROADCAST_CAP
+        sh_ok = sh_total * 8 + n * 24 < _BROADCAST_CAP
+        return (
+            F.broadcast if mv_ok else (lambda f: f.hint("merge")),
+            F.broadcast if sh_ok else (lambda f: f.hint("merge")),
+        )
+
+    mv_n_side, sh_n_side = _stats(sig_n)
+    mv_r_side, sh_r_side = _stats(sig_r)
     cand = (
         bn.hint("merge").join(br, ["band", "bucket"])
         .select("id_new", "id_ref")
@@ -369,16 +392,15 @@ def minhash_pairs_against(
                 "size(filter(zip_with(__mv_a, __mv_b, (x, y) -> x = y), v -> v))"
             )
             cand = (
-                cand.hint("merge").join(mv_n, "id_new")
-                .hint("merge").join(mv_r, "id_ref")
+                cand.join(mv_n_side(mv_n), "id_new")
+                .join(mv_r_side(mv_r), "id_ref")
                 .where(n_eq >= F.lit(min_eq))
                 .select("id_new", "id_ref")
             )
     out = (
-        cand.hint("merge")
-        .join(sig_n.select(F.col(id_col).alias("id_new"), F.col("__hs").alias("__sh_a")), "id_new")
-        .hint("merge")
-        .join(sig_r.select(F.col(id_col).alias("id_ref"), F.col("__hs").alias("__sh_b")), "id_ref")
+        cand
+        .join(sh_n_side(sig_n.select(F.col(id_col).alias("id_new"), F.col("__hs").alias("__sh_a"))), "id_new")
+        .join(sh_r_side(sig_r.select(F.col(id_col).alias("id_ref"), F.col("__hs").alias("__sh_b"))), "id_ref")
         .withColumn("jaccard", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_new", "id_ref", "jaccard")
@@ -430,15 +452,28 @@ def minhash_self_pairs(
     b = lsh_band_buckets(sig, id_col, n_hashes, bands)
     ba = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
     bb = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    # every join below is explicitly SORT-MERGE: the planner cannot size
-    # frames downstream of HOF projections, and at corpus scale a
-    # mis-estimated auto-broadcast of the band frame or the shingle-set
-    # frame (500k docs × ~10^2 shingles ≫ driver memory) aborts the job;
-    # a shuffle-hash build of the array-carrying side does the same once
-    # every core builds a 10^8-byte hash relation concurrently (hash
-    # builds cannot spill). Both failure modes were observed at the sf10
-    # bench. SMJ spills gracefully, and the keys are uniform hashes/ids,
-    # so the sorts are skew-free.
+    # Join strategy (r06): decided HERE from EXACT stats, not estimates.
+    # The initial planner cannot size frames downstream of HOF/Arrow
+    # projections — its tiny input-proportional estimate auto-broadcast
+    # the shingle-set frame (500k docs × ~10^2 shingles ≫ driver memory)
+    # and aborted the sf10 bench, which is why r05 pinned every join to
+    # spillable sort-merge. But the signature frame is persisted anyway,
+    # so ONE aggregate over the cache (which also fills it) yields the
+    # TRUE byte sizes of both join sides: the fixed-width 8·n_hashes
+    # signature-vector frame and the variable shingle-set frame each
+    # broadcast iff their exact footprint fits, otherwise keep the old
+    # sort-merge shape. At sf1.0 this turns the estimate screen from a
+    # 6.3 s double sort of 6.1M candidate rows into a broadcast probe
+    # (~1 s); at sf10 the sides exceed the cap and nothing regresses.
+    stats = sig.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("__hs")).alias("sh_total"),
+    ).collect()[0]
+    n_docs, sh_total = stats["n"], stats["sh_total"] or 0
+    mv_small = n_docs * (8 * n_hashes + 24) < _BROADCAST_CAP
+    sh_small = sh_total * 8 + n_docs * 24 < _BROADCAST_CAP
+    mv_side = F.broadcast if mv_small else (lambda f: f.hint("merge"))
+    sh_side = F.broadcast if sh_small else (lambda f: f.hint("merge"))
     cand = (
         ba.hint("merge").join(bb, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -458,19 +493,17 @@ def minhash_self_pairs(
                 "size(filter(zip_with(__mv_a, __mv_b, (x, y) -> x = y), v -> v))"
             )
             cand = (
-                cand.hint("merge")
-                .join(mv.select(F.col(id_col).alias("id_a"), F.col("__mv").alias("__mv_a")), "id_a")
-                .hint("merge")
-                .join(mv.select(F.col(id_col).alias("id_b"), F.col("__mv").alias("__mv_b")), "id_b")
+                cand
+                .join(mv_side(mv.select(F.col(id_col).alias("id_a"), F.col("__mv").alias("__mv_a"))), "id_a")
+                .join(mv_side(mv.select(F.col(id_col).alias("id_b"), F.col("__mv").alias("__mv_b"))), "id_b")
                 .where(n_eq >= F.lit(min_eq))
                 .select("id_a", "id_b")
             )
     sh = sig.select(id_col, "__hs")
     out = (
-        cand.hint("merge")
-        .join(sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__sh_a")), "id_a")
-        .hint("merge")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__sh_b")), "id_b")
+        cand
+        .join(sh_side(sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__sh_a"))), "id_a")
+        .join(sh_side(sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__sh_b"))), "id_b")
         .withColumn("jaccard", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")

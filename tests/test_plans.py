@@ -158,16 +158,29 @@ def test_link_mentions_no_mention_stream_shuffle(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
-def test_minhash_verify_joins_are_sort_merge(spark):
-    """minhash_self_pairs pins every candidate/verify join to
-    spillable sort-merge — no auto-broadcast or hash build of frames
-    whose size the planner cannot see (the sf10 failure mode)."""
-    from crfsuite_spark.operators.minhash import minhash_self_pairs
+def test_minhash_verify_joins_are_sort_merge(spark, monkeypatch):
+    """minhash_self_pairs picks screen/verify join strategy from EXACT
+    measured sizes of the persisted signature frame, never from planner
+    estimates (whose input-proportional guess auto-broadcast the
+    shingle frame and aborted the sf10 bench). Above the byte cap the
+    shape is the spillable sort-merge chain with no hash build; below
+    it the fixed-width signature-vector and shingle sides broadcast so
+    the candidate stream is never sorted."""
+    from crfsuite_spark.operators import minhash as mh
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(minhash_self_pairs(d, "doc_id", "text", 32, 8, 5, 0.8))
+    # corpus-scale regime: force the cap to 0 — every join must be the
+    # spill-safe sort-merge, no broadcast, no shuffled-hash build
+    monkeypatch.setattr(mh, "_BROADCAST_CAP", 0)
+    plan = _plan(mh.minhash_self_pairs(d, "doc_id", "text", 32, 8, 5, 0.8))
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # small regime (this fixture): both sides measure under the default
+    # cap, so the screen/verify joins broadcast the array sides
+    monkeypatch.setattr(mh, "_BROADCAST_CAP", 48 * 1024 * 1024)
+    plan = _plan(mh.minhash_self_pairs(d, "doc_id", "text", 32, 8, 5, 0.8))
+    assert "BroadcastHashJoin" in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
 
 
