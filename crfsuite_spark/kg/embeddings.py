@@ -243,16 +243,27 @@ def _reduce_grad_partials(partials_df, n_partitions_hint: int,
 def build_vocab(triples: DataFrame) -> tuple[list, list]:
     """Sorted entity (subj ∪ obj) and relation vocabularies.  These
     are model-state-sized (the same bounded-collect contract as the
-    CRF label/attribute dictionaries and the linking alias dict)."""
-    ents = [
-        r[0]
-        for r in triples.select(F.col("subj").alias("e"))
-        .unionByName(triples.select(F.col("obj").alias("e")))
+    CRF label/attribute dictionaries and the linking alias dict).
+    ONE tagged-union distinct job collects both vocabularies (the
+    two-job form paid a second full scan + shuffle for the handful of
+    relation strings); the driver-side sort is byte-order-identical to
+    the previous Spark sort (UTF-8 ordering == code-point ordering)."""
+    rows = (
+        triples.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("k"), F.col("subj").alias("v")),
+                    F.struct(F.lit(0).alias("k"), F.col("obj").alias("v")),
+                    F.struct(F.lit(1).alias("k"), F.col("pred").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.k").alias("k"), F.col("e.v").alias("v"))
         .distinct()
-        .sort("e")
         .collect()
-    ]
-    rels = [r[0] for r in triples.select("pred").distinct().sort("pred").collect()]
+    )
+    ents = sorted(r["v"] for r in rows if r["k"] == 0)
+    rels = sorted(r["v"] for r in rows if r["k"] == 1)
     return ents, rels
 
 
@@ -340,8 +351,10 @@ def train_kge(
     if n_e < 2:
         raise ValueError("need at least two entities to draw negatives")
 
+    # persist lazily: the first epoch's pass fills the cache — an eager
+    # count() here would add one full blocking job per training call
+    # purely to warm it (getNumPartitions inspects the plan, no job)
     indexed = _index_triples(triples, ent2id, rel2id, num_partitions).persist()
-    n_triples = indexed.count()
     n_parts = indexed.rdd.getNumPartitions()
 
     def _unit_modulus(rel):
