@@ -208,16 +208,27 @@ def _merge_grad_partials(a, b):
 
 
 def _reduce_grad_partials(partials_df, n_partitions_hint: int,
-                          tree_reduce_threshold: int = 64):
-    """Sum sparse epoch-gradient payloads: below the threshold ONE
-    partition-id-ordered segment-sum over all collected payloads
-    (deterministic float order, no pairwise re-unique churn); above
-    it executor-side treeReduce so the driver receives one payload
-    regardless of cluster width (same contract as
-    train.trainer.reduce_epoch_partials, but sparse-aware)."""
+                          tree_reduce_threshold: int = 64,
+                          payload_bytes_hint: int | None = None,
+                          driver_ingest_cap: int = 64 << 20):
+    """Sum sparse epoch-gradient payloads: by default ONE partition-id-
+    ordered segment-sum over all collected payloads (deterministic
+    float order, no pairwise re-unique churn); executor-side treeReduce
+    only when BOTH the partition count exceeds the threshold AND the
+    worst-case driver ingest (partitions × vocab-dense payload,
+    ``payload_bytes_hint``) exceeds ``driver_ingest_cap`` — the tree
+    exists to protect the driver from P × vocab × dim bytes, and when
+    the payloads are small it is pure overhead (an extra Python
+    deserialization stage per epoch: measured 2.9 s vs 1.5 s for a
+    3-epoch run at 275k triples / 24 entities, and the rdd path's
+    first-call spin-up alone costs ~6 s)."""
     import pickle
 
-    if n_partitions_hint > tree_reduce_threshold:
+    big_ingest = (
+        payload_bytes_hint is None
+        or payload_bytes_hint * n_partitions_hint > driver_ingest_cap
+    )
+    if n_partitions_hint > tree_reduce_threshold and big_ingest:
         try:
             return partials_df.rdd.map(
                 lambda r: (r["n"], r["loss"], pickle.loads(r["w"]))
@@ -514,6 +525,9 @@ def train_kge(
         red = _reduce_grad_partials(
             indexed.mapInPandas(run, EPOCH_PARTIAL_SCHEMA),
             n_parts, tree_reduce_threshold,
+            # vocab-dense worst case per partition: every entity row +
+            # the relation matrix, float32 (matches the payload dtype)
+            payload_bytes_hint=(n_e + n_r) * dim * 4,
         )
         w_bc.unpersist()
         if red is None:

@@ -178,7 +178,8 @@ def _link_and_join(rels: DataFrame, alias_dict: DataFrame, cfg: PipelineConfig) 
         .unionByName(rels.select(F.col("obj_surface").alias("surface")))
         .distinct()
     ).persist()
-    surfaces.count()
+    # no eager count — link_mentions' first eager job materializes this
+    # cache (and the rels cache behind it) in one chained pass
     linked = link_mentions(
         surfaces, alias_dict, surface_col="surface", fuzzy=cfg.fuzzy_linking,
         fuzzy_collect_threshold=cfg.fuzzy_collect_threshold,
@@ -339,7 +340,11 @@ def run_pipeline(
             *SEQ_COLS, "subj_surface", "subj_type", "pred",
             "obj_surface", "obj_type", "rel_surface",
         ).persist()
-        rels.count()
+        # no eager count: the first linking job (the eager probe inside
+        # link_mentions, via the surfaces aggregation) pulls the fused
+        # decode through this cache in the SAME pass — an explicit
+        # count() here only added a serial blocking job (guide §1.2:
+        # the serial stage chain is the bench-scale fixed cost)
         return _link_and_join(rels, alias_dict, cfg)
     decoded = tag_transcripts(transcripts, model, cfg)
     return extract_triples(decoded, alias_dict, cfg, predicate_map=predicate_map)

@@ -478,8 +478,15 @@ def minhash_self_pairs(
         ba.hint("merge").join(bb, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # screen-broadcast regime: the per-band duplicate candidate rows
+    # cost only extra hash probes, so the pair-dedup moves AFTER the
+    # screen (distinct over the tiny survivor set) instead of a full
+    # exchange + aggregate over the 10^6-row raw candidate stream;
+    # sort-merge regime keeps the early distinct (fewer sorted rows)
+    defer_distinct = mv_small and estimate_margin is not None
+    if not defer_distinct:
+        cand = cand.distinct()
     if estimate_margin is not None:
         min_eq = max(
             0, math.ceil((jaccard_threshold - estimate_margin) * n_hashes - 1e-9)
@@ -499,6 +506,11 @@ def minhash_self_pairs(
                 .where(n_eq >= F.lit(min_eq))
                 .select("id_a", "id_b")
             )
+        elif defer_distinct:
+            cand = cand.distinct()
+            defer_distinct = False
+    if defer_distinct:
+        cand = cand.distinct()
     sh = sig.select(id_col, "__hs")
     out = (
         cand
