@@ -363,15 +363,17 @@ def minhash_pairs_against(
         n, sh_total = row["n"], row["sh_total"] or 0
         mv_ok = n * (8 * n_hashes + 24) < _BROADCAST_CAP
         sh_ok = sh_total * 8 + n * 24 < _BROADCAST_CAP
+        band_ok = n * bands * 28 < _BROADCAST_CAP
         return (
             F.broadcast if mv_ok else (lambda f: f.hint("merge")),
             F.broadcast if sh_ok else (lambda f: f.hint("merge")),
+            F.broadcast if band_ok else (lambda f: f.hint("merge")),
         )
 
-    mv_n_side, sh_n_side = _stats(sig_n)
-    mv_r_side, sh_r_side = _stats(sig_r)
+    mv_n_side, sh_n_side, _ = _stats(sig_n)
+    mv_r_side, sh_r_side, band_r_side = _stats(sig_r)
     cand = (
-        bn.hint("merge").join(br, ["band", "bucket"])
+        bn.join(band_r_side(br), ["band", "bucket"])
         .select("id_new", "id_ref")
         .distinct()
     )
@@ -472,10 +474,12 @@ def minhash_self_pairs(
     n_docs, sh_total = stats["n"], stats["sh_total"] or 0
     mv_small = n_docs * (8 * n_hashes + 24) < _BROADCAST_CAP
     sh_small = sh_total * 8 + n_docs * 24 < _BROADCAST_CAP
+    band_small = n_docs * bands * 28 < _BROADCAST_CAP
     mv_side = F.broadcast if mv_small else (lambda f: f.hint("merge"))
     sh_side = F.broadcast if sh_small else (lambda f: f.hint("merge"))
+    band_side = F.broadcast if band_small else (lambda f: f.hint("merge"))
     cand = (
-        ba.hint("merge").join(bb, ["band", "bucket"])
+        ba.join(band_side(bb), ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
