@@ -108,11 +108,4 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    # Warm the heavy operator patterns once per session (classload +
-    # whole-stage-codegen compile + first JIT) so the FIRST query using
-    # each pattern runs at steady-state speed — see prewarm.py for the
-    # measured first-touch costs. SPARK_GRAFT_PREWARM=0 opts out.
-    from crfsuite_spark.prewarm import warm
-
-    warm(spark)
     return spark
