@@ -104,6 +104,17 @@ def get_spark(
             shm = "/dev/shm/spark-local"
             os.makedirs(shm, exist_ok=True)
             builder = builder.config("spark.local.dir", shm)
+            # With shuffle files on tmpfs the bytes never touch a disk
+            # or a NIC, so lz4 framing is pure CPU overhead on both
+            # sides of every exchange (guide §2.3 "measure both":
+            # substr_dedup warm draws 4.7-5.3 s → 3.8-3.9 s at sf1.0,
+            # w1 0.60-0.69 → 0.44-0.47, consistent over interleaved
+            # reps). Rides the SAME single-host guard as the tmpfs dir:
+            # a cluster deployment keeps compression on because its
+            # shuffle crosses real disks and NICs. extra_conf still
+            # overrides.
+            builder = builder.config("spark.shuffle.compress", "false")
+            builder = builder.config("spark.shuffle.spill.compress", "false")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
