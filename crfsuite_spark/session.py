@@ -104,17 +104,13 @@ def get_spark(
             shm = "/dev/shm/spark-local"
             os.makedirs(shm, exist_ok=True)
             builder = builder.config("spark.local.dir", shm)
-            # With shuffle files on tmpfs the bytes never touch a disk
-            # or a NIC, so lz4 framing is pure CPU overhead on both
-            # sides of every exchange (guide §2.3 "measure both":
-            # substr_dedup warm draws 4.7-5.3 s → 3.8-3.9 s at sf1.0,
-            # w1 0.60-0.69 → 0.44-0.47, consistent over interleaved
-            # reps). Rides the SAME single-host guard as the tmpfs dir:
-            # a cluster deployment keeps compression on because its
-            # shuffle crosses real disks and NICs. extra_conf still
-            # overrides.
-            builder = builder.config("spark.shuffle.compress", "false")
-            builder = builder.config("spark.shuffle.spill.compress", "false")
+            # Measured, NOT applied: disabling lz4 shuffle compression
+            # on this tmpfs dir helps small shuffles (substr_dedup warm
+            # 4.7-5.3 s → 3.8-3.9 s at sf1.0 — framing is pure CPU when
+            # bytes never touch disk/NIC) but HURTS GB-scale shuffles
+            # (sf10 minhash 29.8 s → 35.9 s: uncompressed blocks cost
+            # 3-4× the memory bandwidth and tmpfs residency). Compression
+            # stays on because the win must hold at both scales.
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
