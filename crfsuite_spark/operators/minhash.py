@@ -36,9 +36,17 @@ from pyspark.sql import functions as F
 MERSENNE = (1 << 31) - 1
 
 # exact-stats broadcast cap for the screen/verify join sides (bytes of
-# array payload; comfortably inside executor memory at 4+ GB/core while
-# far under the 8 GB broadcast hard cap)
-_BROADCAST_CAP = 48 * 1024 * 1024
+# array payload). 256 MB framed (~1-2 GB as built hash relations when
+# two sides qualify at once) sits inside guide-§3.1's "a few hundred
+# MB is usually fine" at 4+ GB/core and far under the 8 GB hard cap,
+# and — because the decision uses EXACT measured sizes, never planner
+# estimates — the spill-safe sort-merge fallback engages unchanged
+# past it. Raising 48 MB → 256 MB moved the sf10 regime (500k docs:
+# 140 MB signature-vector side, 112 MB band side) from sort-merge over
+# the 13M-row candidate stream to map-side broadcast probes:
+# dedup_minhash 31.9/41.2 s → 25.0/22.7 s over interleaved reps,
+# identical pairs; sf ≤ 1 sides were already under 48 MB (no change).
+_BROADCAST_CAP = 256 * 1024 * 1024
 
 
 def char_shingles(col: str, k: int = 3):
